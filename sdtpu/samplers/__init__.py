@@ -1,0 +1,38 @@
+"""Samplers: pure-function diffusion ODE solvers, designed for ``lax.scan``.
+
+Each sampler exposes:
+
+* ``plan(schedule, steps) -> Plan`` — precomputes per-step coefficient tables
+  (the analogue of the reference's ``DPMSolver::prepare``,
+  dpm_solver.cpp:101-133). A Plan is a pytree of ``[steps]``-shaped arrays,
+  so the scan body indexes it with the loop counter — no host round-trips,
+  no recompilation across step counts of the same value.
+* ``step(plan, i, x, eps, state) -> (x_next, state)`` — one update, pure and
+  jittable (the analogue of ``DPMSolver::update``, dpm_solver.cpp:139-181).
+
+The model-facing timesteps live in ``plan.model_t`` — the engine embeds them
+through the time-embedding MLP before the loop starts (the reference
+precomputes the 1280-d embeddings the same way, context.cpp:256-279).
+"""
+
+from sdtpu.samplers.schedule import NoiseSchedule
+from sdtpu.samplers import dpm, ddim, plms
+
+SAMPLERS = {
+    "dpm": dpm,
+    "dpm++": dpm,
+    "ddim": ddim,
+    "plms": plms,
+}
+
+
+def get_sampler(name: str):
+    try:
+        return SAMPLERS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown sampler {name!r}; available: {sorted(SAMPLERS)}"
+        ) from None
+
+
+__all__ = ["NoiseSchedule", "SAMPLERS", "get_sampler", "dpm", "ddim", "plms"]

@@ -1,0 +1,204 @@
+"""Sampler math golden tests (analogue of reference test_dpm.cpp:26-53, but
+automated: schedule-table spot checks + convergence properties + comparison
+against independently-coded textbook updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdtpu.samplers import ddim, dpm, get_sampler, plms
+from sdtpu.samplers.schedule import NoiseSchedule
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return NoiseSchedule.sd_v1()
+
+
+def test_schedule_tables(sched):
+    # beta schedule endpoints (reference: dpm_solver.cpp:84-97 constants)
+    betas = np.linspace(np.sqrt(0.00085), np.sqrt(0.0120), 1000) ** 2
+    assert np.isclose(betas[0], 0.00085)
+    assert np.isclose(betas[-1], 0.0120)
+    assert np.allclose(sched.alphas_cumprod, np.cumprod(1 - betas))
+    assert np.allclose(sched.log_alpha_grid, 0.5 * np.log(sched.alphas_cumprod))
+    # marginals: alpha^2 + sigma^2 == 1
+    t = np.linspace(0.001, 1.0, 57)
+    a, s = sched.marginal_alpha(t), sched.marginal_sigma(t)
+    assert np.allclose(a**2 + s**2, 1.0, atol=1e-12)
+    # lambda = log(alpha/sigma)
+    assert np.allclose(sched.marginal_lambda(t), np.log(a / s), atol=1e-10)
+
+
+def test_sampling_time_grids(sched):
+    ts = sched.sampling_times(20)
+    assert ts.shape == (21,)
+    assert np.isclose(ts[0], 1.0) and np.isclose(ts[-1], 0.001)
+    # model-facing timesteps: (t - 1/N) * N  (reference: dpm_solver.cpp:115)
+    mt = sched.model_times(ts)
+    assert np.isclose(mt[0], 999.0) and np.isclose(mt[-1], 0.0)
+    dd = sched.ddim_timesteps(20)
+    assert dd[0] == 951 and dd[-1] == 1 and len(dd) == 20
+
+
+def _run_sampler(mod, sched, steps, model_fn, x0_shape, seed=0):
+    """Drive a sampler exactly as the pipeline's lax.scan will."""
+    p = mod.plan(sched, steps)
+    x = jax.random.normal(jax.random.PRNGKey(seed), x0_shape, jnp.float32)
+    st = mod.init_state(x0_shape)
+
+    def body(carry, i):
+        x, st = carry
+        eps = model_fn(x, p.model_t[i])
+        x, st = mod.step(p, i, x, eps, st)
+        return (x, st), None
+
+    (x, _), _ = jax.lax.scan(body, (x, st), jnp.arange(steps))
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("name", ["dpm", "ddim", "plms"])
+def test_exact_trajectory_tracking(sched, name):
+    """If the model's implied data prediction is a constant x0*, the
+    probability-flow ODE trajectory is exactly x_t = alpha_t x0* + sigma_t c.
+    DPM-2M and DDIM reproduce it exactly (up to fp32); PLMS to multistep
+    truncation error. Check the endpoint against the analytic value."""
+    mod = get_sampler(name)
+    x0_star = np.linspace(-1, 1, 16).reshape(4, 4).astype(np.float32)
+
+    if name == "dpm":
+        ts = sched.sampling_times(20)
+        alphas = sched.marginal_alpha(ts)
+        sigmas = sched.marginal_sigma(ts)
+
+        def coeffs(i):  # marginals at the step's start time
+            return alphas[i], sigmas[i]
+
+        a_end, s_end = alphas[-1], sigmas[-1]
+    else:
+        dd = sched.ddim_timesteps(20)
+        abar = sched.alphas_cumprod
+
+        def coeffs(i):
+            a2 = abar[dd[i]]
+            return np.sqrt(a2), np.sqrt(1 - a2)
+
+        a_end = np.sqrt(abar[0])
+        s_end = np.sqrt(1 - abar[0])
+
+    p = mod.plan(sched, 20)
+    x_init = jax.random.normal(jax.random.PRNGKey(0), x0_star.shape, jnp.float32)
+    a0, s0 = coeffs(0)
+    c = (np.asarray(x_init) - a0 * x0_star) / s0  # trajectory constant
+
+    x, st = x_init, mod.init_state(x0_star.shape)
+    for i in range(20):
+        a_i, s_i = coeffs(i)
+        eps = (x - jnp.float32(a_i) * x0_star) / jnp.float32(s_i)
+        x, st = mod.step(p, i, x, eps, st)
+    expected = a_end * x0_star + s_end * c
+    err = np.abs(np.asarray(x) - expected).max()
+    tol = 5e-3 if name == "plms" else 2e-4
+    assert err < tol, f"{name}: |x - exact endpoint| = {err}"
+    # and the endpoint is close to x0* up to the residual sigma_end noise
+    assert np.abs(np.asarray(x) - x0_star).max() < s_end * np.abs(c).max() + 0.01
+
+
+def test_dpm_matches_textbook_implementation(sched):
+    """Compare the table-driven DPM step against a direct textbook
+    DPM-Solver++(2M) implementation recomputed from schedule marginals."""
+    steps = 13
+    p = dpm.plan(sched, steps)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    # ours
+    x_ours = jnp.asarray(x)
+    st = dpm.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = dpm.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st)
+    x_ours = np.asarray(x_ours)
+
+    # textbook
+    ts = sched.sampling_times(steps)
+    lam = sched.marginal_lambda(ts)
+    alpha = sched.marginal_alpha(ts)
+    sigma = sched.marginal_sigma(ts)
+    x_ref = x.copy()
+    prev_y = None
+    for i in range(steps):
+        s, t = i, i + 1
+        h = lam[t] - lam[s]
+        y = (x_ref - sigma[s] * eps_seq[i]) / alpha[s]
+        if prev_y is None:
+            d = y
+        else:
+            h_prev = lam[s] - lam[s - 1]
+            r = h_prev / h
+            d = (1 + 1 / (2 * r)) * y - (1 / (2 * r)) * prev_y
+        x_ref = (sigma[t] / sigma[s]) * x_ref - alpha[t] * np.expm1(-h) * d
+        prev_y = y
+    assert np.allclose(x_ours, x_ref, atol=2e-4), np.abs(x_ours - x_ref).max()
+
+
+def test_ddim_matches_textbook_implementation(sched):
+    steps = 10
+    p = ddim.plan(sched, steps)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 2)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 2)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = ddim.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = ddim.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st)
+
+    ts = sched.ddim_timesteps(steps)
+    abar = sched.alphas_cumprod
+    x_ref = x.copy()
+    for i, t in enumerate(ts):
+        ap = abar[ts[i + 1]] if i + 1 < steps else abar[0]
+        a = abar[t]
+        x0 = (x_ref - np.sqrt(1 - a) * eps_seq[i]) / np.sqrt(a)
+        x_ref = np.sqrt(ap) * x0 + np.sqrt(1 - ap) * eps_seq[i]
+    assert np.allclose(np.asarray(x_ours), x_ref, atol=2e-4)
+
+
+def test_plms_ab_coefficients(sched):
+    p = plms.plan(sched, 6)
+    c = np.asarray(p.ab_coef)
+    assert np.allclose(c[0], [1, 0, 0, 0])
+    assert np.allclose(c[1], [1.5, -0.5, 0, 0])
+    assert np.allclose(c[2], [23 / 12, -16 / 12, 5 / 12, 0])
+    assert np.allclose(c[3], [55 / 24, -59 / 24, 37 / 24, -9 / 24])
+    assert np.allclose(c[4], c[3]) and np.allclose(c[5], c[3])
+    # AB weights sum to 1 (consistency)
+    assert np.allclose(c.sum(-1), 1.0)
+
+
+def test_steps_are_scannable_and_jittable(sched):
+    """The whole denoise loop must trace into a single lax.scan under jit —
+    this is the core TPU design requirement (no host round-trips,
+    SURVEY.md §3.2)."""
+    for name in ("dpm", "ddim", "plms"):
+        mod = get_sampler(name)
+        steps = 7
+        p = mod.plan(sched, steps)
+
+        @jax.jit
+        def run(x):
+            st = mod.init_state(x.shape)
+
+            def body(carry, i):
+                x, st = carry
+                eps = 0.1 * x  # stand-in model
+                x, st = mod.step(p, i, x, eps, st)
+                return (x, st), None
+
+            (x, _), _ = jax.lax.scan(body, (x, st), jnp.arange(steps))
+            return x
+
+        out = run(jnp.ones((4, 4)))
+        assert np.isfinite(np.asarray(out)).all()
