@@ -1,0 +1,120 @@
+"""Command-line interface.
+
+The analogue of the reference's test apps + viewer: ``generate`` mirrors
+test/simple_app.cpp:6-38 (setup -> generate -> write output) and ``show``
+mirrors show_output.py:1-10 (render a raw output.bin). Default prompt/CFG
+match the reference's (simple_app.cpp:23; api/libsdod.h:88).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_PROMPT = "a photograph of an astronaut riding a horse"
+
+
+def _select_platform(name: str) -> None:
+    if name == "auto":
+        return
+    import jax
+
+    jax.config.update("jax_platforms", name)
+
+
+def _cmd_generate(args) -> int:
+    _select_platform(args.platform)
+    import sdtpu
+    from sdtpu.engine.logging import LogLevel
+
+    ctx = sdtpu.Context(
+        model_dir=args.model_dir,
+        steps=args.steps,
+        sampler=args.sampler,
+        config=args.config,
+        log_level=LogLevel(args.log_level),
+        attn_kernel=args.attn_kernel,
+        seed=args.seed,
+    )
+    t0 = time.perf_counter()
+    img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed)
+    dt = time.perf_counter() - t0
+    print(f"generated {img.shape[0]}x{img.shape[1]} image in {dt:.3f}s "
+          f"(steps={args.steps}, sampler={args.sampler}, seed={args.seed})")
+    if args.out.endswith(".bin"):
+        img.tofile(args.out)  # raw uint8, reference output.bin format
+    else:
+        from PIL import Image
+
+        Image.fromarray(img).save(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_show(args) -> int:
+    data = np.fromfile(args.path, np.uint8)
+    side = int(round((data.size / 3) ** 0.5))
+    img = data.reshape(side, side, 3)
+    from PIL import Image
+
+    out = args.path.rsplit(".", 1)[0] + ".png"
+    Image.fromarray(img).save(out)
+    print(f"wrote {out} ({side}x{side})")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    import jax
+
+    import sdtpu
+    from sdtpu.config import SD15, TINY
+
+    print(f"sdtpu {sdtpu.__version__}")
+    print(f"backend: {jax.default_backend()}, devices: {jax.device_count()}")
+    for name, cfg in [("sd15", SD15), ("tiny", TINY)]:
+        print(f"config {name}: {cfg.image_size}x{cfg.image_size}, "
+              f"latent {cfg.latent_size}, unet ch {cfg.unet.model_channels}, "
+              f"dtype {cfg.dtype}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sdtpu",
+                                description="TPU-native SD txt2img engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="prompt -> image")
+    g.add_argument("--prompt", default=DEFAULT_PROMPT)
+    g.add_argument("--guidance", type=float, default=7.5)
+    g.add_argument("--steps", type=int, default=20)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    g.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    g.add_argument("--model-dir", default=None,
+                   help="weights dir (omit for random-init demo)")
+    g.add_argument("--attn-kernel", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    g.add_argument("--log-level", type=int, default=2,
+                   help="0=nothing .. 4=abusive")
+    g.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force a JAX platform (auto = ambient default)")
+    g.add_argument("--out", default="output.png")
+    g.set_defaults(fn=_cmd_generate)
+
+    s = sub.add_parser("show", help="render a raw output.bin to png")
+    s.add_argument("path")
+    s.set_defaults(fn=_cmd_show)
+
+    i = sub.add_parser("info", help="print version/backend/config info")
+    i.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,15 +1,264 @@
-"""Context: the pipeline orchestrator (placeholder — built out with the models).
+"""Context: the pipeline orchestrator.
 
-Mirrors the phased-init design of the reference's ``Context``
-(reference: context.h:27-52): init -> load models -> load tokenizer ->
-prepare solver -> prepare buffers -> prepare schedule -> generate.
+Python/JAX rebuild of the reference's ``Context`` class (reference:
+context.h:27-52, context.cpp:14-421) with the same phased lifecycle:
+
+    initialize -> load_models -> load_tokenizer -> prepare_solver
+    -> prepare_buffers -> prepare_schedule -> set_seed -> generate
+
+Mapping of concerns:
+
+* model graphs -> one param pytree + AOT-jitted executables (compiled-
+  executable caching is the analogue of the reference's serialized HTP
+  context blobs, qnn_context.cpp:894-956);
+* ION zero-copy buffers -> device-resident jnp arrays (nothing to manage);
+* burst power mode -> nothing to manage (no clock knob on TPU);
+* uncond ("") prompt embedding precomputed at setup
+  (reference: context.cpp:233-239);
+* ``_failed_and_gave_up`` latch: a failed phase turns later phases into
+  no-ops, surfaced as INVALID_CONTEXT on generate (reference:
+  context.cpp:84,95,181,192,202,246,293);
+* multithreaded init (reference: context.cpp:49-80 spawns 3 threads): weight
+  load / tokenizer load run on a thread pool when ``threads > 1``;
+* steps: any value works (compiled per steps value and cached) — the
+  reference hardcodes steps==20 (context.cpp:250-251); we keep 20 as the
+  default/benchmark config.
 """
 
 from __future__ import annotations
 
+import concurrent.futures as _fut
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import SD15, TINY, PipelineConfig
+from sdtpu.engine import logging as slog
+from sdtpu.engine.errors import ErrorCode, ErrorTable, SdtpuError
+from sdtpu.engine.pipeline import encode_text, jit_generate
+from sdtpu.io.params import cast_params, init_pipeline_params, param_count
+from sdtpu.tokenizer import Tokenizer
+
+#: Merge table for the built-in demo tokenizer (random-init weights mode).
+#: Sized so TINY.clip.vocab_size == 512 + len(DEMO_MERGES) + 2.
+DEMO_MERGES = [
+    ("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"), ("in", "g</w>"),
+    ("e", "r</w>"), ("an", "d</w>"), ("o", "f</w>"), ("r", "i"), ("ri", "d"),
+    ("rid", "ing</w>"), ("h", "o"), ("ho", "r"), ("hor", "s"),
+    ("hors", "e</w>"), ("o", "n</w>"), ("a", "s"), ("as", "t"), ("o", "n"),
+    ("p", "h"), ("ph", "o"), ("g", "raph</w>"),
+]
+
 
 class Context:
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "sdtpu.Context lands with the model stack (engine milestone)"
+    """Prompt -> uint8 image engine with reference-parity lifecycle."""
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        steps: int = 20,
+        sampler: str = "dpm",
+        config: PipelineConfig | str = "sd15",
+        log_level: slog.LogLevel = slog.LogLevel.ERROR,
+        attn_kernel: str = "auto",
+        threads: int = 3,
+        seed: int = 0,
+    ) -> None:
+        if isinstance(config, str):
+            config = {"sd15": SD15, "tiny": TINY}[config.lower()]
+        self.cfg = config
+        self.errors = ErrorTable()
+        self.logger = slog.Logger(log_level, name=f"sdtpu@{hex(id(self))[-4:]}")
+        self._failed = False
+        self._gen_cache: dict = {}
+        self._uncond = None
+        self.params = None
+        self.tokenizer: Optional[Tokenizer] = None
+        self.steps = int(steps)
+        self.sampler = sampler
+        self.seed = int(seed)
+        if attn_kernel == "auto":
+            attn_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.attn_kernel = attn_kernel
+        self.model_dir = Path(model_dir) if model_dir else None
+
+        with slog.logger_scope(self.logger):
+            t0 = time.perf_counter()
+            if self.steps < 1:
+                self._fail(ErrorCode.INVALID_ARGUMENT,
+                           f"steps must be >= 1, got {steps}")
+            self._init_mt(threads)
+            self.logger.info(
+                f"initialized in {time.perf_counter() - t0:.2f}s "
+                f"({param_count(self.params or {})/1e6:.1f}M params, "
+                f"backend={jax.default_backend()})"
+            )
+
+    # ------------------------------------------------------------------
+    # phased init
+    # ------------------------------------------------------------------
+
+    def _fail(self, code: ErrorCode, reason: str):
+        self._failed = True
+        raise SdtpuError(code, reason, self.errors)
+
+    def _init_mt(self, threads: int) -> None:
+        """Parallel phase init (reference: context.cpp:49-80)."""
+        if threads > 1:
+            with _fut.ThreadPoolExecutor(max_workers=2) as ex:
+                f_models = ex.submit(self._load_models)
+                f_tok = ex.submit(self._load_tokenizer)
+                f_models.result()
+                f_tok.result()
+        else:
+            self._load_models()
+            self._load_tokenizer()
+        self._prepare_buffers()
+
+    def _load_models(self) -> None:
+        if self._failed:
+            return
+        t0 = time.perf_counter()
+        try:
+            if self.model_dir is None:
+                self.logger.info("no model_dir: random-init demo weights")
+                params = init_pipeline_params(jax.random.PRNGKey(0), self.cfg)
+            else:
+                from sdtpu.io.weights import load_pipeline_params
+
+                params = load_pipeline_params(self.model_dir, self.cfg)
+            self.params = cast_params(params, self.cfg.compute_dtype)
+        except SdtpuError:
+            self._failed = True
+            raise
+        except Exception as e:  # noqa: BLE001
+            self._fail(ErrorCode.RUNTIME_ERROR, f"model load failed: {e}")
+        self.logger.info(f"models loaded in {time.perf_counter() - t0:.2f}s")
+
+    def _load_tokenizer(self) -> None:
+        if self._failed:
+            return
+        try:
+            flat = self.model_dir / "ctokenizer.txt" if self.model_dir else None
+            if flat is not None and flat.exists():
+                self.tokenizer = Tokenizer.from_flat_file(flat)
+            else:
+                self.tokenizer = Tokenizer.from_merges(DEMO_MERGES)
+            if self.tokenizer.vocab_size > self.cfg.clip.vocab_size:
+                self._fail(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"tokenizer vocab {self.tokenizer.vocab_size} exceeds model"
+                    f" vocab {self.cfg.clip.vocab_size}",
+                )
+        except SdtpuError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            self._fail(ErrorCode.RUNTIME_ERROR, f"tokenizer load failed: {e}")
+
+    def _prepare_buffers(self) -> None:
+        """Precompute the uncond ("") embedding (reference: context.cpp:233-239)."""
+        if self._failed:
+            return
+        tokens = jnp.asarray(
+            [self.tokenizer.tokenize("", self.cfg.clip.context_len)], jnp.int32
         )
+        self._uncond = jax.jit(
+            lambda p, t: encode_text(p, t, self.cfg)
+        )(self.params, tokens)[0]
+
+    # ------------------------------------------------------------------
+    # knobs (reference C API: libsdod_set_steps / set_seed)
+    # ------------------------------------------------------------------
+
+    def set_steps(self, steps: int) -> None:
+        if steps < 1:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT, f"steps must be >= 1, got {steps}",
+                self.errors,
+            )
+        self.steps = int(steps)
+
+    def set_seed(self, seed: int) -> None:
+        self.seed = int(seed)
+
+    # ------------------------------------------------------------------
+    # generate
+    # ------------------------------------------------------------------
+
+    def _compiled(self, batch: int, use_cfg: bool):
+        key = (batch, self.steps, self.sampler, use_cfg)
+        fn = self._gen_cache.get(key)
+        if fn is None:
+            fn = jit_generate(
+                self.cfg, self.sampler, self.steps, use_cfg, self.attn_kernel
+            )
+            self._gen_cache[key] = fn
+        return fn
+
+    def generate(
+        self,
+        prompt: str | list[str],
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
+
+        `out`: optional preallocated caller buffer to fill (the reference's
+        caller-allocated output protocol, api/libsdod.h:91-114). `seed`
+        overrides the context seed for this call; otherwise the context seed
+        is used and incremented (fresh image per call, reproducible stream).
+        """
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            if not prompts:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT, "empty prompt list", self.errors
+                )
+            t0 = time.perf_counter()
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
+                 for p in prompts],
+                jnp.int32,
+            )
+            if seed is None:
+                seed = self.seed
+                self.seed += 1
+            use_cfg = guidance != 1.0
+            fn = self._compiled(len(prompts), use_cfg)
+            img = fn(
+                self.params, tokens, self._uncond,
+                jax.random.PRNGKey(seed), jnp.float32(guidance),
+            )
+            img = np.asarray(img)
+            if isinstance(prompt, str):
+                img = img[0]
+            self.logger.info(
+                f"image generation took {time.perf_counter() - t0:.3f}s "
+                f"(steps={self.steps}, sampler={self.sampler}, seed={seed})"
+            )
+            if out is not None:
+                if out.shape != img.shape or out.dtype != np.uint8:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"out buffer mismatch: {out.shape}/{out.dtype} vs "
+                        f"{img.shape}/uint8", self.errors,
+                    )
+                np.copyto(out, img)
+                return out
+            return img
+
+    # ------------------------------------------------------------------
+
+    def last_error(self, code: ErrorCode) -> Optional[str]:
+        """(reference: libsdod_get_last_error_extra_info, libsdod.cpp:187-209)."""
+        return self.errors.last(code)

@@ -1,0 +1,151 @@
+"""The jit-compiled prompt->image pipeline.
+
+TPU-first redesign of the reference's generate loop (reference:
+context.cpp:292-403). The reference round-trips to the host every step —
+2 UNet launches + 4 quantized host<->NPU copies + host DPM math per step
+(SURVEY.md §3.2). Here the ENTIRE pipeline after tokenization is ONE compiled
+XLA program, device-resident end to end:
+
+    tokens ──CLIP──> cond embedding ─┐
+    precomputed uncond embedding ────┤           (reference: context.cpp:233-239)
+    timesteps ──temb MLP──> t_embs ──┤           (reference: context.cpp:256-279)
+                                     ▼
+    x ~ N(0,1) ──lax.scan over steps: UNet(batched CFG) -> sampler.step ──>
+    latent ──VAE──> RGB float ──scale/clamp──> uint8   (reference: :384-395)
+
+Classifier-free guidance runs cond+uncond as ONE UNet batch of 2B instead of
+two sequential launches (reference: context.cpp:352-373) — on TPU the bigger
+batch feeds the MXU better and halves launch overhead; the mix
+``g*e_cond + (1-g)*e_uncond`` is fused into the scan body (the reference
+fuses it into its dequant pass, qnn_context.cpp:588-608).
+
+The noise protocol is defined as ``jax.random.normal(PRNGKey(seed))`` in
+float32 — the device-resident analogue of the reference's host-side
+std::mt19937 latent sampling (context.cpp:333-334).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import PipelineConfig
+from sdtpu.models import clip, temb, unet, vae
+from sdtpu.samplers import get_sampler
+
+
+def encode_text(params, tokens, cfg: PipelineConfig):
+    """tokens [B, T] -> prompt embeddings [B, T, context_dim]."""
+    return clip.apply(params["clip"], tokens, cfg.clip, dtype=cfg.compute_dtype)
+
+
+def decode_latents(params, x, cfg: PipelineConfig):
+    """Scaled latents [B,h,w,4] -> uint8 RGB [B,H,W,3] (clamp(255*(img+1)/2),
+    reference: context.cpp:392-395 does clamp(255*f) on its 0..1 output)."""
+    img = vae.apply(params["vae"], x / cfg.vae.scale_factor, cfg.vae)
+    img = (img.astype(jnp.float32) + 1.0) * 127.5
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
+def denoise(
+    params,
+    context,
+    key,
+    guidance,
+    cfg: PipelineConfig,
+    sampler: str,
+    steps: int,
+    use_cfg: bool,
+    attn_kernel: str = "xla",
+    init_latents=None,
+):
+    """Run the full denoising scan. context: [B or 2B, T, D] prompt
+    embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond."""
+    from sdtpu.samplers import NoiseSchedule
+
+    mod = get_sampler(sampler)
+    plan = mod.plan(NoiseSchedule.sd_v1(), steps)
+    b = context.shape[0] // 2 if use_cfg else context.shape[0]
+    shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
+
+    x = jax.random.normal(key, shape, jnp.float32) if init_latents is None \
+        else init_latents
+    # all step time-embeddings in one tiny batched MLP call, outside the scan
+    # (the reference precomputes these through its temb graph at init,
+    # context.cpp:256-279)
+    t_embs = temb.apply(
+        params["temb"], plan.model_t, cfg.unet, dtype=cfg.compute_dtype
+    )  # [steps, time_embed_dim]
+
+    dtype = cfg.compute_dtype
+    state = mod.init_state(shape)
+
+    def body(carry, i):
+        x, st = carry
+        te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
+        if use_cfg:
+            x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
+        else:
+            x_in = x.astype(dtype)
+        eps = unet.apply(
+            params["unet"], x_in, te, context, cfg.unet, attn_kernel
+        ).astype(jnp.float32)
+        if use_cfg:
+            g = jnp.float32(guidance)
+            eps = g * eps[:b] + (1.0 - g) * eps[b:]
+        x, st = mod.step(plan, i, x, eps, st)
+        return (x, st), None
+
+    (x, _), _ = jax.lax.scan(body, (x, state), jnp.arange(steps))
+    return x
+
+
+def generate(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    use_cfg: bool = True,
+    attn_kernel: str = "xla",
+):
+    """The full prompt->image program (jit this whole function).
+
+    tokens: [B, T] int32; uncond_embedding: [T, D] (precomputed once at
+    setup); key: PRNG key; guidance: scalar (traced — changing it does not
+    recompile). Returns uint8 [B, H, W, 3].
+    """
+    p_cond = encode_text(params, tokens, cfg)
+    if use_cfg:
+        b = tokens.shape[0]
+        p_un = jnp.broadcast_to(
+            uncond_embedding.astype(p_cond.dtype)[None], (b, *uncond_embedding.shape)
+        )
+        context = jnp.concatenate([p_cond, p_un], axis=0)
+    else:
+        context = p_cond
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, use_cfg,
+        attn_kernel,
+    )
+    return decode_latents(params, x, cfg)
+
+
+def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
+                 attn_kernel: str = "xla", donate_params: bool = False):
+    """Build the compiled generate function. Static: cfg/sampler/steps/
+    use_cfg (shape-affecting); traced: tokens/key/guidance (value-changing
+    without recompile — fixes the reference's steps==20 hard limit,
+    context.cpp:250-251, by making steps a compile-time axis instead)."""
+    fn = functools.partial(
+        generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
+        attn_kernel=attn_kernel,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,55 @@
+"""Parameter-tree construction: random init + dtype casting.
+
+Checkpoint loading (LDM/HF safetensors -> this pytree) lives in
+sdtpu.io.weights; this module owns the tree *shape*.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import PipelineConfig
+from sdtpu.models import clip, temb, unet, vae
+
+
+def init_pipeline_params(key, cfg: PipelineConfig, demo: bool = True):
+    """Random-init parameters for all four models (demo / test mode — the
+    reference ships no weights either; they are converted offline).
+
+    With ``demo=True`` the LDM zero-initialized output convolutions are
+    replaced with small random weights — otherwise a fresh UNet predicts
+    eps == 0 and the pipeline degenerates (zero-init is a *training*
+    convention; demo mode needs a non-trivial function)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
+        "clip": clip.init(k1, cfg.clip),
+        "temb": temb.init(k2, cfg.unet),
+        "unet": unet.init(k3, cfg.unet),
+        "vae": vae.init(k4, cfg.vae),
+    }
+    if demo:
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(k5, len(leaves))
+        leaves = [
+            jax.random.normal(kk, a.shape, a.dtype) * 0.05
+            if jnp.issubdtype(a.dtype, jnp.floating) and not a.any() and a.ndim > 1
+            else a
+            for a, kk in zip(leaves, keys)
+        ]
+        params = jax.tree.unflatten(treedef, leaves)
+    return params
+
+
+def cast_params(params, dtype):
+    """Cast the whole tree once at load time (device-resident weights live in
+    the compute dtype; float32 master copies are not kept for inference)."""
+    dt = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(a.size) for a in jax.tree.leaves(params))

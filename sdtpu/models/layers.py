@@ -1,0 +1,214 @@
+"""Shared neural-net primitives (NHWC, TPU-friendly).
+
+Conventions:
+* images are NHWC (channels-last — XLA's preferred TPU conv layout);
+* conv kernels are HWIO; dense kernels are (in, out);
+* normalizations run in float32 regardless of activation dtype, matmuls/convs
+  run in the activation dtype with float32 accumulation
+  (``preferred_element_type``) — the MXU-native recipe;
+* attention and groupnorm dispatch to Pallas kernels via ``sdtpu.ops`` when
+  enabled, with these XLA-native paths as the reference/fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# f32 matmuls must be true f32 (JAX's 'default' runs bf16-grade passes even on
+# CPU); for bf16 activations HIGHEST is a no-op — the MXU is bf16-native.
+PRECISION = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def _fan_in(shape) -> int:
+    if len(shape) == 2:
+        return shape[0]
+    return shape[0] * shape[1] * shape[2]  # HWIO
+
+
+def kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch default init (kaiming_uniform with a=sqrt(5)) so random-init
+    parity tests against torch modules are distribution-matched."""
+    bound = math.sqrt(1.0 / _fan_in(shape)) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_dense(key, d_in, d_out, dtype=jnp.float32, zero_init=False, bias=True):
+    kw, kb = jax.random.split(key)
+    if zero_init:
+        w = jnp.zeros((d_in, d_out), dtype)
+    else:
+        w = kaiming_uniform(kw, (d_in, d_out), dtype)
+    if not bias:
+        return {"w": w}
+    if zero_init:
+        return {"w": w, "b": jnp.zeros((d_out,), dtype)}
+    bound = 1.0 / math.sqrt(d_in)
+    b = jax.random.uniform(kb, (d_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_conv(key, k, c_in, c_out, dtype=jnp.float32, zero_init=False):
+    kw, kb = jax.random.split(key)
+    shape = (k, k, c_in, c_out)
+    if zero_init:
+        return {"w": jnp.zeros(shape, dtype), "b": jnp.zeros((c_out,), dtype)}
+    w = kaiming_uniform(kw, shape, dtype)
+    bound = 1.0 / math.sqrt(_fan_in(shape))
+    b = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_norm(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def dense(p, x, dtype=None):
+    dtype = dtype or x.dtype
+    y = jnp.dot(
+        x.astype(dtype), p["w"].astype(dtype),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv2d(p, x, stride=1, padding=1, dtype=None):
+    """3x3/1x1 conv, NHWC x HWIO -> NHWC."""
+    dtype = dtype or x.dtype
+    y = lax.conv_general_dilated(
+        x.astype(dtype),
+        p["w"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(dtype)
+
+
+def layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(p, x, groups, eps=1e-5):
+    """GroupNorm over channels-last x of shape [..., C].
+
+    Implemented in "ln form": reshape so each group's (spatial x C/G) slab is
+    normalized like a LayerNorm — the numerically-equivalent rewrite the
+    reference exports for NPU efficiency (reference: sdod/efficient_gn.py:
+    77-80 'ln' impl; tests/gn_to_ln.py parity test), except we *do* apply the
+    affine weight/bias here (the reference's ln/bn paths leave them folded
+    elsewhere, efficient_gn.py:84-85).
+    """
+    c = x.shape[-1]
+    lead = x.shape[:-1]  # e.g. (N, H, W) or (N, T)
+    n = x.shape[0]
+    xf = x.astype(jnp.float32).reshape(n, -1, groups, c // groups)
+    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y.reshape(*lead, c)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(p, x, dtype=None):
+    h = dense(p, x, dtype)
+    a, b = jnp.split(h, 2, axis=-1)
+    return a * jax.nn.gelu(b, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def sdpa(q, k, v, heads: int, kernel: str = "xla"):
+    """Multi-head scaled-dot-product attention over [B, T, C] tensors.
+
+    `kernel='pallas'` routes to the fused flash-attention TPU kernel in
+    sdtpu.ops (the rebuild of the reference's opaque converted-graph
+    attention, SURVEY.md §5.7); 'xla' is the fallback/reference path.
+    """
+    if kernel == "pallas":
+        from sdtpu.ops.attention import flash_attention
+
+        return flash_attention(q, k, v, heads)
+
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    d = c // heads
+    qh = q.reshape(b, tq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, tk, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, tk, heads, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32,
+        precision=PRECISION
+    ) * (1.0 / math.sqrt(d))
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh, preferred_element_type=jnp.float32,
+        precision=PRECISION)
+    return o.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, tq, c)
+
+
+def causal_sdpa(q, k, v, heads: int):
+    """Causal multi-head attention (CLIP text encoder)."""
+    b, t, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32,
+        precision=PRECISION
+    ) * (1.0 / math.sqrt(d))
+    mask = jnp.tril(jnp.ones((t, t), bool))
+    logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh, preferred_element_type=jnp.float32,
+        precision=PRECISION)
+    return o.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, t, c)
+
+
+# ---------------------------------------------------------------------------
+# time features
+# ---------------------------------------------------------------------------
+
+def timestep_features(t, dim: int, max_period: float = 10000.0):
+    """Sinusoidal timestep features: [cos | sin] halves, LDM convention —
+    ``f_j = exp(-log(max_period) * j / (dim/2))`` (the reference precomputes
+    the same on host: sin/cos(t * e^{-log(10000) * j / 160}) with dim=320,
+    reference: context.cpp:256-279).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = jnp.asarray(t, jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)

@@ -1,0 +1,241 @@
+"""SD v1.x UNet denoiser: eps-prediction net with cross-attention.
+
+The reference runs this as one converted graph ``unet.serialized`` with
+inputs x(1,64,64,4), t-embedding(1280), prompt(77,768) and output
+eps(1,64,64,4) (reference: context.cpp:214-218; README.md:108-113 — the
+conversion splits it into 4 parts purely for converter RAM, the runtime
+graph is one). Here it is a config-driven functional net:
+
+    down path:  per level, `num_res_blocks` x [ResBlock (+SpatialTransformer
+                at attn levels)], then a stride-2 conv Downsample between
+                levels;
+    middle:     ResBlock, SpatialTransformer, ResBlock;
+    up path:    mirrored, with skip-concat from the down path, nearest-2x
+                Upsample between levels;
+    out:        GroupNorm -> SiLU -> 3x3 conv (zero-initialized).
+
+Timestep conditioning enters each ResBlock as SiLU(t_emb) -> Linear added to
+the hidden; text conditioning enters each SpatialTransformer's second
+attention as keys/values. Everything is NHWC; attention flattens HW into the
+sequence axis so self-attention at 64x64 is a 4096-token problem (9216 at
+768x768 — the flash-attention Pallas kernel's target, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import UNetConfig
+from sdtpu.models.layers import (
+    conv2d,
+    dense,
+    geglu,
+    group_norm,
+    init_conv,
+    init_dense,
+    init_norm,
+    sdpa,
+    silu,
+)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_resblock(key, c_in, c_out, temb_dim):
+    ks = jax.random.split(key, 4)
+    p = {
+        "norm1": init_norm(c_in),
+        "conv1": init_conv(ks[0], 3, c_in, c_out),
+        "emb": init_dense(ks[1], temb_dim, c_out),
+        "norm2": init_norm(c_out),
+        "conv2": init_conv(ks[2], 3, c_out, c_out, zero_init=True),
+    }
+    if c_in != c_out:
+        p["skip"] = init_conv(ks[3], 1, c_in, c_out)
+    return p
+
+
+def _init_transformer(key, c, ctx_dim, *_):
+    ks = jax.random.split(key, 12)
+    return {
+        "norm": init_norm(c),
+        "proj_in": init_conv(ks[0], 1, c, c),
+        "ln1": init_norm(c),
+        "attn1": {
+            "q": init_dense(ks[1], c, c, bias=False),
+            "k": init_dense(ks[2], c, c, bias=False),
+            "v": init_dense(ks[3], c, c, bias=False),
+            "out": init_dense(ks[4], c, c),
+        },
+        "ln2": init_norm(c),
+        "attn2": {
+            "q": init_dense(ks[5], c, c, bias=False),
+            "k": init_dense(ks[6], ctx_dim, c, bias=False),
+            "v": init_dense(ks[7], ctx_dim, c, bias=False),
+            "out": init_dense(ks[8], c, c),
+        },
+        "ln3": init_norm(c),
+        "ff1": init_dense(ks[9], c, c * 8),       # GEGLU: produces 2 x 4c
+        "ff2": init_dense(ks[10], c * 4, c),
+        "proj_out": init_conv(ks[11], 1, c, c, zero_init=True),
+    }
+
+
+def init(key, cfg: UNetConfig):
+    """Build the parameter pytree. Channel bookkeeping mirrors the SD v1.x
+    layout exactly so LDM checkpoints map 1:1 (sdtpu/io/weights.py)."""
+    n_keys = 256
+    keys = iter(jax.random.split(key, n_keys))
+    ch = cfg.model_channels
+    params = {"conv_in": init_conv(next(keys), 3, cfg.in_channels, ch)}
+
+    down = []
+    skip_chs = [ch]
+    cur = ch
+    for lvl, mult in enumerate(cfg.channel_mult):
+        out_ch = ch * mult
+        blocks = []
+        for _ in range(cfg.num_res_blocks):
+            blk = {"res": _init_resblock(next(keys), cur, out_ch, cfg.time_embed_dim)}
+            cur = out_ch
+            if lvl in cfg.attn_levels:
+                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim)
+            blocks.append(blk)
+            skip_chs.append(cur)
+        level = {"blocks": blocks}
+        if lvl != len(cfg.channel_mult) - 1:
+            level["down"] = init_conv(next(keys), 3, cur, cur)
+            skip_chs.append(cur)
+        down.append(level)
+    params["down"] = down
+
+    params["mid"] = {
+        "res1": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim),
+        "st": _init_transformer(next(keys), cur, cfg.context_dim),
+        "res2": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim),
+    }
+
+    up = []
+    for lvl in reversed(range(len(cfg.channel_mult))):
+        out_ch = ch * cfg.channel_mult[lvl]
+        blocks = []
+        for _ in range(cfg.num_res_blocks + 1):
+            skip = skip_chs.pop()
+            blk = {
+                "res": _init_resblock(
+                    next(keys), cur + skip, out_ch, cfg.time_embed_dim
+                )
+            }
+            cur = out_ch
+            if lvl in cfg.attn_levels:
+                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim)
+            blocks.append(blk)
+        level = {"blocks": blocks}
+        if lvl != 0:
+            level["up"] = init_conv(next(keys), 3, cur, cur)
+        up.append(level)
+    params["up"] = up
+
+    params["out_norm"] = init_norm(cur)
+    params["conv_out"] = init_conv(next(keys), 3, cur, cfg.out_channels,
+                                   zero_init=True)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _resblock(p, x, emb, groups):
+    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups)))
+    h = h + dense(p["emb"], silu(emb))[:, None, None, :]
+    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups)))
+    if "skip" in p:
+        x = conv2d(p["skip"], x, padding=0)
+    return x + h
+
+
+def _transformer(p, x, context, heads, groups, attn_kernel):
+    b, hh, ww, c = x.shape
+    h = group_norm(p["norm"], x, groups, eps=1e-6)
+    h = conv2d(p["proj_in"], h, padding=0)
+    h = h.reshape(b, hh * ww, c)
+
+    a = p["attn1"]
+    hn = _ln(p["ln1"], h)
+    h = h + dense(a["out"], sdpa(
+        dense(a["q"], hn), dense(a["k"], hn), dense(a["v"], hn),
+        heads, attn_kernel,
+    ))
+    a = p["attn2"]
+    hn = _ln(p["ln2"], h)
+    h = h + dense(a["out"], sdpa(
+        dense(a["q"], hn), dense(a["k"], context), dense(a["v"], context),
+        heads, attn_kernel,
+    ))
+    hn = _ln(p["ln3"], h)
+    h = h + dense(p["ff2"], geglu(p["ff1"], hn))
+
+    h = h.reshape(b, hh, ww, c)
+    return x + conv2d(p["proj_out"], h, padding=0)
+
+
+def _ln(p, x):
+    from sdtpu.models.layers import layer_norm
+
+    return layer_norm(p, x)
+
+
+def _upsample_nearest(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def apply(
+    params,
+    x,
+    t_emb,
+    context,
+    cfg: UNetConfig,
+    attn_kernel: str = "xla",
+):
+    """x: [B,H,W,C_in]; t_emb: [B, time_embed_dim] (already MLP-embedded by
+    sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out]."""
+    g = cfg.groups
+    h = conv2d(params["conv_in"], x)
+    skips = [h]
+    for lvl, level in enumerate(params["down"]):
+        for blk in level["blocks"]:
+            h = _resblock(blk["res"], h, t_emb, g)
+            if "st" in blk:
+                h = _transformer(blk["st"], h, context, cfg.num_heads, g,
+                                 attn_kernel)
+            skips.append(h)
+        if "down" in level:
+            h = conv2d(level["down"], h, stride=2)
+            skips.append(h)
+
+    mid = params["mid"]
+    h = _resblock(mid["res1"], h, t_emb, g)
+    h = _transformer(mid["st"], h, context, cfg.num_heads, g, attn_kernel)
+    h = _resblock(mid["res2"], h, t_emb, g)
+
+    for level in params["up"]:
+        for blk in level["blocks"]:
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _resblock(blk["res"], h, t_emb, g)
+            if "st" in blk:
+                h = _transformer(blk["st"], h, context, cfg.num_heads, g,
+                                 attn_kernel)
+        if "up" in level:
+            h = _upsample_nearest(h)
+            h = conv2d(level["up"], h)
+
+    h = silu(group_norm(params["out_norm"], h, g))
+    return conv2d(params["conv_out"], h)

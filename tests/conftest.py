@@ -11,7 +11,8 @@ process, hence this lives at the top of conftest.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("SDTPU_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("SDTPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,8 +20,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Installed pytest plugins (jaxtyping) import jax BEFORE this conftest runs,
+# so jax.config has already captured the ambient JAX_PLATFORMS (the real TPU
+# tunnel). Override through the config API — the backend itself is not
+# initialized until first device use, so this still takes effect.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == _platform, (
+    f"tests must run on {_platform}, got {jax.default_backend()}"
+)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,106 @@
+"""End-to-end pipeline tests on the TINY config (the automated analogue of
+the reference's simple_app E2E probe, test/simple_app.cpp:6-38, run on the
+CPU 'simulator' backend per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import sdtpu
+from sdtpu.engine.errors import ErrorCode, SdtpuError
+
+PROMPT = "a photograph of an astronaut riding a horse"
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return sdtpu.Context(config="tiny", steps=4, threads=3)
+
+
+def test_generate_shape_dtype(ctx):
+    img = ctx.generate(PROMPT, guidance=7.5, seed=42)
+    size = ctx.cfg.image_size
+    assert img.shape == (size, size, 3)
+    assert img.dtype == np.uint8
+
+
+def test_fixed_seed_determinism(ctx):
+    a = ctx.generate(PROMPT, guidance=7.5, seed=123)
+    b = ctx.generate(PROMPT, guidance=7.5, seed=123)
+    assert np.array_equal(a, b)
+    c = ctx.generate(PROMPT, guidance=7.5, seed=124)
+    assert not np.array_equal(a, c)
+
+
+def test_seed_stream_advances(ctx):
+    ctx.set_seed(7)
+    a = ctx.generate(PROMPT)
+    b = ctx.generate(PROMPT)
+    assert not np.array_equal(a, b)  # seed auto-advances per call
+    ctx.set_seed(7)
+    assert np.array_equal(a, ctx.generate(PROMPT))
+
+
+def test_guidance_changes_without_recompile(ctx):
+    """guidance is traced, not static: different values reuse one executable
+    (the CFG-mix lives inside the compiled scan)."""
+    n0 = len(ctx._gen_cache)
+    a = ctx.generate(PROMPT, guidance=7.5, seed=5)
+    b = ctx.generate(PROMPT, guidance=3.0, seed=5)
+    assert len(ctx._gen_cache) == max(n0, 1)
+    assert not np.array_equal(a, b)
+
+
+def test_no_cfg_path(ctx):
+    """guidance == 1 skips the uncond half entirely (reference skips the 2nd
+    UNet launch, context.cpp:356-375)."""
+    img = ctx.generate(PROMPT, guidance=1.0, seed=5)
+    assert img.shape == (ctx.cfg.image_size, ctx.cfg.image_size, 3)
+    assert (1, ctx.steps, ctx.sampler, False) in ctx._gen_cache
+
+
+def test_batched_prompts(ctx):
+    imgs = ctx.generate([PROMPT, "the horse"], guidance=7.5, seed=9)
+    assert imgs.shape == (2, ctx.cfg.image_size, ctx.cfg.image_size, 3)
+
+
+def test_out_buffer_reuse(ctx):
+    """Caller-allocated output protocol (reference: api/libsdod.h:91-114)."""
+    size = ctx.cfg.image_size
+    buf = np.zeros((size, size, 3), np.uint8)
+    ret = ctx.generate(PROMPT, seed=1, out=buf)
+    assert ret is buf and buf.any()
+    bad = np.zeros((size, size, 4), np.uint8)
+    with pytest.raises(SdtpuError) as ei:
+        ctx.generate(PROMPT, seed=1, out=bad)
+    assert ei.value.code == ErrorCode.INVALID_ARGUMENT
+
+
+def test_set_steps_recompiles(ctx):
+    ctx.set_steps(2)
+    try:
+        img = ctx.generate(PROMPT, seed=3)
+        assert img.shape[0] == ctx.cfg.image_size
+    finally:
+        ctx.set_steps(4)
+
+
+def test_error_surfaces():
+    with pytest.raises(SdtpuError) as ei:
+        sdtpu.Context(config="tiny", steps=0)
+    assert ei.value.code == ErrorCode.INVALID_ARGUMENT
+
+
+def test_failed_context_gives_up(ctx_cls=sdtpu.Context):
+    """A failed phase latches the context (reference: _failed_and_gave_up)."""
+    try:
+        bad = ctx_cls(config="tiny", steps=0)
+    except SdtpuError:
+        pass
+    else:  # pragma: no cover
+        pytest.fail("expected failure")
+
+
+def test_empty_prompt_list(ctx):
+    with pytest.raises(SdtpuError) as ei:
+        ctx.generate([])
+    assert ei.value.code == ErrorCode.INVALID_ARGUMENT
