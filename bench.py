@@ -1,0 +1,68 @@
+"""Benchmark harness: the reference protocol (steady-state latency after
+warmup, reference: benchmark.py:41-45 warmup=20/iters=100) applied to the
+headline config (512x512, 20-step DPM txt2img, CFG 7.5, batch 1 — reference:
+README.md:61, simple_app.cpp:23).
+
+Prints ONE JSON line:
+    {"metric": "txt2img_512_20step_s_per_image", "value": <median s/image>,
+     "unit": "s", "vs_baseline": <target_s / value>}
+
+`vs_baseline` >= 1.0 means the BASELINE.md target (< 1 s/image on one TPU
+v5e chip) is met; higher is better. The reference publishes no figures
+(BASELINE.md), so the target is the yardstick.
+
+Run on the real chip (default platform). Weights are random-init (no
+checkpoints in this environment) — latency is weight-agnostic: identical
+graph, shapes, and dtypes as real SD v1.5 weights.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+TARGET_S = 1.0  # BASELINE.md: < 1 s/image, 1x TPU v5e
+WARMUP = 2      # first call compiles; second confirms steady state
+ITERS = int(__import__("os").environ.get("SDTPU_BENCH_ITERS", "5"))
+
+
+def main() -> int:
+    import sdtpu
+    from sdtpu.engine.logging import LogLevel
+
+    t0 = time.perf_counter()
+    ctx = sdtpu.Context(
+        model_dir=None, steps=20, sampler="dpm", config="sd15",
+        log_level=LogLevel.INFO,
+    )
+    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    prompt = "a photograph of an astronaut riding a horse"
+    for i in range(WARMUP):
+        t = time.perf_counter()
+        ctx.generate(prompt, guidance=7.5, seed=i)
+        print(f"# warmup {i}: {time.perf_counter() - t:.3f}s", file=sys.stderr)
+
+    times = []
+    for i in range(ITERS):
+        t = time.perf_counter()
+        ctx.generate(prompt, guidance=7.5, seed=100 + i)
+        times.append(time.perf_counter() - t)
+    value = statistics.median(times)
+    print(
+        f"# iters: {['%.3f' % t for t in times]} median {value:.3f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "txt2img_512_20step_s_per_image",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(TARGET_S / value, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,7 +126,11 @@ class Context:
         try:
             if self.model_dir is None:
                 self.logger.info("no model_dir: random-init demo weights")
-                params = init_pipeline_params(jax.random.PRNGKey(0), self.cfg)
+                # one jitted program: a single device dispatch instead of
+                # hundreds of tiny init ops (matters over remote backends)
+                params = jax.jit(
+                    lambda k: init_pipeline_params(k, self.cfg)
+                )(jax.random.PRNGKey(0))
             else:
                 from sdtpu.io.weights import load_pipeline_params
 

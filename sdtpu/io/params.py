@@ -17,28 +17,18 @@ def init_pipeline_params(key, cfg: PipelineConfig, demo: bool = True):
     """Random-init parameters for all four models (demo / test mode — the
     reference ships no weights either; they are converted offline).
 
-    With ``demo=True`` the LDM zero-initialized output convolutions are
-    replaced with small random weights — otherwise a fresh UNet predicts
-    eps == 0 and the pipeline degenerates (zero-init is a *training*
-    convention; demo mode needs a non-trivial function)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    params = {
+    With ``demo=True`` the LDM zero-initialized output convolutions get
+    random weights instead — otherwise a fresh UNet predicts eps == 0 and
+    the pipeline degenerates (zero-init is a *training* convention; demo
+    mode needs a non-trivial function). Fully traceable (jit the whole init
+    for a single device dispatch)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
         "clip": clip.init(k1, cfg.clip),
         "temb": temb.init(k2, cfg.unet),
-        "unet": unet.init(k3, cfg.unet),
+        "unet": unet.init(k3, cfg.unet, zero_init_outs=not demo),
         "vae": vae.init(k4, cfg.vae),
     }
-    if demo:
-        leaves, treedef = jax.tree.flatten(params)
-        keys = jax.random.split(k5, len(leaves))
-        leaves = [
-            jax.random.normal(kk, a.shape, a.dtype) * 0.05
-            if jnp.issubdtype(a.dtype, jnp.floating) and not a.any() and a.ndim > 1
-            else a
-            for a, kk in zip(leaves, keys)
-        ]
-        params = jax.tree.unflatten(treedef, leaves)
-    return params
 
 
 def cast_params(params, dtype):

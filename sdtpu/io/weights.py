@@ -1,0 +1,336 @@
+"""Checkpoint loading: Stable Diffusion v1.x LDM-layout weights -> sdtpu pytrees.
+
+This replaces the reference's offline conversion pipeline (ONNX -> QNN
+context binaries -> objcopy'd HTP blobs, reference: todlc.py:104-108,
+extract_htp_blobs.sh) with a direct mapping from the standard SD checkpoint
+format (CompVis/LDM naming, e.g. ``v1-5-pruned-emaonly.safetensors``:
+``model.diffusion_model.*`` / ``cond_stage_model.*`` / ``first_stage_model.*``)
+into the functional param pytrees. The map is generated from the SAME config
+loops that build the trees (sdtpu.models.*.init), so block indices cannot
+drift from the architecture.
+
+Conventions: torch Linear kernels are [out, in] -> transposed to [in, out];
+torch conv kernels are OIHW -> transposed to HWIO; norms map directly.
+
+Also provides the inverse (``params_to_ldm``) for round-trip testing and
+checkpoint export.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+from sdtpu.config import PipelineConfig
+
+
+class Rule(NamedTuple):
+    ldm: str            # LDM key prefix (without .weight/.bias suffix)
+    path: tuple         # path into our pytree (without final w/b/scale/bias)
+    kind: str           # 'linear' | 'conv' | 'norm' | 'embed'
+
+
+# ---------------------------------------------------------------------------
+# rule generation (mirrors models/*.init loops)
+# ---------------------------------------------------------------------------
+
+def _st_rules(ldm_prefix: str, path: tuple) -> list[Rule]:
+    tb = ldm_prefix + "transformer_blocks.0."
+    return [
+        Rule(ldm_prefix + "norm", path + ("norm",), "norm"),
+        Rule(ldm_prefix + "proj_in", path + ("proj_in",), "conv"),
+        Rule(tb + "norm1", path + ("ln1",), "norm"),
+        Rule(tb + "attn1.to_q", path + ("attn1", "q"), "linear"),
+        Rule(tb + "attn1.to_k", path + ("attn1", "k"), "linear"),
+        Rule(tb + "attn1.to_v", path + ("attn1", "v"), "linear"),
+        Rule(tb + "attn1.to_out.0", path + ("attn1", "out"), "linear"),
+        Rule(tb + "norm2", path + ("ln2",), "norm"),
+        Rule(tb + "attn2.to_q", path + ("attn2", "q"), "linear"),
+        Rule(tb + "attn2.to_k", path + ("attn2", "k"), "linear"),
+        Rule(tb + "attn2.to_v", path + ("attn2", "v"), "linear"),
+        Rule(tb + "attn2.to_out.0", path + ("attn2", "out"), "linear"),
+        Rule(tb + "norm3", path + ("ln3",), "norm"),
+        Rule(tb + "ff.net.0.proj", path + ("ff1",), "linear"),
+        Rule(tb + "ff.net.2", path + ("ff2",), "linear"),
+        Rule(ldm_prefix + "proj_out", path + ("proj_out",), "conv"),
+    ]
+
+
+def _res_rules(ldm_prefix: str, path: tuple, has_skip: bool) -> list[Rule]:
+    rules = [
+        Rule(ldm_prefix + "in_layers.0", path + ("norm1",), "norm"),
+        Rule(ldm_prefix + "in_layers.2", path + ("conv1",), "conv"),
+        Rule(ldm_prefix + "emb_layers.1", path + ("emb",), "linear"),
+        Rule(ldm_prefix + "out_layers.0", path + ("norm2",), "norm"),
+        Rule(ldm_prefix + "out_layers.3", path + ("conv2",), "conv"),
+    ]
+    if has_skip:
+        rules.append(Rule(ldm_prefix + "skip_connection", path + ("skip",), "conv"))
+    return rules
+
+
+def unet_rules(cfg: PipelineConfig) -> list[Rule]:
+    u = cfg.unet
+    pre = "model.diffusion_model."
+    rules = [
+        Rule(pre + "time_embed.0", ("temb", "fc0"), "linear"),
+        Rule(pre + "time_embed.2", ("temb", "fc1"), "linear"),
+        Rule(pre + "input_blocks.0.0", ("unet", "conv_in"), "conv"),
+    ]
+    ch = u.model_channels
+    cur = ch
+    idx = 1
+    skip_chs = [ch]
+    for lvl, mult in enumerate(u.channel_mult):
+        out_ch = ch * mult
+        for b in range(u.num_res_blocks):
+            p = ("unet", "down", lvl, "blocks", b)
+            rules += _res_rules(f"{pre}input_blocks.{idx}.0.", p + ("res",),
+                                has_skip=cur != out_ch)
+            cur = out_ch
+            if lvl in u.attn_levels:
+                rules += _st_rules(f"{pre}input_blocks.{idx}.1.", p + ("st",))
+            skip_chs.append(cur)
+            idx += 1
+        if lvl != len(u.channel_mult) - 1:
+            rules.append(Rule(f"{pre}input_blocks.{idx}.0.op",
+                              ("unet", "down", lvl, "down"), "conv"))
+            skip_chs.append(cur)
+            idx += 1
+
+    rules += _res_rules(pre + "middle_block.0.", ("unet", "mid", "res1"), False)
+    rules += _st_rules(pre + "middle_block.1.", ("unet", "mid", "st"))
+    rules += _res_rules(pre + "middle_block.2.", ("unet", "mid", "res2"), False)
+
+    idx = 0
+    for k, lvl in enumerate(reversed(range(len(u.channel_mult)))):
+        out_ch = ch * u.channel_mult[lvl]
+        for b in range(u.num_res_blocks + 1):
+            skip = skip_chs.pop()
+            p = ("unet", "up", k, "blocks", b)
+            rules += _res_rules(f"{pre}output_blocks.{idx}.0.", p + ("res",),
+                                has_skip=cur + skip != out_ch)
+            cur = out_ch
+            comp = 1
+            if lvl in u.attn_levels:
+                rules += _st_rules(f"{pre}output_blocks.{idx}.{comp}.", p + ("st",))
+                comp += 1
+            if b == u.num_res_blocks and lvl != 0:
+                rules.append(Rule(
+                    f"{pre}output_blocks.{idx}.{comp}.conv",
+                    ("unet", "up", k, "up"), "conv",
+                ))
+            idx += 1
+
+    rules += [
+        Rule(pre + "out.0", ("unet", "out_norm"), "norm"),
+        Rule(pre + "out.2", ("unet", "conv_out"), "conv"),
+    ]
+    return rules
+
+
+def clip_rules(cfg: PipelineConfig) -> list[Rule]:
+    pre = "cond_stage_model.transformer.text_model."
+    rules = [
+        Rule(pre + "embeddings.token_embedding", ("clip", "token_embedding"),
+             "embed"),
+        Rule(pre + "embeddings.position_embedding",
+             ("clip", "position_embedding"), "embed"),
+        Rule(pre + "final_layer_norm", ("clip", "final_ln"), "norm"),
+    ]
+    for i in range(cfg.clip.layers):
+        b = f"{pre}encoder.layers.{i}."
+        p = ("clip", "blocks", i)
+        rules += [
+            Rule(b + "layer_norm1", p + ("ln1",), "norm"),
+            Rule(b + "self_attn.q_proj", p + ("q",), "linear"),
+            Rule(b + "self_attn.k_proj", p + ("k",), "linear"),
+            Rule(b + "self_attn.v_proj", p + ("v",), "linear"),
+            Rule(b + "self_attn.out_proj", p + ("out",), "linear"),
+            Rule(b + "layer_norm2", p + ("ln2",), "norm"),
+            Rule(b + "mlp.fc1", p + ("fc1",), "linear"),
+            Rule(b + "mlp.fc2", p + ("fc2",), "linear"),
+        ]
+    return rules
+
+
+def vae_rules(cfg: PipelineConfig) -> list[Rule]:
+    v = cfg.vae
+    pre = "first_stage_model."
+    dec = pre + "decoder."
+    rules = [
+        Rule(pre + "post_quant_conv", ("vae", "post_quant"), "conv"),
+        Rule(dec + "conv_in", ("vae", "conv_in"), "conv"),
+    ]
+
+    def res(ldm, path, c_in, c_out):
+        out = [
+            Rule(ldm + "norm1", path + ("norm1",), "norm"),
+            Rule(ldm + "conv1", path + ("conv1",), "conv"),
+            Rule(ldm + "norm2", path + ("norm2",), "norm"),
+            Rule(ldm + "conv2", path + ("conv2",), "conv"),
+        ]
+        if c_in != c_out:
+            out.append(Rule(ldm + "nin_shortcut", path + ("nin",), "conv"))
+        return out
+
+    widest = v.base_channels * v.channel_mult[-1]
+    rules += res(dec + "mid.block_1.", ("vae", "mid", "res1"), widest, widest)
+    rules += [
+        Rule(dec + "mid.attn_1.norm", ("vae", "mid", "attn", "norm"), "norm"),
+        Rule(dec + "mid.attn_1.q", ("vae", "mid", "attn", "q"), "conv"),
+        Rule(dec + "mid.attn_1.k", ("vae", "mid", "attn", "k"), "conv"),
+        Rule(dec + "mid.attn_1.v", ("vae", "mid", "attn", "v"), "conv"),
+        Rule(dec + "mid.attn_1.proj_out", ("vae", "mid", "attn", "proj"), "conv"),
+    ]
+    rules += res(dec + "mid.block_2.", ("vae", "mid", "res2"), widest, widest)
+
+    # LDM stores decoder levels as up[i_level] (0 = finest); processing order
+    # is reversed, and our params["up"] list is in processing order.
+    cur = widest
+    n_lvl = len(v.channel_mult)
+    for k, lvl in enumerate(reversed(range(n_lvl))):
+        out_ch = v.base_channels * v.channel_mult[lvl]
+        for b in range(v.num_res_blocks + 1):
+            rules += res(
+                f"{dec}up.{lvl}.block.{b}.",
+                ("vae", "up", k, "blocks", b), cur, out_ch,
+            )
+            cur = out_ch
+        if lvl != 0:
+            rules.append(Rule(f"{dec}up.{lvl}.upsample.conv",
+                              ("vae", "up", k, "up"), "conv"))
+    rules += [
+        Rule(dec + "norm_out", ("vae", "norm_out"), "norm"),
+        Rule(dec + "conv_out", ("vae", "conv_out"), "conv"),
+    ]
+    return rules
+
+
+def all_rules(cfg: PipelineConfig) -> list[Rule]:
+    return unet_rules(cfg) + clip_rules(cfg) + vae_rules(cfg)
+
+
+# ---------------------------------------------------------------------------
+# tensor transforms
+# ---------------------------------------------------------------------------
+
+def _from_ldm(kind: str, name: str, arr: np.ndarray) -> np.ndarray:
+    if kind == "linear" and name == "w":
+        return np.ascontiguousarray(arr.T)
+    if kind == "conv" and name == "w":
+        if arr.ndim == 2:  # some checkpoints store 1x1 convs as [O, I]
+            arr = arr[:, :, None, None]
+        return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))  # OIHW->HWIO
+    return arr
+
+
+def _to_ldm(kind: str, name: str, arr: np.ndarray) -> np.ndarray:
+    if kind == "linear" and name == "w":
+        return np.ascontiguousarray(arr.T)
+    if kind == "conv" and name == "w":
+        return np.ascontiguousarray(arr.transpose(3, 2, 0, 1))  # HWIO->OIHW
+    return arr
+
+
+_SUFFIX = {
+    "linear": [("weight", "w"), ("bias", "b")],
+    "conv": [("weight", "w"), ("bias", "b")],
+    "norm": [("weight", "scale"), ("bias", "bias")],
+    "embed": [("weight", None)],
+}
+
+
+def _tree_set(tree, path, value):
+    node = tree
+    for i, k in enumerate(path[:-1]):
+        nxt = path[i + 1]
+        empty = [] if isinstance(nxt, int) else {}
+        if isinstance(k, int):
+            while len(node) <= k:
+                node.append(None)
+            if node[k] is None:
+                node[k] = empty
+            node = node[k]
+        else:
+            if k not in node:
+                node[k] = empty
+            node = node[k]
+    node[path[-1]] = value
+
+
+def _tree_get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True):
+    """LDM-named {key: np.ndarray} -> pipeline param pytree (numpy leaves)."""
+    import jax
+
+    params: dict = {}
+    missing = []
+    for rule in all_rules(cfg):
+        for ldm_suffix, ours in _SUFFIX[rule.kind]:
+            key = f"{rule.ldm}.{ldm_suffix}"
+            if key not in tensors:
+                # bias-less linears (SD attention q/k/v) simply absent
+                if ldm_suffix == "bias":
+                    continue
+                missing.append(key)
+                continue
+            arr = np.asarray(tensors[key], np.float32)
+            name = ours if ours is not None else None
+            val = _from_ldm(rule.kind, name or "w", arr) if name else arr
+            path = rule.path + ((name,) if name else ())
+            _tree_set(params, path, val)
+    if strict and missing:
+        raise KeyError(
+            f"{len(missing)} checkpoint keys missing, first: {missing[:5]}"
+        )
+    return params
+
+
+def params_to_ldm(params, cfg: PipelineConfig) -> dict:
+    """Inverse mapping (export / round-trip tests)."""
+    out = {}
+    for rule in all_rules(cfg):
+        node = _tree_get(params, rule.path)
+        for ldm_suffix, ours in _SUFFIX[rule.kind]:
+            if ours is not None and ours not in node:
+                continue
+            arr = np.asarray(node[ours] if ours else node, np.float32)
+            out[f"{rule.ldm}.{ldm_suffix}"] = _to_ldm(rule.kind, ours or "w", arr)
+    return out
+
+
+def load_pipeline_params(model_dir, cfg: PipelineConfig):
+    """Load from a directory containing an SD v1.x checkpoint.
+
+    Accepts ``*.safetensors`` (LDM single-file layout). The tokenizer asset
+    (``ctokenizer.txt``) is handled by the Context, matching the reference's
+    model-dir layout (reference: context.cpp:105-114, 186).
+    """
+    model_dir = Path(model_dir)
+    if model_dir.is_file():
+        files = [model_dir]
+    else:
+        files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors checkpoint under {model_dir}")
+    from safetensors import safe_open
+
+    tensors = {}
+    for f in files:
+        with safe_open(str(f), framework="np") as sf:
+            for k in sf.keys():
+                tensors[k] = sf.get_tensor(k)
+    return load_ldm_state_dict(tensors, cfg)

@@ -46,21 +46,21 @@ from sdtpu.models.layers import (
 # init
 # ---------------------------------------------------------------------------
 
-def _init_resblock(key, c_in, c_out, temb_dim):
+def _init_resblock(key, c_in, c_out, temb_dim, zero_init_outs=True):
     ks = jax.random.split(key, 4)
     p = {
         "norm1": init_norm(c_in),
         "conv1": init_conv(ks[0], 3, c_in, c_out),
         "emb": init_dense(ks[1], temb_dim, c_out),
         "norm2": init_norm(c_out),
-        "conv2": init_conv(ks[2], 3, c_out, c_out, zero_init=True),
+        "conv2": init_conv(ks[2], 3, c_out, c_out, zero_init=zero_init_outs),
     }
     if c_in != c_out:
         p["skip"] = init_conv(ks[3], 1, c_in, c_out)
     return p
 
 
-def _init_transformer(key, c, ctx_dim, *_):
+def _init_transformer(key, c, ctx_dim, zero_init_outs=True):
     ks = jax.random.split(key, 12)
     return {
         "norm": init_norm(c),
@@ -82,13 +82,17 @@ def _init_transformer(key, c, ctx_dim, *_):
         "ln3": init_norm(c),
         "ff1": init_dense(ks[9], c, c * 8),       # GEGLU: produces 2 x 4c
         "ff2": init_dense(ks[10], c * 4, c),
-        "proj_out": init_conv(ks[11], 1, c, c, zero_init=True),
+        "proj_out": init_conv(ks[11], 1, c, c, zero_init=zero_init_outs),
     }
 
 
-def init(key, cfg: UNetConfig):
+def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
     """Build the parameter pytree. Channel bookkeeping mirrors the SD v1.x
-    layout exactly so LDM checkpoints map 1:1 (sdtpu/io/weights.py)."""
+    layout exactly so LDM checkpoints map 1:1 (sdtpu/io/weights.py).
+
+    ``zero_init_outs``: LDM convention zero-initializes each block's output
+    conv; pass False for demo/random-weight mode (a fully zero-init UNet
+    predicts eps == 0)."""
     n_keys = 256
     keys = iter(jax.random.split(key, n_keys))
     ch = cfg.model_channels
@@ -101,10 +105,12 @@ def init(key, cfg: UNetConfig):
         out_ch = ch * mult
         blocks = []
         for _ in range(cfg.num_res_blocks):
-            blk = {"res": _init_resblock(next(keys), cur, out_ch, cfg.time_embed_dim)}
+            blk = {"res": _init_resblock(next(keys), cur, out_ch,
+                                         cfg.time_embed_dim, zero_init_outs)}
             cur = out_ch
             if lvl in cfg.attn_levels:
-                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim)
+                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
+                                              zero_init_outs)
             blocks.append(blk)
             skip_chs.append(cur)
         level = {"blocks": blocks}
@@ -115,9 +121,12 @@ def init(key, cfg: UNetConfig):
     params["down"] = down
 
     params["mid"] = {
-        "res1": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim),
-        "st": _init_transformer(next(keys), cur, cfg.context_dim),
-        "res2": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim),
+        "res1": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim,
+                               zero_init_outs),
+        "st": _init_transformer(next(keys), cur, cfg.context_dim,
+                                zero_init_outs),
+        "res2": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim,
+                               zero_init_outs),
     }
 
     up = []
@@ -128,12 +137,14 @@ def init(key, cfg: UNetConfig):
             skip = skip_chs.pop()
             blk = {
                 "res": _init_resblock(
-                    next(keys), cur + skip, out_ch, cfg.time_embed_dim
+                    next(keys), cur + skip, out_ch, cfg.time_embed_dim,
+                    zero_init_outs,
                 )
             }
             cur = out_ch
             if lvl in cfg.attn_levels:
-                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim)
+                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
+                                              zero_init_outs)
             blocks.append(blk)
         level = {"blocks": blocks}
         if lvl != 0:
@@ -143,7 +154,7 @@ def init(key, cfg: UNetConfig):
 
     params["out_norm"] = init_norm(cur)
     params["conv_out"] = init_conv(next(keys), 3, cur, cfg.out_channels,
-                                   zero_init=True)
+                                   zero_init=zero_init_outs)
     return params
 
 

@@ -1,0 +1,118 @@
+"""Sharding plans: map the param/activation pytrees onto the (data, model) mesh.
+
+Design (TPU-idiomatic, NOT a translation — the reference has no multi-device
+story, SURVEY.md §2.4): annotate shardings, let GSPMD insert the ICI
+collectives.
+
+* **data** axis: batch sharding of prompts/latents/images — zero-communication
+  scale-out for throughput.
+* **model** axis: Megatron-style tensor parallelism over every transformer
+  matmul pair — q/k/v/fc1/ff1 kernels column-sharded (output dim), out/fc2/ff2
+  kernels row-sharded (input dim), so each pair costs one psum (XLA emits the
+  all-reduce at the row-parallel output). Convolutions and norms stay
+  replicated: at SD v1.x shapes the conv channel counts (<=1280) under-fill a
+  TP shard and XLA's spatial-partitioning halo exchange costs more than it
+  saves; the attention/MLP matmuls that dominate the transformer blocks are
+  where the model axis pays.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+COL_PARENTS = {"q", "k", "v", "fc1", "ff1"}       # output-dim sharded
+ROW_PARENTS = {"out", "fc2", "ff2"}                # input-dim sharded
+
+
+def _path_names(path) -> list[str]:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "idx"):
+            names.append(str(k.idx))
+        else:
+            names.append(str(k))
+    return names
+
+
+def param_pspecs(params, model_size: int):
+    """PartitionSpec tree for the pipeline param pytree.
+
+    Only shards a kernel when the sharded dim is divisible by the model-axis
+    size (otherwise replicate — correctness over forced splits).
+    """
+    leaves, treedef = tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in leaves:
+        names = _path_names(path)
+        parent = names[-2] if len(names) >= 2 else ""
+        field = names[-1]
+        spec = P()
+        if leaf.ndim == 2 and parent in COL_PARENTS and leaf.shape[1] % model_size == 0:
+            spec = P(None, "model")
+        elif leaf.ndim == 2 and parent in ROW_PARENTS and leaf.shape[0] % model_size == 0:
+            spec = P("model", None)
+        elif (
+            leaf.ndim == 1
+            and field == "b"
+            and parent in COL_PARENTS
+            and leaf.shape[0] % model_size == 0
+        ):
+            spec = P("model")
+        specs.append(spec)
+    return tree_unflatten(treedef, specs)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place the param tree on the mesh per the TP plan."""
+    model_size = mesh.shape["model"]
+    pspecs = param_pspecs(params, model_size)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
+                         steps: int = 20, use_cfg: bool = True,
+                         attn_kernel: str = "xla"):
+    """Compile the full generate program over the mesh.
+
+    in_shardings: params per the TP plan, tokens batch-sharded over `data`,
+    scalars replicated. The whole scan (CLIP + UNet steps + VAE) runs as one
+    SPMD program; GSPMD propagates the annotations and emits collectives.
+    """
+    import functools
+
+    from sdtpu.engine.pipeline import generate
+
+    model_size = mesh.shape["model"]
+    fn = functools.partial(
+        generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
+        attn_kernel=attn_kernel,
+    )
+    rep = NamedSharding(mesh, P())
+    dummy_params_spec = None  # resolved at first call via shard_map of specs
+
+    def in_shardings(params):
+        pspecs = param_pspecs(params, model_size)
+        return (
+            jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                         is_leaf=lambda x: isinstance(x, P)),
+            NamedSharding(mesh, P("data", None)),          # tokens [B, T]
+            rep,                                           # uncond embedding
+            rep,                                           # PRNG key
+            rep,                                           # guidance
+        )
+
+    def build(params):
+        return jax.jit(
+            fn,
+            in_shardings=in_shardings(params),
+            out_shardings=NamedSharding(mesh, P("data", None, None, None)),
+        )
+
+    return build
