@@ -36,7 +36,7 @@ def _cmd_generate(args) -> int:
         sampler=args.sampler,
         config=args.config,
         log_level=LogLevel(args.log_level),
-        attn_kernel=args.attn_kernel,
+        kernels=args.kernels,
         seed=args.seed,
     )
     t0 = time.perf_counter()
@@ -63,6 +63,38 @@ def _cmd_show(args) -> int:
     out = args.path.rsplit(".", 1)[0] + ".png"
     Image.fromarray(img).save(out)
     print(f"wrote {out} ({side}x{side})")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    _select_platform(args.platform)
+    from sdtpu.bench.analyze import analyze
+    from sdtpu.bench.runner import benchmark_parts
+    from sdtpu.config import SD15, TINY
+
+    cfg = {"sd15": SD15, "tiny": TINY}[args.config]
+    parts = args.parts.split(",") if args.parts else None
+    summary = benchmark_parts(
+        cfg, warmup=args.warmup, iters=args.iters, parts=parts,
+        out_dir=args.results, kernels=args.kernels,
+    )
+    ok = [n for n, r in summary.items() if not r.get("error")]
+    bad = [n for n, r in summary.items() if r.get("error")]
+    print(f"benchmarked: {ok}" + (f", FAILED: {bad}" if bad else ""))
+    if args.phases:
+        from sdtpu.bench.profile import phase_timings
+
+        pt = phase_timings(cfg, steps=args.steps, kernels=args.kernels)
+        for k, v in pt.items():
+            print(f"  {k:22s} {v:10.3f} ms")
+    print(analyze(args.results))
+    return 1 if bad else 0
+
+
+def _cmd_analyze(args) -> int:
+    from sdtpu.bench.analyze import analyze
+
+    print(analyze(args.results))
     return 0
 
 
@@ -95,7 +127,7 @@ def main(argv=None) -> int:
     g.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
-    g.add_argument("--attn-kernel", default="auto",
+    g.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
     g.add_argument("--log-level", type=int, default=2,
                    help="0=nothing .. 4=abusive")
@@ -104,6 +136,26 @@ def main(argv=None) -> int:
                    help="force a JAX platform (auto = ambient default)")
     g.add_argument("--out", default="output.png")
     g.set_defaults(fn=_cmd_generate)
+
+    b = sub.add_parser("bench", help="per-part steady-state benchmark")
+    b.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    b.add_argument("--warmup", type=int, default=20)
+    b.add_argument("--iters", type=int, default=100)
+    b.add_argument("--steps", type=int, default=20)
+    b.add_argument("--parts", default=None,
+                   help="comma list: temb,text_encoder,unet,vae_decoder")
+    b.add_argument("--results", default="results")
+    b.add_argument("--kernels", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    b.add_argument("--phases", action="store_true",
+                   help="also time pipeline phases (conditioning/denoise/decode)")
+    b.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    b.set_defaults(fn=_cmd_bench)
+
+    a = sub.add_parser("analyze", help="analyze benchmark results")
+    a.add_argument("--results", default="results")
+    a.set_defaults(fn=_cmd_analyze)
 
     s = sub.add_parser("show", help="render a raw output.bin to png")
     s.add_argument("path")

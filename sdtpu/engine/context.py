@@ -64,7 +64,7 @@ class Context:
         sampler: str = "dpm",
         config: PipelineConfig | str = "sd15",
         log_level: slog.LogLevel = slog.LogLevel.ERROR,
-        attn_kernel: str = "auto",
+        kernels: str = "auto",
         threads: int = 3,
         seed: int = 0,
     ) -> None:
@@ -81,9 +81,9 @@ class Context:
         self.steps = int(steps)
         self.sampler = sampler
         self.seed = int(seed)
-        if attn_kernel == "auto":
-            attn_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
-        self.attn_kernel = attn_kernel
+        if kernels == "auto":
+            kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.kernels = kernels
         self.model_dir = Path(model_dir) if model_dir else None
 
         with slog.logger_scope(self.logger):
@@ -198,7 +198,7 @@ class Context:
         fn = self._gen_cache.get(key)
         if fn is None:
             fn = jit_generate(
-                self.cfg, self.sampler, self.steps, use_cfg, self.attn_kernel
+                self.cfg, self.sampler, self.steps, use_cfg, self.kernels
             )
             self._gen_cache[key] = fn
         return fn

@@ -59,7 +59,7 @@ def denoise(
     sampler: str,
     steps: int,
     use_cfg: bool,
-    attn_kernel: str = "xla",
+    kernels: str = "xla",
     init_latents=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
@@ -91,7 +91,7 @@ def denoise(
         else:
             x_in = x.astype(dtype)
         eps = unet.apply(
-            params["unet"], x_in, te, context, cfg.unet, attn_kernel
+            params["unet"], x_in, te, context, cfg.unet, kernels
         ).astype(jnp.float32)
         if use_cfg:
             g = jnp.float32(guidance)
@@ -114,7 +114,7 @@ def generate(
     sampler: str = "dpm",
     steps: int = 20,
     use_cfg: bool = True,
-    attn_kernel: str = "xla",
+    kernels: str = "xla",
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -133,19 +133,19 @@ def generate(
         context = p_cond
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
-        attn_kernel,
+        kernels,
     )
     return decode_latents(params, x, cfg)
 
 
 def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
-                 attn_kernel: str = "xla", donate_params: bool = False):
+                 kernels: str = "xla", donate_params: bool = False):
     """Build the compiled generate function. Static: cfg/sampler/steps/
     use_cfg (shape-affecting); traced: tokens/key/guidance (value-changing
     without recompile — fixes the reference's steps==20 hard limit,
     context.cpp:250-251, by making steps a compile-time axis instead)."""
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
-        attn_kernel=attn_kernel,
+        kernels=kernels,
     )
     return jax.jit(fn)

@@ -162,18 +162,29 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
 # apply
 # ---------------------------------------------------------------------------
 
-def _resblock(p, x, emb, groups):
-    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups)))
+def _gn(p, x, groups, eps, fuse_silu, kernels):
+    """GroupNorm (+SiLU): Pallas fused kernel or XLA fallback."""
+    if kernels == "pallas":
+        from sdtpu.ops.groupnorm import fused_group_norm
+
+        return fused_group_norm(p, x, groups, eps, fuse_silu=fuse_silu)
+    y = group_norm(p, x, groups, eps)
+    return silu(y) if fuse_silu else y
+
+
+def _resblock(p, x, emb, groups, kernels="xla"):
+    h = conv2d(p["conv1"], _gn(p["norm1"], x, groups, 1e-5, True, kernels))
     h = h + dense(p["emb"], silu(emb))[:, None, None, :]
-    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups)))
+    h = conv2d(p["conv2"], _gn(p["norm2"], h, groups, 1e-5, True, kernels))
     if "skip" in p:
         x = conv2d(p["skip"], x, padding=0)
     return x + h
 
 
-def _transformer(p, x, context, heads, groups, attn_kernel):
+def _transformer(p, x, context, heads, groups, kernels):
+    attn_kernel = kernels
     b, hh, ww, c = x.shape
-    h = group_norm(p["norm"], x, groups, eps=1e-6)
+    h = _gn(p["norm"], x, groups, 1e-6, False, kernels)
     h = conv2d(p["proj_in"], h, padding=0)
     h = h.reshape(b, hh * ww, c)
 
@@ -214,39 +225,42 @@ def apply(
     t_emb,
     context,
     cfg: UNetConfig,
-    attn_kernel: str = "xla",
+    kernels: str = "xla",
 ):
     """x: [B,H,W,C_in]; t_emb: [B, time_embed_dim] (already MLP-embedded by
-    sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out]."""
+    sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out].
+
+    kernels: 'pallas' uses the fused flash-attention + GroupNorm(+SiLU) TPU
+    kernels (sdtpu.ops); 'xla' is the portable fallback."""
     g = cfg.groups
     h = conv2d(params["conv_in"], x)
     skips = [h]
     for lvl, level in enumerate(params["down"]):
         for blk in level["blocks"]:
-            h = _resblock(blk["res"], h, t_emb, g)
+            h = _resblock(blk["res"], h, t_emb, g, kernels)
             if "st" in blk:
                 h = _transformer(blk["st"], h, context, cfg.num_heads, g,
-                                 attn_kernel)
+                                 kernels)
             skips.append(h)
         if "down" in level:
             h = conv2d(level["down"], h, stride=2)
             skips.append(h)
 
     mid = params["mid"]
-    h = _resblock(mid["res1"], h, t_emb, g)
-    h = _transformer(mid["st"], h, context, cfg.num_heads, g, attn_kernel)
-    h = _resblock(mid["res2"], h, t_emb, g)
+    h = _resblock(mid["res1"], h, t_emb, g, kernels)
+    h = _transformer(mid["st"], h, context, cfg.num_heads, g, kernels)
+    h = _resblock(mid["res2"], h, t_emb, g, kernels)
 
     for level in params["up"]:
         for blk in level["blocks"]:
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = _resblock(blk["res"], h, t_emb, g)
+            h = _resblock(blk["res"], h, t_emb, g, kernels)
             if "st" in blk:
                 h = _transformer(blk["st"], h, context, cfg.num_heads, g,
-                                 attn_kernel)
+                                 kernels)
         if "up" in level:
             h = _upsample_nearest(h)
             h = conv2d(level["up"], h)
 
-    h = silu(group_norm(params["out_norm"], h, g))
+    h = _gn(params["out_norm"], h, g, 1e-5, True, kernels)
     return conv2d(params["conv_out"], h)

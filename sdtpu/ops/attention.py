@@ -1,10 +1,144 @@
-"""Flash attention for TPU (Pallas). Placeholder dispatch until the fused
-kernel lands: routes to the XLA path (correct, unfused)."""
+"""Fused flash attention for the UNet's spatial self-attention (Pallas/TPU).
+
+The reference's attention is opaque — baked into the converted QNN graph,
+visible only as matmul/softmax layer names in its profiler output
+(SURVEY.md §5.7; reference: analyze_results.py:69-79). Here it is a
+first-class fused kernel: online-softmax tiling so the (seq, seq) scores
+matrix never touches HBM. At SD v1.x 64x64 latents the self-attention is a
+4096-token problem (9216 tokens at 768x768); unfused, the fp32 scores tensor
+alone is 64 MB per (batch, head) of HBM write+read traffic per layer per
+step — this kernel removes all of it.
+
+Dispatch: `flash_attention` handles self-attention (seq_q == seq_kv,
+divisible block tiling, no mask). Cross-attention (77 text tokens) stays on
+the XLA path — its scores tile is small and pads poorly to the 128-lane
+layout.
+"""
 
 from __future__ import annotations
 
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# set True (tests) to run kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, kv_blocks: int):
+    """Grid: (batch*heads, q_blocks, kv_blocks). Online softmax over the kv
+    axis; m/l/acc persist in VMEM scratch across kv steps."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # [block_q, d]
+    k = k_ref[0]                       # [block_k, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                   # [block_q, block_k]
+    s = s * scale
+
+    m_prev = m_ref[...]                # [block_q, 1]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)            # [block_q, block_k]
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0]                       # [block_k, d]
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _store():
+        l = l_ref[...]
+        inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+
+
+def _pick_block(seq: int, preferred: int) -> int:
+    """Largest divisor of `seq` that is <= preferred and a multiple of 128
+    (or seq itself when seq < 128)."""
+    if seq <= preferred:
+        return seq
+    b = preferred
+    while b >= 128:
+        if seq % b == 0:
+            return b
+        b -= 128
+    return seq  # fall back: single block
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k"))
+def _flash_mha(q, k, v, heads: int, block_q: int, block_k: int):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    scale = 1.0 / math.sqrt(d)
+
+    # [B, S, H, D] -> [B*H, S, D]
+    def split(x, s):
+        return (
+            x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, s, d)
+        )
+
+    qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
+    kv_blocks = sk // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+        grid=(b * heads, sq // block_q, kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # m
+            pltpu.VMEM((block_q, 1), jnp.float32),   # l
+            pltpu.VMEM((block_q, d), jnp.float32),   # acc
+        ],
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh)
+
+    return (
+        out.reshape(b, heads, sq, d).transpose(0, 2, 1, 3).reshape(b, sq, c)
+    )
+
 
 def flash_attention(q, k, v, heads: int):
+    """Drop-in for layers.sdpa(..., kernel='xla') on [B, T, C] tensors.
+
+    Routes small/unaligned problems (cross-attention over 77 text tokens,
+    tiny spatial grids) to the XLA path; fused Pallas kernel otherwise.
+    """
     from sdtpu.models.layers import sdpa
 
-    return sdpa(q, k, v, heads, kernel="xla")
+    sq, sk = q.shape[1], k.shape[1]
+    if sq != sk or sk % 128 != 0 or sq < 512:
+        return sdpa(q, k, v, heads, kernel="xla")
+    block_q = _pick_block(sq, 512)
+    block_k = _pick_block(sk, 512)
+    return _flash_mha(q, k, v, heads, block_q, block_k)

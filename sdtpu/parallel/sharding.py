@@ -78,7 +78,7 @@ def shard_params(params, mesh: Mesh):
 
 def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
                          steps: int = 20, use_cfg: bool = True,
-                         attn_kernel: str = "xla"):
+                         kernels: str = "xla"):
     """Compile the full generate program over the mesh.
 
     in_shardings: params per the TP plan, tokens batch-sharded over `data`,
@@ -92,7 +92,7 @@ def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
     model_size = mesh.shape["model"]
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
-        attn_kernel=attn_kernel,
+        kernels=kernels,
     )
     rep = NamedSharding(mesh, P())
     dummy_params_spec = None  # resolved at first call via shard_map of specs
