@@ -37,6 +37,7 @@ def _cmd_generate(args) -> int:
         config=args.config,
         log_level=LogLevel(args.log_level),
         kernels=args.kernels,
+        quantize=args.quantize,
         seed=args.seed,
     )
     t0 = time.perf_counter()
@@ -129,6 +130,7 @@ def main(argv=None) -> int:
                    help="weights dir (omit for random-init demo)")
     g.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
+    g.add_argument("--quantize", default="none", choices=["none", "int8"])
     g.add_argument("--log-level", type=int, default=2,
                    help="0=nothing .. 4=abusive")
     g.add_argument("--platform", default="auto",

@@ -65,6 +65,7 @@ class Context:
         config: PipelineConfig | str = "sd15",
         log_level: slog.LogLevel = slog.LogLevel.ERROR,
         kernels: str = "auto",
+        quantize: str = "none",
         threads: int = 3,
         seed: int = 0,
     ) -> None:
@@ -84,6 +85,12 @@ class Context:
         if kernels == "auto":
             kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.kernels = kernels
+        if quantize not in ("none", "int8"):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"quantize must be none|int8, got {quantize!r}", self.errors,
+            )
+        self.quantize = quantize
         self.model_dir = Path(model_dir) if model_dir else None
 
         with slog.logger_scope(self.logger):
@@ -135,7 +142,15 @@ class Context:
                 from sdtpu.io.weights import load_pipeline_params
 
                 params = load_pipeline_params(self.model_dir, self.cfg)
-            self.params = cast_params(params, self.cfg.compute_dtype)
+            params = cast_params(params, self.cfg.compute_dtype)
+            if self.quantize == "int8":
+                from sdtpu.quant.ptq import count_quantized, quantize_unet
+
+                params = quantize_unet(params)
+                self.logger.info(
+                    f"int8 PTQ: {count_quantized(params)} matmul sites quantized"
+                )
+            self.params = params
         except SdtpuError:
             self._failed = True
             raise

@@ -75,8 +75,54 @@ def init_norm(c, dtype=jnp.float32):
 # primitives
 # ---------------------------------------------------------------------------
 
+#: when set (sdtpu.quant.ptq.calibrate), the int8 dense path records per-site
+#: activation absmax — must run EAGERLY (the recorder is a host dict).
+_CALIB_RECORDER = None
+
+
+def set_calibration_recorder(rec):
+    """Install/remove the calibration recorder; returns the previous one."""
+    global _CALIB_RECORDER
+    prev = _CALIB_RECORDER
+    _CALIB_RECORDER = rec
+    return prev
+
+
+def _dense_int8(p, x, dtype):
+    """W8A8 matmul on the MXU's native int8 path (int32 accumulation).
+
+    Weights: per-output-channel scales (sdtpu.quant.ptq). Activations:
+    static per-tensor scale if calibrated (``x_scale``), else per-row dynamic
+    scale computed in-graph — exact ranges every call, the fix for the
+    reference's random-input calibration (reference: README.md:8).
+    """
+    xf = x.astype(jnp.float32)
+    if _CALIB_RECORDER is not None:
+        site = id(p["w_q"])
+        seen = float(jnp.max(jnp.abs(xf)))
+        _CALIB_RECORDER[site] = max(_CALIB_RECORDER.get(site, 0.0), seen)
+    if "x_scale" in p:
+        xs = p["x_scale"]
+        inv = 1.0 / xs
+    else:
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        inv = 1.0 / xs
+    xq = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * xs * p["w_scale"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
 def dense(p, x, dtype=None):
     dtype = dtype or x.dtype
+    if "w_q" in p:
+        return _dense_int8(p, x, dtype)
     y = jnp.dot(
         x.astype(dtype), p["w"].astype(dtype),
         preferred_element_type=jnp.float32, precision=PRECISION,

@@ -51,13 +51,16 @@ def param_pspecs(params, model_size: int):
         parent = names[-2] if len(names) >= 2 else ""
         field = names[-1]
         spec = P()
-        if leaf.ndim == 2 and parent in COL_PARENTS and leaf.shape[1] % model_size == 0:
+        is_kernel = field in ("w", "w_q")
+        if (leaf.ndim == 2 and is_kernel and parent in COL_PARENTS
+                and leaf.shape[1] % model_size == 0):
             spec = P(None, "model")
-        elif leaf.ndim == 2 and parent in ROW_PARENTS and leaf.shape[0] % model_size == 0:
+        elif (leaf.ndim == 2 and is_kernel and parent in ROW_PARENTS
+              and leaf.shape[0] % model_size == 0):
             spec = P("model", None)
         elif (
             leaf.ndim == 1
-            and field == "b"
+            and field in ("b", "w_scale")
             and parent in COL_PARENTS
             and leaf.shape[0] % model_size == 0
         ):

@@ -1,0 +1,174 @@
+"""Post-training int8 quantization (PTQ).
+
+Replaces the reference's conversion-time quantization, which calibrated with
+RANDOM inputs — an admitted quality gap (reference: todlc.py:104-108;
+README.md:8 "proper quantization [...] random data is used"). Two modes,
+both targeting the MXU's native int8 path (int8 x int8 -> int32 accumulate):
+
+* **dynamic** (default): per-output-channel weight scales + per-row
+  activation scales computed on the fly inside the jitted program (one
+  row-max per matmul — negligible next to the matmul itself). No
+  calibration data needed at all; activation ranges are exact per call,
+  which strictly dominates random-input calibration on quality.
+* **static**: a calibration pass runs REAL prompts through the eager
+  pipeline, records per-site activation absmax, and bakes per-tensor scales
+  into the params (``x_scale``) — removing the runtime row-max for
+  latency-critical serving.
+
+Quantization targets the transformer matmuls (attention q/k/v/out, GEGLU
+ff1/ff2) — the dominant dense FLOPs of the UNet's SpatialTransformers.
+Convolutions stay in bf16 (XLA's TPU int8 conv path is not competitive at
+SD channel counts).
+
+A quantized site replaces ``{"w": f32[in,out], "b"}`` with
+``{"w_q": int8[in,out], "w_scale": f32[out], ("x_scale": f32[]), ("b")}``;
+``sdtpu.models.layers.dense`` dispatches on the leaf names, so the pipeline,
+sharding, and engine need no changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: param-dict key sets
+QUANT_PARENTS = ("q", "k", "v", "out", "ff1", "ff2", "fc1", "fc2")
+
+
+def quantize_weight(w, axis: int = 0):
+    """Per-output-channel symmetric int8: w [in, out] -> (w_q, scale[out])."""
+    w = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=axis)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _is_dense_leafdict(node) -> bool:
+    return isinstance(node, dict) and "w" in node and getattr(
+        node["w"], "ndim", 0) == 2
+
+
+def quantize_unet(params, include_clip: bool = False):
+    """Quantize the transformer matmuls of the UNet (and optionally CLIP).
+
+    Returns a new param tree; unquantized leaves are shared, not copied.
+    """
+    def walk(node, path):
+        if _is_dense_leafdict(node) and path and path[-1] in QUANT_PARENTS:
+            in_scope = ("unet" in path) or (include_clip and "clip" in path)
+            # only sites inside spatial transformers / clip blocks
+            if in_scope and ("st" in path or "attn1" in path or
+                             "attn2" in path or "blocks" in path):
+                w_q, w_scale = quantize_weight(node["w"])
+                out = {"w_q": w_q, "w_scale": w_scale}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, path + (i,)) for i, v in enumerate(node)]
+        return node
+
+    return walk(params, ())
+
+
+def count_quantized(params) -> int:
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        if isinstance(node, dict):
+            if "w_q" in node:
+                n += 1
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# static calibration (real prompts, eager pass)
+# ---------------------------------------------------------------------------
+
+def calibrate(
+    params_q,
+    cfg,
+    prompts: list[str],
+    tokenizer,
+    steps: int = 4,
+    guidance: float = 7.5,
+    seed: int = 0,
+):
+    """Attach per-tensor static activation scales to every quantized site.
+
+    Runs the real pipeline EAGERLY on calibration prompts (the fix for the
+    reference's random-input calibration) with a recorder hooked into the
+    dense() quantized path, then bakes ``x_scale = absmax/127`` per site.
+    """
+    from sdtpu.engine.pipeline import encode_text
+    from sdtpu.models import layers as L
+    from sdtpu.models import temb as temb_mod
+    from sdtpu.models import unet as unet_mod
+    from sdtpu.samplers import NoiseSchedule, get_sampler
+
+    mod = get_sampler("dpm")
+    plan = mod.plan(NoiseSchedule.sd_v1(), steps)
+    recorder: dict[int, float] = {}
+    token = L.set_calibration_recorder(recorder)
+    try:
+        # eager (un-jitted, no scan) so the recorder sees concrete values —
+        # the denoise loop is unrolled in Python here, calibration only
+        for i, prompt in enumerate(prompts):
+            tokens = jnp.asarray(
+                [tokenizer.tokenize(prompt, cfg.clip.context_len)], jnp.int32
+            )
+            uncond = jnp.asarray(
+                [tokenizer.tokenize("", cfg.clip.context_len)], jnp.int32
+            )
+            context = jnp.concatenate(
+                [encode_text(params_q, tokens, cfg),
+                 encode_text(params_q, uncond, cfg)], axis=0
+            )
+            t_embs = temb_mod.apply(
+                params_q["temb"], plan.model_t, cfg.unet,
+                dtype=cfg.compute_dtype,
+            )
+            shape = (1, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
+            x = jax.random.normal(jax.random.PRNGKey(seed + i), shape)
+            st = mod.init_state(shape)
+            for s_i in range(steps):
+                te = jnp.broadcast_to(t_embs[s_i], (2, t_embs.shape[-1]))
+                x_in = jnp.concatenate([x, x], 0).astype(cfg.compute_dtype)
+                eps = unet_mod.apply(
+                    params_q["unet"], x_in, te, context, cfg.unet
+                ).astype(jnp.float32)
+                eps = guidance * eps[:1] + (1.0 - guidance) * eps[1:]
+                x, st = mod.step(plan, s_i, x, eps, st)
+    finally:
+        L.set_calibration_recorder(token)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_q" in node:
+                site = id(node["w_q"])
+                if site in recorder:
+                    node = dict(node)
+                    node["x_scale"] = jnp.float32(
+                        max(recorder[site], 1e-8) / 127.0
+                    )
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params_q)

@@ -1,0 +1,94 @@
+"""Int8 PTQ tests: weight quantization error, int8 dense parity, calibrated
+static scales, end-to-end fidelity at fixed seed (the reference never tested
+its quantization quality — random-input calibration, README.md:8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sdtpu
+from sdtpu.config import TINY
+from sdtpu.models import layers as L
+from sdtpu.quant.ptq import (
+    calibrate,
+    count_quantized,
+    quantize_unet,
+    quantize_weight,
+)
+from sdtpu.quant.validate import image_metrics, validate_quantized
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = rng.standard_normal((64, 32), dtype=np.float32)
+    w_q, scale = quantize_weight(jnp.asarray(w))
+    assert w_q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = np.asarray(w_q, np.float32) * np.asarray(scale)[None, :]
+    # symmetric per-channel int8: error bounded by scale/2 per element
+    assert np.abs(deq - w).max() <= np.asarray(scale).max() / 2 + 1e-6
+
+
+def test_dense_int8_close_to_fp(rng):
+    w = rng.standard_normal((128, 64), dtype=np.float32)
+    b = rng.standard_normal(64, dtype=np.float32)
+    x = rng.standard_normal((4, 128), dtype=np.float32)
+    fp = np.asarray(L.dense({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                            jnp.asarray(x)))
+    w_q, s = quantize_weight(jnp.asarray(w))
+    q = np.asarray(L.dense({"w_q": w_q, "w_scale": s, "b": jnp.asarray(b)},
+                           jnp.asarray(x)))
+    # relative error of W8A8 with per-row/per-channel scales
+    rel = np.abs(q - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_quantize_unet_targets_transformer_matmuls():
+    from sdtpu.io.params import init_pipeline_params
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), TINY)
+    q = quantize_unet(params)
+    n = count_quantized(q)
+    # TINY: 3 STs in unet (down 2 + mid 1 + up 3 = 6 actually) x 6 sites each
+    assert n > 0
+    st = q["unet"]["mid"]["st"]
+    assert "w_q" in st["attn1"]["q"] and "w_scale" in st["attn1"]["q"]
+    assert "w" in q["unet"]["conv_in"]  # convs untouched
+    assert "w" in q["clip"]["blocks"][0]["q"]  # clip untouched by default
+    # fp params unchanged (no aliasing surprises)
+    assert "w" in params["unet"]["mid"]["st"]["attn1"]["q"]
+
+
+def test_int8_pipeline_fidelity():
+    """Quantized pipeline must track the fp pipeline closely at fixed seed."""
+    ctx_fp = sdtpu.Context(config="tiny", steps=4)
+    ctx_q = sdtpu.Context(config="tiny", steps=4, quantize="int8")
+    assert count_quantized(ctx_q.params) > 0
+    res = validate_quantized(ctx_fp, ctx_q,
+                             ["a photograph of an astronaut riding a horse"])
+    m = res[0]
+    assert m["psnr_db"] > 25.0, m
+    assert m["max_abs_diff"] < 64, m
+
+
+def test_calibration_attaches_static_scales():
+    ctx = sdtpu.Context(config="tiny", steps=2, quantize="int8")
+    calibrated = calibrate(
+        ctx.params, ctx.cfg, ["the horse"], ctx.tokenizer, steps=2,
+    )
+    st = calibrated["unet"]["mid"]["st"]
+    assert "x_scale" in st["attn1"]["q"]
+    assert float(st["attn1"]["q"]["x_scale"]) > 0
+    # static-scale dense still runs and is finite
+    x = jnp.ones((2, st["attn1"]["q"]["w_q"].shape[0]))
+    y = L.dense(st["attn1"]["q"], x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_image_metrics_basics():
+    a = np.zeros((8, 8, 3), np.uint8)
+    m = image_metrics(a, a)
+    assert m["psnr_db"] == float("inf") and m["identical_fraction"] == 1.0
+    b = a.copy()
+    b[0, 0, 0] = 255
+    m = image_metrics(a, b)
+    assert m["max_abs_diff"] == 255
