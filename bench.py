@@ -33,9 +33,13 @@ def main() -> int:
     from sdtpu.engine.logging import LogLevel
 
     t0 = time.perf_counter()
+    import os
+
     ctx = sdtpu.Context(
         model_dir=None, steps=20, sampler="dpm", config="sd15",
         log_level=LogLevel.INFO,
+        quantize=os.environ.get("SDTPU_BENCH_QUANT", "none"),
+        kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
     )
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -1,0 +1,99 @@
+/* libsdtpu — native host runtime for the sdtpu TPU txt2img engine.
+ *
+ * Stable C ABI mirroring the semantics of the reference's C API facade
+ * (reference: csrc/libsdod/api/libsdod.h:11-138): refcounted validated
+ * handles, integer status codes, per-context last-error introspection, and
+ * a caller-or-callee allocated output-buffer protocol.
+ *
+ * Three component groups:
+ *   - tokenizer:   CLIP BPE, numerically identical ids to the Python/JAX side
+ *   - dpm solver:  schedule + 2nd-order multistep update (host math)
+ *   - engine:      full prompt->image via the embedded CPython/JAX pipeline
+ *                  (compiled in when SDTPU_EMBED_PYTHON is defined)
+ */
+
+#ifndef SDTPU_H
+#define SDTPU_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#ifndef SDTPU_API
+#define SDTPU_API __attribute__((visibility("default")))
+#endif
+
+/* status codes (reference: errors.h:12-19 has the same granularity) */
+typedef enum sdtpu_status {
+  SDTPU_NO_ERROR = 0,
+  SDTPU_INVALID_ARGUMENT = 1,
+  SDTPU_FAILED_ALLOCATION = 2,
+  SDTPU_RUNTIME_ERROR = 3,
+  SDTPU_INVALID_CONTEXT = 4,
+  SDTPU_INTERNAL_ERROR = 5,
+  SDTPU_UNSUPPORTED = 6
+} sdtpu_status;
+
+SDTPU_API const char* sdtpu_get_error_description(int status);
+/* last recorded message for `status`, global table; NULL if none */
+SDTPU_API const char* sdtpu_get_last_error_extra_info(int status, void* context);
+
+/* ---------------- tokenizer ---------------- */
+
+typedef struct sdtpu_tokenizer sdtpu_tokenizer;
+
+/* Load the flat single-file vocab (ctokenizer.txt format). */
+SDTPU_API int sdtpu_tokenizer_create(const char* flat_file_path,
+                                     sdtpu_tokenizer** out);
+SDTPU_API int sdtpu_tokenizer_vocab_size(const sdtpu_tokenizer* tok,
+                                         int32_t* out);
+/* Encode `text` into exactly `context_len` ids (sot + bpe + eot padding). */
+SDTPU_API int sdtpu_tokenizer_tokenize(const sdtpu_tokenizer* tok,
+                                       const char* text, int32_t context_len,
+                                       int32_t* out_ids);
+SDTPU_API void sdtpu_tokenizer_release(sdtpu_tokenizer* tok);
+
+/* ---------------- DPM solver ---------------- */
+
+typedef struct sdtpu_dpm sdtpu_dpm;
+
+/* SD v1.x defaults: train_steps=1000, lin_start=0.00085, lin_end=0.0120
+ * (reference: dpm_solver.cpp:84-97, context.cpp:196). */
+SDTPU_API int sdtpu_dpm_create(int32_t train_steps, double lin_start,
+                               double lin_end, sdtpu_dpm** out);
+SDTPU_API int sdtpu_dpm_prepare(sdtpu_dpm* s, int32_t steps);
+/* model-facing timesteps, length `steps` (valid after prepare) */
+SDTPU_API int sdtpu_dpm_model_ts(const sdtpu_dpm* s, float* out, int32_t n);
+/* One 2nd-order multistep update: x <- step(x, eps); keeps prev-y state.
+ * step must be called in order 0..steps-1 after prepare(). */
+SDTPU_API int sdtpu_dpm_update(sdtpu_dpm* s, int32_t step, float* x,
+                               const float* eps, size_t n);
+SDTPU_API void sdtpu_dpm_release(sdtpu_dpm* s);
+
+/* ---------------- engine (embedded python) ---------------- */
+
+/* Opaque refcounted context handle (reference: libsdod.cpp:22-27). */
+/* config: "sd15" (default when NULL) or "tiny" (CPU-testable demo). */
+SDTPU_API int sdtpu_setup(void** context, const char* model_dir,
+                          const char* config, int32_t steps,
+                          int32_t log_level, int32_t use_tpu);
+SDTPU_API int sdtpu_set_steps(void* context, int32_t steps);
+SDTPU_API int sdtpu_set_seed(void* context, int64_t seed);
+SDTPU_API int sdtpu_ref_context(void* context);
+SDTPU_API int sdtpu_release(void* context);
+/* Generate one image. If *image_buffer is NULL it is callee-allocated (free
+ * with sdtpu_free_buffer) and *buffer_size is set; otherwise it must hold
+ * *buffer_size bytes (reference: api/libsdod.h:91-114 protocol). */
+SDTPU_API int sdtpu_generate_image(void* context, const char* prompt,
+                                   float guidance, void** image_buffer,
+                                   size_t* buffer_size);
+SDTPU_API void sdtpu_free_buffer(void* buffer);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* SDTPU_H */

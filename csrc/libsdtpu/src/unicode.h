@@ -1,0 +1,22 @@
+// UTF-8 + Unicode classification utilities for the native tokenizer.
+// Classification/lowering tables are generated from CPython's unicodedata
+// (tools/gen_unicode_tables.py) so native ids match the Python tokenizer.
+#pragma once
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+namespace sdtpu {
+
+// Decode UTF-8 -> codepoints (invalid bytes become U+FFFD).
+std::vector<uint32_t> utf8_decode(const std::string& s);
+void utf8_append(std::string& out, uint32_t cp);
+
+bool is_letter(uint32_t cp);
+bool is_number(uint32_t cp);
+bool is_space(uint32_t cp);
+// Append the lowercase expansion of cp (1..3 codepoints, Python str.lower()).
+void to_lower(uint32_t cp, std::vector<uint32_t>& out);
+
+}  // namespace sdtpu

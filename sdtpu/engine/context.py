@@ -68,6 +68,7 @@ class Context:
         quantize: str = "none",
         threads: int = 3,
         seed: int = 0,
+        compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
     ) -> None:
         if isinstance(config, str):
             config = {"sd15": SD15, "tiny": TINY}[config.lower()]
@@ -92,6 +93,15 @@ class Context:
             )
         self.quantize = quantize
         self.model_dir = Path(model_dir) if model_dir else None
+        if compile_cache:
+            # persistent compiled-executable cache — the analogue of the
+            # reference's serialized HTP context blobs (qnn_context.cpp:
+            # 894-956): cold compile of the full pipeline is minutes, warm
+            # start is seconds.
+            cache_dir = str(Path(compile_cache).expanduser())
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         with slog.logger_scope(self.logger):
             t0 = time.perf_counter()

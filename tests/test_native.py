@@ -1,0 +1,129 @@
+"""Native (C++) component parity vs the Python implementations.
+
+Builds csrc/libsdtpu on demand (skips if no toolchain). The contract: native
+tokenizer ids and DPM updates must be numerically identical / fp32-close to
+the Python side — the same golden-test bar the reference applied to its C++
+components by hand (reference: test/test_dpm.cpp, test/test_tokenizer.cpp).
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from sdtpu.tokenizer import Tokenizer, bytes_to_unicode
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("make") is None or shutil.which("g++") is None,
+    reason="no native toolchain",
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from sdtpu.io import native
+
+    try:
+        return native.load_library()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native build failed: {e}")
+
+
+@pytest.fixture(scope="module")
+def flat_file(tmp_path_factory):
+    from sdtpu.engine.context import DEMO_MERGES
+
+    base = list(bytes_to_unicode().values())
+    lines = (base + [c + "</w>" for c in base]
+             + [f"{a} {b}" for a, b in DEMO_MERGES])
+    p = tmp_path_factory.mktemp("tok") / "ctokenizer.txt"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return p
+
+
+PROMPTS = [
+    "a photograph of an astronaut riding a horse",
+    "The   QUICK brownfox ...",
+    "it's 123 things, isn't it?",
+    "hello,world!!!don't 'll x",
+    "résumé café née",
+    "emoji 🚀🚀 test",
+    "日本語のテキスト",
+    "mixed 日本 and english",
+    "a&amp;b &#65; &#x42;",
+    "quote's and can't and we're and I'm and you'll and he'd and they've",
+    "'s at start",
+    "numbers 0 1 22 333 4444",
+    "İstanbul STRASSE ΣΙΓΜΑ",
+    "",
+]
+
+
+def test_native_tokenizer_matches_python(lib, flat_file):
+    from sdtpu.io.native import NativeTokenizer
+
+    py = Tokenizer.from_flat_file(flat_file)
+    nat = NativeTokenizer(flat_file)
+    assert nat.vocab_size == py.vocab_size
+    for p in PROMPTS:
+        assert nat.tokenize(p) == py.tokenize(p), f"mismatch on {p!r}"
+
+
+def test_native_tokenizer_truncation(lib, flat_file):
+    from sdtpu.io.native import NativeTokenizer
+
+    py = Tokenizer.from_flat_file(flat_file)
+    nat = NativeTokenizer(flat_file)
+    long = "horse " * 200
+    assert nat.tokenize(long, 77) == py.tokenize(long, 77)
+    assert nat.tokenize("the horse", 16) == py.tokenize("the horse", 16)
+
+
+def test_native_dpm_matches_python(lib):
+    from sdtpu.io.native import NativeDpm
+    from sdtpu.samplers import dpm
+    from sdtpu.samplers.schedule import NoiseSchedule
+
+    steps = 20
+    sched = NoiseSchedule.sd_v1()
+    plan = dpm.plan(sched, steps)
+    nat = NativeDpm()
+    nat.prepare(steps)
+
+    np.testing.assert_allclose(
+        nat.model_ts(), np.asarray(plan.model_t), atol=1e-3)
+
+    rng = np.random.default_rng(0)
+    x_py = rng.standard_normal(64).astype(np.float32)
+    x_nat = x_py.copy()
+    st = dpm.init_state(x_py.shape)
+    import jax.numpy as jnp
+
+    for i in range(steps):
+        eps = rng.standard_normal(64).astype(np.float32)
+        x_jnp, st = dpm.step(plan, i, jnp.asarray(x_py), jnp.asarray(eps), st)
+        x_py = np.asarray(x_jnp)
+        x_nat = nat.update(i, x_nat, eps)
+        np.testing.assert_allclose(x_nat, x_py, atol=2e-4,
+                                   err_msg=f"step {i}")
+
+
+def test_native_error_surface(lib, flat_file):
+    from sdtpu.io.native import NativeDpm, NativeTokenizer
+
+    with pytest.raises(RuntimeError, match="invalid argument"):
+        NativeTokenizer("/nonexistent/vocab.txt")
+    nat = NativeDpm()
+    with pytest.raises(RuntimeError, match="runtime error"):
+        nat.update(0, np.zeros(4, np.float32), np.zeros(4, np.float32))
+
+
+def test_capi_refcount_semantics(lib):
+    """Engine handle validation without embedding: a garbage pointer must be
+    rejected as INVALID_CONTEXT, not crash (reference: TRY_RETRIEVE_CONTEXT,
+    libsdod.cpp:48-63)."""
+    import ctypes
+
+    lib.sdtpu_set_steps.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    bogus = ctypes.c_void_p(0)
+    assert lib.sdtpu_set_steps(bogus, 20) in (4, 6)  # INVALID_CONTEXT | UNSUPPORTED
