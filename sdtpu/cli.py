@@ -39,6 +39,7 @@ def _cmd_generate(args) -> int:
         kernels=args.kernels,
         quantize=args.quantize,
         seed=args.seed,
+        size=args.size,
     )
     t0 = time.perf_counter()
     img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed)
@@ -92,6 +93,22 @@ def _cmd_bench(args) -> int:
     return 1 if bad else 0
 
 
+def _cmd_sweep(args) -> int:
+    _select_platform(args.platform)
+    from sdtpu.bench.sweep import run_sweep
+
+    run_sweep(
+        config=args.config,
+        iters=args.iters,
+        out_dir=args.out,
+        dump_images=args.images,
+        quick=args.quick,
+        sizes=tuple(int(s) for s in args.sizes.split(",")),
+        steps_list=tuple(int(s) for s in args.steps_list.split(",")),
+    )
+    return 0
+
+
 def _cmd_analyze(args) -> int:
     from sdtpu.bench.analyze import analyze
 
@@ -131,6 +148,8 @@ def main(argv=None) -> int:
     g.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
     g.add_argument("--quantize", default="none", choices=["none", "int8"])
+    g.add_argument("--size", type=int, default=None,
+                   help="output resolution override (e.g. 768)")
     g.add_argument("--log-level", type=int, default=2,
                    help="0=nothing .. 4=abusive")
     g.add_argument("--platform", default="auto",
@@ -154,6 +173,19 @@ def main(argv=None) -> int:
     b.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     b.set_defaults(fn=_cmd_bench)
+
+    w = sub.add_parser("sweep", help="sampler/steps/CFG/size config sweep")
+    w.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    w.add_argument("--iters", type=int, default=3)
+    w.add_argument("--sizes", default="512,768")
+    w.add_argument("--steps-list", default="10,20,50")
+    w.add_argument("--out", default=None)
+    w.add_argument("--images", action="store_true")
+    w.add_argument("--quick", action="store_true",
+                   help="one config only (smoke test)")
+    w.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    w.set_defaults(fn=_cmd_sweep)
 
     a = sub.add_parser("analyze", help="analyze benchmark results")
     a.add_argument("--results", default="results")

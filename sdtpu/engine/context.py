@@ -68,10 +68,24 @@ class Context:
         quantize: str = "none",
         threads: int = 3,
         seed: int = 0,
+        size: Optional[int] = None,
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
     ) -> None:
         if isinstance(config, str):
             config = {"sd15": SD15, "tiny": TINY}[config.lower()]
+        if size is not None:
+            # resolution override (e.g. 768x768 high-res config,
+            # BASELINE.md stretch config) — the UNet/VAE are fully
+            # convolutional; only the latent grid changes
+            import dataclasses as _dc
+
+            if size % (8 * config.upscale) or size < config.upscale * 8:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"size must be a positive multiple of "
+                    f"{8 * config.upscale}, got {size}",
+                )
+            config = _dc.replace(config, latent_size=size // config.upscale)
         self.cfg = config
         self.errors = ErrorTable()
         self.logger = slog.Logger(log_level, name=f"sdtpu@{hex(id(self))[-4:]}")

@@ -312,17 +312,71 @@ def params_to_ldm(params, cfg: PipelineConfig) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# native fast-load format: flattened pytree in one safetensors file
+# ---------------------------------------------------------------------------
+
+NATIVE_SUFFIX = ".sdtpu.safetensors"
+
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out.update(_flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten_tree(flat: dict):
+    tree: dict = {}
+    for key, val in flat.items():
+        parts = [int(p) if p.isdigit() else p for p in key.split("/")]
+        _tree_set(tree, tuple(parts), val)
+    return tree
+
+
+def save_native(params, path) -> None:
+    """Write the converted, ready-to-load param pytree (any dtype incl. bf16)
+    — the analogue of the reference's precompiled context blobs
+    (reference: extract_htp_blobs.sh + mmap load, qnn_context.cpp:894-956):
+    convert once offline, mmap-load fast at startup."""
+    from safetensors.flax import save_file
+
+    import jax.numpy as jnp
+
+    flat = {k: jnp.asarray(v) for k, v in _flatten_tree(params).items()}
+    save_file(flat, str(path))
+
+
+def load_native(path):
+    from safetensors.flax import load_file
+
+    return _unflatten_tree(load_file(str(path)))
+
+
 def load_pipeline_params(model_dir, cfg: PipelineConfig):
     """Load from a directory containing an SD v1.x checkpoint.
 
-    Accepts ``*.safetensors`` (LDM single-file layout). The tokenizer asset
-    (``ctokenizer.txt``) is handled by the Context, matching the reference's
-    model-dir layout (reference: context.cpp:105-114, 186).
+    Prefers the native converted format (``*.sdtpu.safetensors``, written by
+    tools/convert_weights.py), falling back to raw LDM-layout
+    ``*.safetensors``. The tokenizer asset (``ctokenizer.txt``) is handled by
+    the Context, matching the reference's model-dir layout
+    (reference: context.cpp:105-114, 186).
     """
     model_dir = Path(model_dir)
     if model_dir.is_file():
+        if model_dir.name.endswith(NATIVE_SUFFIX):
+            return load_native(model_dir)
         files = [model_dir]
     else:
+        native = sorted(model_dir.glob(f"*{NATIVE_SUFFIX}"))
+        if native:
+            return load_native(native[0])
         files = sorted(model_dir.glob("*.safetensors"))
     if not files:
         raise FileNotFoundError(f"no .safetensors checkpoint under {model_dir}")

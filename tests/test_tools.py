@@ -1,0 +1,92 @@
+"""Tooling tests: checkpoint converter round trip, native format, size
+override, sweep smoke."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+import sdtpu
+from sdtpu.config import TINY
+from sdtpu.io.params import init_pipeline_params
+from sdtpu.io.weights import (
+    NATIVE_SUFFIX,
+    load_native,
+    load_pipeline_params,
+    params_to_ldm,
+    save_native,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_native_format_roundtrip(tmp_path):
+    params = init_pipeline_params(jax.random.PRNGKey(1), TINY)
+    f = tmp_path / f"model{NATIVE_SUFFIX}"
+    save_native(params, f)
+    back = load_native(f)
+    a = jax.tree_util.tree_flatten_with_path(params)[0]
+    b = {tuple(map(str, p)): v
+         for p, v in jax.tree_util.tree_flatten_with_path(back)[0]}
+    assert len(a) == len(b)
+    for p, v in a:
+        np.testing.assert_array_equal(np.asarray(v), b[tuple(map(str, p))])
+
+
+def test_convert_weights_cli(tmp_path):
+    """Full converter flow: LDM safetensors -> native dir -> Context loads it
+    and generates (the todlc.py-equivalent path, end to end)."""
+    import safetensors.numpy
+
+    params = init_pipeline_params(jax.random.PRNGKey(2), TINY)
+    sd = params_to_ldm(jax.tree.map(np.asarray, params), TINY)
+    ckpt = tmp_path / "sd.safetensors"
+    safetensors.numpy.save_file(sd, str(ckpt))
+    out_dir = tmp_path / "model_dir"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "convert_weights.py"),
+         str(ckpt), str(out_dir), "--config", "tiny", "--dtype", "float32"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out_dir / f"model{NATIVE_SUFFIX}").exists()
+
+    # idempotent re-run skips (reference: todlc.py:85-101)
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "convert_weights.py"),
+         str(ckpt), str(out_dir), "--config", "tiny"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert "exists" in r2.stdout
+
+    loaded = load_pipeline_params(out_dir, TINY)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["unet"]["conv_in"]["w"]),
+        np.asarray(params["unet"]["conv_in"]["w"]),
+    )
+    # Context consumes the converted dir (demo tokenizer fallback)
+    ctx = sdtpu.Context(model_dir=out_dir, config="tiny", steps=2)
+    img = ctx.generate("the horse", seed=0)
+    assert img.shape == (TINY.image_size, TINY.image_size, 3)
+
+
+def test_size_override():
+    ctx = sdtpu.Context(config="tiny", steps=2, size=32)
+    img = ctx.generate("the horse", seed=0)
+    assert img.shape == (32, 32, 3)
+    with pytest.raises(sdtpu.SdtpuError):
+        sdtpu.Context(config="tiny", steps=2, size=33)
+
+
+def test_sweep_quick(tmp_path):
+    from sdtpu.bench.sweep import run_sweep
+
+    res = run_sweep(config="tiny", iters=1, quick=True,
+                    out_dir=str(tmp_path), sizes=(16,), steps_list=(2,))
+    assert len(res) == 1
+    assert res[0]["s_per_image"] > 0
+    assert (tmp_path / "sweep.jsonl").exists()
