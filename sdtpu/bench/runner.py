@@ -57,7 +57,8 @@ def _hlo_op_classes(compiled) -> dict:
         if "=" not in line or line.startswith(("HloModule", "ENTRY", "%", "}")):
             continue
         rhs = line.split("=", 1)[1].strip()
-        op = rhs.split("(", 1)[0].split()[-1] if "(" in rhs else ""
+        head = rhs.split("(", 1)[0].split()
+        op = head[-1] if ("(" in rhs and head) else ""
         if op.startswith("convolution"):
             classes["conv"] += 1
         elif op.startswith(("dot", "cublas", "custom-call")):
