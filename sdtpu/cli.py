@@ -42,7 +42,8 @@ def _cmd_generate(args) -> int:
         size=args.size,
     )
     t0 = time.perf_counter()
-    img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed)
+    img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
+                       negative_prompt=args.negative_prompt)
     dt = time.perf_counter() - t0
     print(f"generated {img.shape[0]}x{img.shape[1]} image in {dt:.3f}s "
           f"(steps={args.steps}, sampler={args.sampler}, seed={args.seed})")
@@ -139,6 +140,7 @@ def main(argv=None) -> int:
     g = sub.add_parser("generate", help="prompt -> image")
     g.add_argument("--prompt", default=DEFAULT_PROMPT)
     g.add_argument("--guidance", type=float, default=7.5)
+    g.add_argument("--negative-prompt", default=None)
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])

@@ -206,12 +206,15 @@ class Context:
         """Precompute the uncond ("") embedding (reference: context.cpp:233-239)."""
         if self._failed:
             return
+        self._encode = jax.jit(lambda p, t: encode_text(p, t, self.cfg))
+        self._uncond = self._embed_prompt("")
+
+    def _embed_prompt(self, text: str):
         tokens = jnp.asarray(
-            [self.tokenizer.tokenize("", self.cfg.clip.context_len)], jnp.int32
+            [self.tokenizer.tokenize(text, self.cfg.clip.context_len)],
+            jnp.int32,
         )
-        self._uncond = jax.jit(
-            lambda p, t: encode_text(p, t, self.cfg)
-        )(self.params, tokens)[0]
+        return self._encode(self.params, tokens)[0]
 
     # ------------------------------------------------------------------
     # knobs (reference C API: libsdod_set_steps / set_seed)
@@ -247,14 +250,17 @@ class Context:
         prompt: str | list[str],
         guidance: float = 7.5,
         seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
         out: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
 
-        `out`: optional preallocated caller buffer to fill (the reference's
-        caller-allocated output protocol, api/libsdod.h:91-114). `seed`
-        overrides the context seed for this call; otherwise the context seed
-        is used and incremented (fresh image per call, reproducible stream).
+        `negative_prompt`: replaces the "" unconditional embedding in the CFG
+        mix (same shapes — no recompile). `out`: optional preallocated caller
+        buffer to fill (the reference's caller-allocated output protocol,
+        api/libsdod.h:91-114). `seed` overrides the context seed for this
+        call; otherwise the context seed is used and incremented (fresh image
+        per call, reproducible stream).
         """
         with slog.logger_scope(self.logger):
             if self._failed:
@@ -277,9 +283,11 @@ class Context:
                 seed = self.seed
                 self.seed += 1
             use_cfg = guidance != 1.0
+            uncond = (self._embed_prompt(negative_prompt)
+                      if negative_prompt else self._uncond)
             fn = self._compiled(len(prompts), use_cfg)
             img = fn(
-                self.params, tokens, self._uncond,
+                self.params, tokens, uncond,
                 jax.random.PRNGKey(seed), jnp.float32(guidance),
             )
             img = np.asarray(img)

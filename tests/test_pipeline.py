@@ -104,3 +104,16 @@ def test_empty_prompt_list(ctx):
     with pytest.raises(SdtpuError) as ei:
         ctx.generate([])
     assert ei.value.code == ErrorCode.INVALID_ARGUMENT
+
+
+def test_negative_prompt(ctx):
+    """negative_prompt swaps the uncond embedding — changes output, no new
+    executable compiled."""
+    n0 = len(ctx._gen_cache)
+    a = ctx.generate(PROMPT, guidance=7.5, seed=5)
+    b = ctx.generate(PROMPT, guidance=7.5, seed=5, negative_prompt="the horse")
+    assert len(ctx._gen_cache) == max(n0, 1)
+    assert not np.array_equal(a, b)
+    # negative == "" behaves like default uncond
+    c = ctx.generate(PROMPT, guidance=7.5, seed=5, negative_prompt=None)
+    assert np.array_equal(a, c)
