@@ -25,14 +25,33 @@ from sdtpu.config import SD15, PipelineConfig
 from sdtpu.models import clip, temb, unet, vae
 
 
-def _time_fn(fn, args, warmup: int, iters: int):
-    for _ in range(warmup):
-        r = fn(*args)
+def _vary(args, key):
+    """Distinct device-resident variants of the float args — identical
+    repeated inputs can be memoized by remote execution layers, which
+    poisons steady-state timing."""
+    out = []
+    for i, a in enumerate(args):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) \
+                and getattr(a, "ndim", 0) > 0 and not isinstance(a, dict):
+            out.append(
+                a + jax.random.normal(
+                    jax.random.fold_in(key, i), a.shape, a.dtype) * 0.01
+            )
+        else:
+            out.append(a)
+    return tuple(out)
+
+
+def _time_fn(fn, args, warmup: int, iters: int, n_variants: int = 8):
+    variants = [_vary(args, jax.random.PRNGKey(v)) for v in range(n_variants)]
+    for v in range(warmup):
+        r = fn(*variants[v % n_variants])
     jax.tree.leaves(r)[0].block_until_ready()
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        a = variants[i % n_variants]
         t = time.perf_counter()
-        r = fn(*args)
+        r = fn(*a)
         jax.tree.leaves(r)[0].block_until_ready()
         times.append((time.perf_counter() - t) * 1e3)
     return times
@@ -54,11 +73,14 @@ def _hlo_op_classes(compiled) -> dict:
         return classes
     for line in txt.splitlines():
         line = line.strip()
-        if "=" not in line or line.startswith(("HloModule", "ENTRY", "%", "}")):
+        if line.startswith("ROOT "):
+            line = line[5:]
+        if "=" not in line or line.startswith(("HloModule", "ENTRY", "}")):
             continue
         rhs = line.split("=", 1)[1].strip()
         head = rhs.split("(", 1)[0].split()
         op = head[-1] if ("(" in rhs and head) else ""
+        op = op.lstrip("%")
         if op.startswith("convolution"):
             classes["conv"] += 1
         elif op.startswith(("dot", "cublas", "custom-call")):

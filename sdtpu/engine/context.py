@@ -308,6 +308,43 @@ class Context:
                 return out
             return img
 
+    def generate_async(
+        self,
+        prompt: str | list[str],
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+    ):
+        """Dispatch generation without blocking; returns the device array
+        (JAX dispatch is asynchronous — the analogue of the reference's
+        ``execute_async`` + notify callback, qnn_context.cpp:716-725).
+        Call ``np.asarray(result)`` (or ``.block_until_ready()``) to wait;
+        meanwhile the host can tokenize/queue further prompts.
+        """
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
+                 for p in prompts],
+                jnp.int32,
+            )
+            if seed is None:
+                seed = self.seed
+                self.seed += 1
+            use_cfg = guidance != 1.0
+            uncond = (self._embed_prompt(negative_prompt)
+                      if negative_prompt else self._uncond)
+            fn = self._compiled(len(prompts), use_cfg)
+            return fn(
+                self.params, tokens, uncond,
+                jax.random.PRNGKey(seed), jnp.float32(guidance),
+            )
+
     # ------------------------------------------------------------------
 
     def last_error(self, code: ErrorCode) -> Optional[str]:

@@ -105,9 +105,11 @@ def _gn_call(x, onehot, scale, bias, groups, eps, fuse_silu, orig_shape):
 
 @functools.lru_cache(maxsize=32)
 def _group_onehot(c: int, groups: int):
+    # numpy on purpose: a jnp constant created during a jit trace would be a
+    # tracer, and lru_cache would leak it into later traces
     oh = np.zeros((c, groups), np.float32)
     oh[np.arange(c), np.arange(c) // (c // groups)] = 1.0
-    return jnp.asarray(oh)
+    return oh
 
 
 def fused_group_norm(p, x, groups: int, eps: float = 1e-5,

@@ -76,3 +76,15 @@ def test_fused_group_norm_fallback_large_plane(rng):
     ours = np.asarray(gn_ops.fused_group_norm(p, x, 32))
     ref = np.asarray(L.group_norm(p, x, 32))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fused_group_norm_no_tracer_leak_across_jits(rng):
+    """Regression: the cached group one-hot must not capture a tracer from
+    the first jit trace (it did when lru_cache stored a jnp constant)."""
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64), dtype=np.float32))
+    p = {"scale": jnp.ones(64), "bias": jnp.zeros(64)}
+    f1 = jax.jit(lambda x: gn_ops.fused_group_norm(p, x, 4))
+    f2 = jax.jit(lambda x: gn_ops.fused_group_norm(p, x, 4) + 1.0)
+    a = np.asarray(f1(x))
+    b = np.asarray(f2(x))
+    np.testing.assert_allclose(b, a + 1.0, atol=1e-6)

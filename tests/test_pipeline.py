@@ -117,3 +117,10 @@ def test_negative_prompt(ctx):
     # negative == "" behaves like default uncond
     c = ctx.generate(PROMPT, guidance=7.5, seed=5, negative_prompt=None)
     assert np.array_equal(a, c)
+
+
+def test_generate_async_matches_sync(ctx):
+    """Async dispatch (the execute_async analogue) returns the same image."""
+    fut = ctx.generate_async(PROMPT, guidance=7.5, seed=77)
+    sync = ctx.generate(PROMPT, guidance=7.5, seed=77)
+    assert np.array_equal(np.asarray(fut)[0], sync)
