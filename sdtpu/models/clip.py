@@ -50,18 +50,123 @@ def init(key, cfg: CLIPConfig):
     return params
 
 
+def _encoder_block(blk, x, heads, eps, causal):
+    from sdtpu.models.layers import sdpa
+
+    h = layer_norm(blk["ln1"], x, eps)
+    q = dense(blk["q"], h)
+    k = dense(blk["k"], h)
+    v = dense(blk["v"], h)
+    a = causal_sdpa(q, k, v, heads) if causal else sdpa(q, k, v, heads)
+    x = x + dense(blk["out"], a)
+    h = layer_norm(blk["ln2"], x, eps)
+    return x + dense(blk["fc2"], quick_gelu(dense(blk["fc1"], h)))
+
+
 def apply(params, tokens, cfg: CLIPConfig, dtype=jnp.float32):
     """tokens: [B, T] int32 -> [B, T, hidden] last hidden state (post final LN)."""
     x = params["token_embedding"][tokens].astype(dtype)
     x = x + params["position_embedding"][: tokens.shape[-1]].astype(dtype)
     for blk in params["blocks"]:
-        h = layer_norm(blk["ln1"], x, cfg.eps)
-        q = dense(blk["q"], h)
-        k = dense(blk["k"], h)
-        v = dense(blk["v"], h)
-        a = causal_sdpa(q, k, v, cfg.heads)
-        x = x + dense(blk["out"], a)
-        h = layer_norm(blk["ln2"], x, cfg.eps)
-        h = dense(blk["fc2"], quick_gelu(dense(blk["fc1"], h)))
-        x = x + h
+        x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True)
     return layer_norm(params["final_ln"], x, cfg.eps)
+
+
+# ---------------------------------------------------------------------------
+# vision tower + projections (CLIP-score evaluation harness; the text tower
+# above is the only part the SD pipeline itself needs)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch: int = 14
+    hidden: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: int = 4
+    projection: int = 768    # shared text/image embedding dim (ViT-L/14)
+    eps: float = 1e-5
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch) ** 2
+
+
+VIT_L14 = CLIPVisionConfig()
+TINY_VISION = CLIPVisionConfig(image_size=16, patch=8, hidden=32, layers=2,
+                               heads=2, projection=16)
+
+
+def init_vision(key, cfg: CLIPVisionConfig):
+    keys = jax.random.split(key, 4 + cfg.layers)
+    d = cfg.hidden
+    params = {
+        "class_embedding": jax.random.normal(keys[0], (d,)) * 0.02,
+        "patch_embedding": jax.random.normal(
+            keys[1], (cfg.patch, cfg.patch, 3, d)) * 0.02,  # HWIO, no bias
+        "position_embedding": jax.random.normal(
+            keys[2], (cfg.n_patches + 1, d)) * 0.01,
+        "ln_pre": init_norm(d),
+        "ln_post": init_norm(d),
+        "proj": jax.random.normal(keys[3], (d, cfg.projection)) * 0.02,
+        "blocks": [],
+    }
+    for i in range(cfg.layers):
+        ks = jax.random.split(keys[4 + i], 6)
+        params["blocks"].append(
+            {
+                "ln1": init_norm(d),
+                "q": init_dense(ks[0], d, d),
+                "k": init_dense(ks[1], d, d),
+                "v": init_dense(ks[2], d, d),
+                "out": init_dense(ks[3], d, d),
+                "ln2": init_norm(d),
+                "fc1": init_dense(ks[4], d, d * cfg.mlp_ratio),
+                "fc2": init_dense(ks[5], d * cfg.mlp_ratio, d),
+            }
+        )
+    return params
+
+
+def apply_vision(params, images, cfg: CLIPVisionConfig, dtype=jnp.float32):
+    """images: [B, H, W, 3] float (CLIP-normalized) -> [B, projection]."""
+    from jax import lax
+
+    from sdtpu.models.layers import PRECISION
+
+    b = images.shape[0]
+    patches = lax.conv_general_dilated(
+        images.astype(dtype), params["patch_embedding"].astype(dtype),
+        window_strides=(cfg.patch, cfg.patch), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    ).astype(dtype)
+    x = patches.reshape(b, -1, cfg.hidden)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(dtype)[None, None], (b, 1, cfg.hidden)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"].astype(dtype)[None]
+    x = layer_norm(params["ln_pre"], x, cfg.eps)
+    for blk in params["blocks"]:
+        x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=False)
+    pooled = layer_norm(params["ln_post"], x[:, 0], cfg.eps)
+    return jnp.dot(pooled, params["proj"].astype(pooled.dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
+
+
+def text_embedding(params, tokens, text_proj, cfg: CLIPConfig,
+                   eot_id: int, dtype=jnp.float32):
+    """Pooled + projected text embedding (CLIP contrastive space): the
+    hidden state at the FIRST eot position, projected."""
+    hidden = apply(params, tokens, cfg, dtype)
+    eot_pos = jnp.argmax((tokens == eot_id).astype(jnp.int32), axis=-1)
+    pooled = jnp.take_along_axis(
+        hidden, eot_pos[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    return jnp.dot(pooled, text_proj.astype(pooled.dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
