@@ -94,6 +94,30 @@ def _cmd_bench(args) -> int:
     return 1 if bad else 0
 
 
+def _cmd_profile(args) -> int:
+    _select_platform(args.platform)
+    import jax
+
+    from sdtpu.bench.runner import _part_specs
+    from sdtpu.bench.xprof import profile_ops, summarize
+    from sdtpu.config import SD15, TINY
+    from sdtpu.io.params import cast_params, init_pipeline_params
+
+    cfg = {"sd15": SD15, "tiny": TINY}[args.config]
+    kernels = args.kernels
+    if kernels == "auto":
+        kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
+    params = jax.jit(lambda k: init_pipeline_params(k, cfg))(
+        jax.random.PRNGKey(0))
+    params = cast_params(params, cfg.compute_dtype)
+    specs = _part_specs(cfg, params, kernels)
+    fn, fargs = specs[args.part]
+    ops = profile_ops(jax.jit(fn), fargs, out_dir=args.trace_dir)
+    print(f"== {args.part} ({jax.default_backend()}, kernels={kernels})")
+    print(summarize(ops, top=args.top))
+    return 0
+
+
 def _cmd_sweep(args) -> int:
     _select_platform(args.platform)
     from sdtpu.bench.sweep import run_sweep
@@ -175,6 +199,19 @@ def main(argv=None) -> int:
     b.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     b.set_defaults(fn=_cmd_bench)
+
+    pr = sub.add_parser("profile", help="per-op device profile of one part")
+    pr.add_argument("--part", default="unet",
+                    choices=["temb", "text_encoder", "unet", "vae_decoder"])
+    pr.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    pr.add_argument("--kernels", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    pr.add_argument("--top", type=int, default=15)
+    pr.add_argument("--trace-dir", default=None,
+                    help="keep the raw trace here (open with XProf)")
+    pr.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
+    pr.set_defaults(fn=_cmd_profile)
 
     w = sub.add_parser("sweep", help="sampler/steps/CFG/size config sweep")
     w.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
