@@ -172,7 +172,7 @@ def main(argv=None) -> int:
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
     g.add_argument("--kernels", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "pallas_gn"])
     g.add_argument("--quantize", default="none", choices=["none", "int8"])
     g.add_argument("--size", type=int, default=None,
                    help="output resolution override (e.g. 768)")
@@ -193,7 +193,7 @@ def main(argv=None) -> int:
                    help="comma list: temb,text_encoder,unet,vae_decoder")
     b.add_argument("--results", default="results")
     b.add_argument("--kernels", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "pallas_gn"])
     b.add_argument("--phases", action="store_true",
                    help="also time pipeline phases (conditioning/denoise/decode)")
     b.add_argument("--platform", default="auto",
@@ -205,7 +205,7 @@ def main(argv=None) -> int:
                     choices=["temb", "text_encoder", "unet", "vae_decoder"])
     pr.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
     pr.add_argument("--kernels", default="auto",
-                    choices=["auto", "xla", "pallas"])
+                    choices=["auto", "xla", "pallas", "pallas_gn"])
     pr.add_argument("--top", type=int, default=15)
     pr.add_argument("--trace-dir", default=None,
                     help="keep the raw trace here (open with XProf)")

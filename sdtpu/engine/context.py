@@ -174,6 +174,10 @@ class Context:
                 self.logger.info(
                     f"int8 PTQ: {count_quantized(params)} matmul sites quantized"
                 )
+            else:
+                from sdtpu.io.params import fuse_attention_projections
+
+                params = fuse_attention_projections(params)
             self.params = params
         except SdtpuError:
             self._failed = True

@@ -43,3 +43,35 @@ def cast_params(params, dtype):
 
 def param_count(params) -> int:
     return sum(int(a.size) for a in jax.tree.leaves(params))
+
+
+def fuse_attention_projections(params):
+    """Runtime optimization: concatenate each SpatialTransformer's q/k/v
+    (self-attention) and k/v (cross-attention) projection kernels into single
+    wider matmuls — one MXU-friendly GEMM instead of three narrow ones at SD
+    widths (320/640/1280). Applied after load; checkpoint import/export and
+    quantization operate on the unfused layout."""
+    def walk(node):
+        if isinstance(node, dict):
+            if ("attn1" in node and "attn2" in node
+                    and "w" in node.get("attn1", {}).get("q", {})):
+                node = dict(node)
+                a1, a2 = node["attn1"], node["attn2"]
+                node["attn1"] = {
+                    "qkv": {"w": jnp.concatenate(
+                        [a1["q"]["w"], a1["k"]["w"], a1["v"]["w"]], axis=1)},
+                    "out": a1["out"],
+                }
+                node["attn2"] = {
+                    "q": a2["q"],
+                    "kv": {"w": jnp.concatenate(
+                        [a2["k"]["w"], a2["v"]["w"]], axis=1)},
+                    "out": a2["out"],
+                }
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)

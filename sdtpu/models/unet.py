@@ -163,8 +163,15 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
 # ---------------------------------------------------------------------------
 
 def _gn(p, x, groups, eps, fuse_silu, kernels):
-    """GroupNorm (+SiLU): Pallas fused kernel or XLA fallback."""
-    if kernels == "pallas":
+    """GroupNorm (+SiLU).
+
+    Measured on v5e INSIDE the full UNet program, the standalone Pallas GN
+    kernel loses to the XLA path by ~6 ms/step (26.4 vs 32.5 ms/eval): XLA
+    fuses the GN chain into neighboring convs/bias-adds, and a pallas_call is
+    a fusion barrier. So the default 'pallas' kernel policy uses Pallas ONLY
+    for attention; 'pallas_gn' opts the GN kernel back in (useful standalone
+    or at shapes XLA fuses poorly)."""
+    if kernels == "pallas_gn":
         from sdtpu.ops.groupnorm import fused_group_norm
 
         return fused_group_norm(p, x, groups, eps, fuse_silu=fuse_silu)
@@ -182,7 +189,7 @@ def _resblock(p, x, emb, groups, kernels="xla"):
 
 
 def _transformer(p, x, context, heads, groups, kernels):
-    attn_kernel = kernels
+    attn_kernel = "pallas" if kernels in ("pallas", "pallas_gn") else "xla"
     b, hh, ww, c = x.shape
     h = _gn(p["norm"], x, groups, 1e-6, False, kernels)
     h = conv2d(p["proj_in"], h, padding=0)
@@ -190,16 +197,18 @@ def _transformer(p, x, context, heads, groups, kernels):
 
     a = p["attn1"]
     hn = _ln(p["ln1"], h)
-    h = h + dense(a["out"], sdpa(
-        dense(a["q"], hn), dense(a["k"], hn), dense(a["v"], hn),
-        heads, attn_kernel,
-    ))
+    if "qkv" in a:  # fused projection (io.params.fuse_attention_projections)
+        q, k, v = jnp.split(dense(a["qkv"], hn), 3, axis=-1)
+    else:
+        q, k, v = dense(a["q"], hn), dense(a["k"], hn), dense(a["v"], hn)
+    h = h + dense(a["out"], sdpa(q, k, v, heads, attn_kernel))
     a = p["attn2"]
     hn = _ln(p["ln2"], h)
-    h = h + dense(a["out"], sdpa(
-        dense(a["q"], hn), dense(a["k"], context), dense(a["v"], context),
-        heads, attn_kernel,
-    ))
+    if "kv" in a:
+        k, v = jnp.split(dense(a["kv"], context), 2, axis=-1)
+    else:
+        k, v = dense(a["k"], context), dense(a["v"], context)
+    h = h + dense(a["out"], sdpa(dense(a["q"], hn), k, v, heads, attn_kernel))
     hn = _ln(p["ln3"], h)
     h = h + dense(p["ff2"], geglu(p["ff1"], hn))
 

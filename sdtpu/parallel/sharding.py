@@ -22,7 +22,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
-COL_PARENTS = {"q", "k", "v", "fc1", "ff1"}       # output-dim sharded
+COL_PARENTS = {"q", "k", "v", "qkv", "kv", "fc1", "ff1"}  # output-dim sharded
 ROW_PARENTS = {"out", "fc2", "ff2"}                # input-dim sharded
 
 

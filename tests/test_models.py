@@ -322,3 +322,24 @@ def test_unet_jits_in_bf16():
     out = jax.jit(lambda *a: unet.apply(*a, cfg))(params, x, t_emb, ctx)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_fused_qkv_projection_equivalence():
+    """fuse_attention_projections must be numerically identical (same dtype,
+    same contraction — just concatenated kernels)."""
+    from sdtpu.io.params import fuse_attention_projections, init_pipeline_params
+
+    params = init_pipeline_params(jax.random.PRNGKey(4), TINY)
+    fused = fuse_attention_projections(params)
+    st = fused["unet"]["mid"]["st"]
+    assert "qkv" in st["attn1"] and "kv" in st["attn2"]
+    cfg = TINY.unet
+    s = TINY.latent_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, s, s, cfg.in_channels))
+    t_emb = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.time_embed_dim))
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(3), (2, TINY.clip.context_len, cfg.context_dim)
+    )
+    a = np.asarray(unet.apply(params["unet"], x, t_emb, ctx, cfg))
+    b = np.asarray(unet.apply(fused["unet"], x, t_emb, ctx, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -90,3 +90,36 @@ def test_sweep_quick(tmp_path):
     assert len(res) == 1
     assert res[0]["s_per_image"] > 0
     assert (tmp_path / "sweep.jsonl").exists()
+
+
+def test_benchmark_parts_tiny(tmp_path):
+    from sdtpu.bench.runner import benchmark_parts
+
+    summary = benchmark_parts(
+        TINY, warmup=1, iters=3, out_dir=tmp_path, kernels="xla",
+    )
+    assert set(summary) == {"temb", "text_encoder", "unet", "vae_decoder"}
+    for name, r in summary.items():
+        assert not r.get("error"), name
+        assert r["latency_ms"] > 0
+        assert (tmp_path / f"{name}.json").exists()
+    from sdtpu.bench.analyze import analyze
+
+    report = analyze(tmp_path)
+    assert "unet" in report and "pipeline estimate" in report
+
+
+def test_profile_ops_tiny():
+    import jax
+
+    from sdtpu.bench.xprof import profile_ops, summarize
+    from sdtpu.io.params import init_pipeline_params
+    from sdtpu.models import vae
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), TINY)
+    fn = jax.jit(lambda z: vae.apply(params["vae"], z, TINY.vae))
+    z = jax.numpy.zeros((1, TINY.latent_size, TINY.latent_size, 4))
+    ops = profile_ops(fn, (z,))
+    assert ops, "no device events captured"
+    text = summarize(ops)
+    assert "per-class totals" in text
