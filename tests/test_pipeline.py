@@ -124,3 +124,16 @@ def test_generate_async_matches_sync(ctx):
     fut = ctx.generate_async(PROMPT, guidance=7.5, seed=77)
     sync = ctx.generate(PROMPT, guidance=7.5, seed=77)
     assert np.array_equal(np.asarray(fut)[0], sync)
+
+
+def test_single_step_generation(ctx):
+    """steps=1 must work for every sampler (the reference hardcoded 20)."""
+    ctx.set_steps(1)
+    try:
+        for s in ("dpm", "ddim", "plms"):
+            ctx.sampler = s
+            img = ctx.generate(PROMPT, seed=0)
+            assert img.shape == (ctx.cfg.image_size, ctx.cfg.image_size, 3)
+    finally:
+        ctx.set_steps(4)
+        ctx.sampler = "dpm"
