@@ -141,6 +141,21 @@ def _cmd_analyze(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    _select_platform(args.platform)
+    import sdtpu
+    from sdtpu.engine.logging import LogLevel
+    from sdtpu.engine.server import serve
+
+    ctx = sdtpu.Context(
+        model_dir=args.model_dir, steps=args.steps, sampler=args.sampler,
+        config=args.config, log_level=LogLevel(args.log_level),
+        kernels=args.kernels,
+    )
+    serve(ctx, host=args.host, port=args.port)
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -233,6 +248,20 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="render a raw output.bin to png")
     s.add_argument("path")
     s.set_defaults(fn=_cmd_show)
+
+    sv = sub.add_parser("serve", help="HTTP txt2img service")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    sv.add_argument("--steps", type=int, default=20)
+    sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    sv.add_argument("--model-dir", default=None)
+    sv.add_argument("--kernels", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas_gn"])
+    sv.add_argument("--log-level", type=int, default=2)
+    sv.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
+    sv.set_defaults(fn=_cmd_serve)
 
     i = sub.add_parser("info", help="print version/backend/config info")
     i.set_defaults(fn=_cmd_info)

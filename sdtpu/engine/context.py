@@ -69,8 +69,10 @@ class Context:
         threads: int = 3,
         seed: int = 0,
         size: Optional[int] = None,
+        fuse_qkv: bool = False,
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
     ) -> None:
+        self.fuse_qkv = fuse_qkv
         if isinstance(config, str):
             config = {"sd15": SD15, "tiny": TINY}[config.lower()]
         if size is not None:
@@ -174,7 +176,10 @@ class Context:
                 self.logger.info(
                     f"int8 PTQ: {count_quantized(params)} matmul sites quantized"
                 )
-            else:
+            elif self.fuse_qkv:
+                # neutral on v5e at SD widths (bench: 0.679 vs 0.657 s/img —
+                # the post-GEMM split costs what the wider GEMM saves);
+                # kept as an option for other shapes/hardware
                 from sdtpu.io.params import fuse_attention_projections
 
                 params = fuse_attention_projections(params)

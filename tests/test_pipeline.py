@@ -137,3 +137,10 @@ def test_single_step_generation(ctx):
     finally:
         ctx.set_steps(4)
         ctx.sampler = "dpm"
+
+
+def test_fuse_qkv_context_option():
+    ctx = sdtpu.Context(config="tiny", steps=2, fuse_qkv=True)
+    assert "qkv" in ctx.params["unet"]["mid"]["st"]["attn1"]
+    img = ctx.generate(PROMPT, seed=0)
+    assert img.shape == (ctx.cfg.image_size, ctx.cfg.image_size, 3)
