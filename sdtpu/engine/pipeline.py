@@ -99,7 +99,12 @@ def denoise(
         x, st = mod.step(plan, i, x, eps, st)
         return (x, st), None
 
-    (x, _), _ = jax.lax.scan(body, (x, state), jnp.arange(steps))
+    # unroll=2: exposes cross-step overlap to the latency-hiding scheduler
+    # (weight prefetch of step i+1 behind the tail of step i)
+    (x, _), _ = jax.lax.scan(
+        body, (x, state), jnp.arange(steps),
+        unroll=2 if steps % 2 == 0 else 1,
+    )
     return x
 
 
