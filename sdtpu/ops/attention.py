@@ -32,9 +32,10 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, kv_blocks: int):
+                  scale: float, kv_blocks: int, kv_len: int = 0):
     """Grid: (batch*heads, q_blocks, kv_blocks). Online softmax over the kv
-    axis; m/l/acc persist in VMEM scratch across kv steps."""
+    axis; m/l/acc persist in VMEM scratch across kv steps. `kv_len` > 0
+    masks key columns past it (cross-attention padded to the 128-lane tile)."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -49,6 +50,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )                                   # [block_q, block_k]
     s = s * scale
+    if kv_len:
+        block_k = k.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + kv_idx * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_ref[...]                # [block_q, 1]
     l_prev = l_ref[...]
@@ -86,8 +92,10 @@ def _pick_block(seq: int, preferred: int) -> int:
     return seq  # fall back: single block
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k"))
-def _flash_mha(q, k, v, heads: int, block_q: int, block_k: int):
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "block_q", "block_k", "kv_pad"))
+def _flash_mha(q, k, v, heads: int, block_q: int, block_k: int,
+               kv_pad: int = 0):
     b, sq, c = q.shape
     sk = k.shape[1]
     d = c // heads
@@ -100,10 +108,15 @@ def _flash_mha(q, k, v, heads: int, block_q: int, block_k: int):
         )
 
     qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
-    kv_blocks = sk // block_k
+    if kv_pad:
+        kh = jnp.pad(kh, ((0, 0), (0, kv_pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, kv_pad), (0, 0)))
+    sk_p = sk + kv_pad
+    kv_blocks = sk_p // block_k
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
+        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks,
+                          kv_len=sk if kv_pad else 0),
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         grid=(b * heads, sq // block_q, kv_blocks),
         in_specs=[
@@ -137,10 +150,14 @@ def flash_attention(q, k, v, heads: int):
     from sdtpu.models.layers import sdpa
 
     sq, sk = q.shape[1], k.shape[1]
-    if sq != sk or sk % 128 != 0 or sq < 512:
+    if sq < 512 or sq % 128 != 0:
         return sdpa(q, k, v, heads, kernel="xla")
     # 1024x1024 swept best on v5e at SD head dims (scores tile 4 MB fp32):
     # 1.7x over 512x512; 2048-wide tiles exceed the VMEM budget
     block_q = _pick_block(sq, 1024)
-    block_k = _pick_block(sk, 1024)
-    return _flash_mha(q, k, v, heads, block_q, block_k)
+    if sq == sk:                       # spatial self-attention
+        return _flash_mha(q, k, v, heads, block_q, _pick_block(sk, 1024))
+    if sk <= 1024:                     # cross-attention: pad kv to one tile
+        sk_p = -(-sk // 128) * 128
+        return _flash_mha(q, k, v, heads, block_q, sk_p, kv_pad=sk_p - sk)
+    return sdpa(q, k, v, heads, kernel="xla")

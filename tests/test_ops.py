@@ -88,3 +88,13 @@ def test_fused_group_norm_no_tracer_leak_across_jits(rng):
     a = np.asarray(f1(x))
     b = np.asarray(f2(x))
     np.testing.assert_allclose(b, a + 1.0, atol=1e-6)
+
+
+def test_flash_attention_cross_padded(rng):
+    """77-token cross attention via the padded-kv flash path must match XLA."""
+    q = jnp.asarray(rng.standard_normal((2, 512, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 77, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 77, 32), dtype=np.float32))
+    ours = np.asarray(attn_ops.flash_attention(q, k, v, 2))
+    ref = np.asarray(L.sdpa(q, k, v, 2, kernel="xla"))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
