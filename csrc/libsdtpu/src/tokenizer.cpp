@@ -34,70 +34,95 @@ void build_byte_encoder(std::string out[256]) {
   }
 }
 
-// Minimal html.unescape (applied twice like the Python side): numeric
-// references + the common named entities. Exotic named entities are passed
-// through unchanged (documented limitation vs Python's full table).
+// html.unescape parity: CPython's charref regex + _replace_charref
+// semantics verbatim (numeric refs with windows-1252 invalid-charref quirks,
+// full HTML5 table incl. the legacy no-semicolon subset, longest-prefix
+// fallback). Tables generated from CPython (unicode_tables.inc).
 std::string html_unescape(const std::string& s) {
-  static const std::pair<const char*, const char*> kNamed[] = {
-      {"amp", "&"}, {"lt", "<"}, {"gt", ">"}, {"quot", "\""},
-      {"apos", "'"}, {"nbsp", "\xC2\xA0"},
-  };
   std::string out;
   out.reserve(s.size());
-  size_t i = 0;
-  while (i < s.size()) {
+  size_t i = 0, n = s.size();
+  auto name_char = [](char c) {
+    return !(c == '\t' || c == '\n' || c == '\f' || c == ' ' || c == '<' ||
+             c == '&' || c == '#' || c == ';');
+  };
+  while (i < n) {
     if (s[i] != '&') {
       out.push_back(s[i++]);
       continue;
     }
-    size_t semi = s.find(';', i + 1);
-    if (semi == std::string::npos || semi - i > 12) {
-      out.push_back(s[i++]);
-      continue;
-    }
-    std::string ent = s.substr(i + 1, semi - i - 1);
-    if (!ent.empty() && ent[0] == '#') {
-      uint32_t cp = 0;
-      bool ok = ent.size() > 1;
-      size_t j = 1;
+    size_t j = i + 1;
+    if (j < n && s[j] == '#') {
+      size_t k = j + 1;
       int base = 10;
-      if (ent.size() > 2 && (ent[1] == 'x' || ent[1] == 'X')) {
+      if (k < n && (s[k] == 'x' || s[k] == 'X')) {
         base = 16;
-        j = 2;
+        ++k;
       }
-      for (; j < ent.size() && ok; ++j) {
-        char c = ent[j];
+      size_t dstart = k;
+      unsigned long long num = 0;
+      bool overflow = false;
+      while (k < n) {
+        char c = s[k];
         int d;
         if (c >= '0' && c <= '9') d = c - '0';
         else if (base == 16 && c >= 'a' && c <= 'f') d = c - 'a' + 10;
         else if (base == 16 && c >= 'A' && c <= 'F') d = c - 'A' + 10;
-        else { ok = false; break; }
-        cp = cp * base + d;
+        else break;
+        num = num * base + d;
+        if (num > 0x7FFFFFFFULL) overflow = true;
+        ++k;
       }
-      if (ok && cp && cp < 0x110000) {
-        utf8_append(out, cp);
-        i = semi + 1;
+      if (k == dstart) {  // "&#" with no digits: not a charref match
+        out.push_back(s[i++]);
         continue;
       }
-    } else {
-      for (auto& [name, rep] : kNamed) {
-        if (ent == name) {
-          out += rep;
-          ent.clear();
-          break;
-        }
+      if (k < n && s[k] == ';') ++k;
+      if (const char* r = overflow ? nullptr : invalid_charref(uint32_t(num))) {
+        out += r;
+      } else if (overflow || num > 0x10FFFF ||
+                 (num >= 0xD800 && num <= 0xDFFF)) {
+        out += "\xEF\xBF\xBD";  // U+FFFD
+      } else if (invalid_codepoint(uint32_t(num))) {
+        // dropped
+      } else {
+        utf8_append(out, uint32_t(num));
       }
-      if (ent.empty()) {
-        i = semi + 1;
-        continue;
+      i = k;
+      continue;
+    }
+    size_t k = j;
+    while (k < n && k - j < 32 && name_char(s[k])) ++k;
+    if (k == j) {  // bare '&'
+      out.push_back(s[i++]);
+      continue;
+    }
+    bool semi = (k < n && s[k] == ';');
+    std::string name = s.substr(j, k - j + (semi ? 1 : 0));
+    size_t match_end = j + name.size();
+    if (const char* r = entity_lookup(name)) {
+      out += r;
+      i = match_end;
+      continue;
+    }
+    bool replaced = false;
+    for (size_t x = name.size() - 1; x >= 2; --x) {
+      if (const char* r = entity_lookup(name.substr(0, x))) {
+        out += r;
+        out.append(name, x, std::string::npos);
+        replaced = true;
+        break;
       }
     }
-    out.push_back(s[i++]);
+    if (!replaced) {
+      out.push_back('&');
+      out += name;
+    }
+    i = match_end;
+    continue;
   }
   return out;
 }
-
-const char* kContractions[] = {"'s", "'t", "'re", "'ve", "'m", "'ll", "'d"};
 
 // does cps[i] start a contraction? returns its codepoint length or 0
 size_t contraction_len(const std::vector<uint32_t>& cps, size_t i) {

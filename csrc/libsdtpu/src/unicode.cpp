@@ -95,4 +95,30 @@ void to_lower(uint32_t cp, std::vector<uint32_t>& out) {
   }
 }
 
+const char* invalid_charref(uint32_t cp) {
+  size_t lo = 0, hi = kInvalidCharrefs_len;
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (kInvalidCharrefs[mid].cp == cp) return kInvalidCharrefs[mid].utf8;
+    if (kInvalidCharrefs[mid].cp < cp) lo = mid + 1; else hi = mid;
+  }
+  return nullptr;
+}
+
+bool invalid_codepoint(uint32_t cp) {
+  return std::binary_search(kInvalidCodepoints,
+                            kInvalidCodepoints + kInvalidCodepoints_len, cp);
+}
+
+const char* entity_lookup(const std::string& name) {
+  size_t lo = 0, hi = kEntities_len;
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    int c = name.compare(kEntities[mid].name);
+    if (c == 0) return kEntities[mid].utf8;
+    if (c < 0) hi = mid; else lo = mid + 1;
+  }
+  return nullptr;
+}
+
 }  // namespace sdtpu

@@ -18,5 +18,12 @@ bool is_number(uint32_t cp);
 bool is_space(uint32_t cp);
 // Append the lowercase expansion of cp (1..3 codepoints, Python str.lower()).
 void to_lower(uint32_t cp, std::vector<uint32_t>& out);
+// HTML5 named entity, key EXACTLY as CPython stores it (may include the
+// trailing ';') -> UTF-8 replacement, or nullptr.
+const char* entity_lookup(const std::string& name);
+// CPython html._invalid_charrefs (windows-1252 quirks): cp -> utf8 or nullptr
+const char* invalid_charref(uint32_t cp);
+// CPython html._invalid_codepoints: replaced with the empty string
+bool invalid_codepoint(uint32_t cp);
 
 }  // namespace sdtpu

@@ -51,6 +51,8 @@ PROMPTS = [
     "日本語のテキスト",
     "mixed 日本 and english",
     "a&amp;b &#65; &#x42;",
+    "x&copy;y &hellip; &mdash; &eacute;t&eacute; &nleqslant; &notanentity; &lt",
+    "&#147;quoted&#148; &#x1F600; &#0; &#xD800; &#999999999; &# &",
     "quote's and can't and we're and I'm and you'll and he'd and they've",
     "'s at start",
     "numbers 0 1 22 333 4444",
