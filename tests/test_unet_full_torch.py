@@ -1,0 +1,187 @@
+"""Whole-UNet golden test: assemble the full SD-topology UNet in torch
+(TINY config), load OUR weights into it, and compare end-to-end outputs.
+Catches assembly-order bugs (skip-connection stack, down/upsample placement)
+that per-block parity tests cannot see."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from sdtpu.config import TINY
+from sdtpu.models import unet
+
+
+def j2t(a):
+    return torch.from_numpy(np.array(a, np.float32, copy=True))
+
+
+def conv_t(p):
+    m = torch.nn.Conv2d(p["w"].shape[2], p["w"].shape[3],
+                        p["w"].shape[0], padding=p["w"].shape[0] // 2)
+    m.weight.data = j2t(p["w"]).permute(3, 2, 0, 1)
+    m.bias.data = j2t(p["b"])
+    return m
+
+
+def lin_t(p):
+    m = torch.nn.Linear(p["w"].shape[0], p["w"].shape[1],
+                        bias="b" in p)
+    m.weight.data = j2t(p["w"]).T
+    if "b" in p:
+        m.bias.data = j2t(p["b"])
+    return m
+
+
+class ResBlockT(torch.nn.Module):
+    def __init__(self, p, groups):
+        super().__init__()
+        self.g = groups
+        self.n1s, self.n1b = j2t(p["norm1"]["scale"]), j2t(p["norm1"]["bias"])
+        self.c1 = conv_t(p["conv1"])
+        self.e = lin_t(p["emb"])
+        self.n2s, self.n2b = j2t(p["norm2"]["scale"]), j2t(p["norm2"]["bias"])
+        self.c2 = conv_t(p["conv2"])
+        self.skip = conv_t(p["skip"]) if "skip" in p else None
+
+    def forward(self, x, emb):
+        F = torch.nn.functional
+        h = self.c1(F.silu(F.group_norm(x, self.g, self.n1s, self.n1b)))
+        h = h + self.e(F.silu(emb))[:, :, None, None]
+        h = self.c2(F.silu(F.group_norm(h, self.g, self.n2s, self.n2b)))
+        return (self.skip(x) if self.skip else x) + h
+
+
+class STBlockT(torch.nn.Module):
+    def __init__(self, p, heads, groups):
+        super().__init__()
+        self.h = heads
+        self.g = groups
+        self.ns, self.nb = j2t(p["norm"]["scale"]), j2t(p["norm"]["bias"])
+        self.proj_in = conv_t(p["proj_in"])
+        self.ln1 = (j2t(p["ln1"]["scale"]), j2t(p["ln1"]["bias"]))
+        self.q1, self.k1, self.v1 = (lin_t(p["attn1"][k]) for k in "qkv")
+        self.o1 = lin_t(p["attn1"]["out"])
+        self.ln2 = (j2t(p["ln2"]["scale"]), j2t(p["ln2"]["bias"]))
+        self.q2, self.k2, self.v2 = (lin_t(p["attn2"][k]) for k in "qkv")
+        self.o2 = lin_t(p["attn2"]["out"])
+        self.ln3 = (j2t(p["ln3"]["scale"]), j2t(p["ln3"]["bias"]))
+        self.ff1 = lin_t(p["ff1"])
+        self.ff2 = lin_t(p["ff2"])
+        self.proj_out = conv_t(p["proj_out"])
+
+    def _attn(self, q, k, v):
+        F = torch.nn.functional
+        b, tq, c = q.shape
+        d = c // self.h
+        q = q.view(b, tq, self.h, d).transpose(1, 2)
+        k = k.view(b, -1, self.h, d).transpose(1, 2)
+        v = v.view(b, -1, self.h, d).transpose(1, 2)
+        return (F.scaled_dot_product_attention(q, k, v)
+                .transpose(1, 2).reshape(b, tq, c))
+
+    def forward(self, x, ctx):
+        F = torch.nn.functional
+        b, c, hh, ww = x.shape
+        h = self.proj_in(F.group_norm(x, self.g, self.ns, self.nb, eps=1e-6))
+        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        hn = F.layer_norm(h, (c,), *self.ln1)
+        h = h + self.o1(self._attn(self.q1(hn), self.k1(hn), self.v1(hn)))
+        hn = F.layer_norm(h, (c,), *self.ln2)
+        h = h + self.o2(self._attn(self.q2(hn), self.k2(ctx), self.v2(ctx)))
+        hn = F.layer_norm(h, (c,), *self.ln3)
+        a, g = self.ff1(hn).chunk(2, dim=-1)
+        h = h + self.ff2(a * F.gelu(g))
+        h = h.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+        return x + self.proj_out(h)
+
+
+class UNetT(torch.nn.Module):
+    def __init__(self, params, cfg):
+        super().__init__()
+        self.cfg = cfg
+        ml = torch.nn.ModuleList
+        self.conv_in = conv_t(params["conv_in"])
+        self.down = []
+        for level in params["down"]:
+            blocks = [
+                (ResBlockT(b["res"], cfg.groups),
+                 STBlockT(b["st"], cfg.num_heads, cfg.groups)
+                 if "st" in b else None)
+                for b in level["blocks"]
+            ]
+            self.down.append(
+                (blocks, conv_t(level["down"]) if "down" in level else None))
+        m = params["mid"]
+        self.mid = (ResBlockT(m["res1"], cfg.groups),
+                    STBlockT(m["st"], cfg.num_heads, cfg.groups),
+                    ResBlockT(m["res2"], cfg.groups))
+        self.up = []
+        for level in params["up"]:
+            blocks = [
+                (ResBlockT(b["res"], cfg.groups),
+                 STBlockT(b["st"], cfg.num_heads, cfg.groups)
+                 if "st" in b else None)
+                for b in level["blocks"]
+            ]
+            self.up.append(
+                (blocks, conv_t(level["up"]) if "up" in level else None))
+        self.ons, self.onb = (j2t(params["out_norm"]["scale"]),
+                              j2t(params["out_norm"]["bias"]))
+        self.conv_out = conv_t(params["conv_out"])
+
+    def forward(self, x, emb, ctx):
+        F = torch.nn.functional
+        h = self.conv_in(x)
+        skips = [h]
+        for blocks, down in self.down:
+            for res, st in blocks:
+                h = res(h, emb)
+                if st is not None:
+                    h = st(h, ctx)
+                skips.append(h)
+            if down is not None:
+                # stride-2 conv with padding 1 (our conv2d(stride=2, padding=1))
+                h = F.conv2d(h, down.weight, down.bias, stride=2, padding=1)
+                skips.append(h)
+        r1, st, r2 = self.mid
+        h = r2(st(r1(h, emb), ctx), emb)
+        for blocks, up in self.up:
+            for res, st_b in blocks:
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = res(h, emb)
+                if st_b is not None:
+                    h = st_b(h, ctx)
+            if up is not None:
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = up(h)
+        h = F.silu(F.group_norm(h, self.cfg.groups, self.ons, self.onb))
+        return self.conv_out(h)
+
+
+def test_full_unet_matches_torch_assembly():
+    cfg = TINY.unet
+    params = jax.tree.map(
+        np.asarray,
+        unet.init(jax.random.PRNGKey(7), cfg, zero_init_outs=False),
+    )
+    tm = UNetT(params, cfg).eval()
+
+    rng = np.random.default_rng(0)
+    s = TINY.latent_size
+    x = rng.standard_normal((2, s, s, cfg.in_channels)).astype(np.float32)
+    emb = rng.standard_normal((2, cfg.time_embed_dim)).astype(np.float32)
+    ctx = rng.standard_normal(
+        (2, TINY.clip.context_len, cfg.context_dim)).astype(np.float32)
+
+    ours = np.asarray(unet.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x), jnp.asarray(emb),
+        jnp.asarray(ctx), cfg))
+    with torch.no_grad():
+        theirs = tm(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(emb),
+            torch.from_numpy(ctx),
+        ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
