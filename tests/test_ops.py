@@ -90,8 +90,10 @@ def test_fused_group_norm_no_tracer_leak_across_jits(rng):
     np.testing.assert_allclose(b, a + 1.0, atol=1e-6)
 
 
-def test_flash_attention_cross_padded(rng):
-    """77-token cross attention via the padded-kv flash path must match XLA."""
+def test_flash_attention_cross_padded(rng, monkeypatch):
+    """77-token cross attention via the padded-kv flash path must match XLA
+    (path off by default — slower in-program on v5e — but kept correct)."""
+    monkeypatch.setattr(attn_ops, "CROSS_FLASH", True)
     q = jnp.asarray(rng.standard_normal((2, 512, 32), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((2, 77, 32), dtype=np.float32))
     v = jnp.asarray(rng.standard_normal((2, 77, 32), dtype=np.float32))
