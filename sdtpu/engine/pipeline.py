@@ -44,8 +44,13 @@ def encode_text(params, tokens, cfg: PipelineConfig):
 
 def decode_latents(params, x, cfg: PipelineConfig):
     """Scaled latents [B,h,w,4] -> uint8 RGB [B,H,W,3] (clamp(255*(img+1)/2),
-    reference: context.cpp:392-395 does clamp(255*f) on its 0..1 output)."""
-    img = vae.apply(params["vae"], x / cfg.vae.scale_factor, cfg.vae)
+    reference: context.cpp:392-395 does clamp(255*f) on its 0..1 output).
+
+    The latents arrive f32 from the sampler; cast to the compute dtype here —
+    conv2d follows its input dtype, and an f32-input VAE runs multi-pass on
+    the MXU."""
+    z = (x / cfg.vae.scale_factor).astype(cfg.compute_dtype)
+    img = vae.apply(params["vae"], z, cfg.vae)
     img = (img.astype(jnp.float32) + 1.0) * 127.5
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
