@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import statistics
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

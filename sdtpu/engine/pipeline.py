@@ -27,7 +27,6 @@ std::mt19937 latent sampling (context.cpp:333-334).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ checkpoint export.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 
@@ -274,8 +274,6 @@ def _tree_get(tree, path):
 
 def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True):
     """LDM-named {key: np.ndarray} -> pipeline param pytree (numpy leaves)."""
-    import jax
-
     params: dict = {}
     missing = []
     for rule in all_rules(cfg):

@@ -23,8 +23,6 @@ sequence axis so self-attention at 64x64 is a 4096-token problem (9216 at
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -98,7 +98,6 @@ def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
         kernels=kernels,
     )
     rep = NamedSharding(mesh, P())
-    dummy_params_spec = None  # resolved at first call via shard_map of specs
 
     def in_shardings(params):
         pspecs = param_pspecs(params, model_size)

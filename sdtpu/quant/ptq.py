@@ -28,11 +28,8 @@ sharding, and engine need no changes.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 #: param-dict key sets
 QUANT_PARENTS = ("q", "k", "v", "out", "ff1", "ff2", "fc1", "fc2")
