@@ -70,9 +70,17 @@ class Context:
         seed: int = 0,
         size: Optional[int] = None,
         fuse_qkv: bool = False,
+        mesh: Optional[tuple[int, int]] = None,
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
     ) -> None:
         self.fuse_qkv = fuse_qkv
+        self.mesh = None
+        if mesh is not None:
+            # multi-chip serving: (data, model) mesh — DP over the prompt
+            # batch, TP over the transformer matmuls (sdtpu.parallel)
+            from sdtpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(data=mesh[0], model=mesh[1])
         if isinstance(config, str):
             config = {"sd15": SD15, "tiny": TINY}[config.lower()]
         if size is not None:
@@ -183,6 +191,10 @@ class Context:
                 from sdtpu.io.params import fuse_attention_projections
 
                 params = fuse_attention_projections(params)
+            if self.mesh is not None:
+                from sdtpu.parallel.sharding import shard_params
+
+                params = shard_params(params, self.mesh)
             self.params = params
         except SdtpuError:
             self._failed = True
@@ -248,9 +260,23 @@ class Context:
         key = (batch, self.steps, self.sampler, use_cfg)
         fn = self._gen_cache.get(key)
         if fn is None:
-            fn = jit_generate(
-                self.cfg, self.sampler, self.steps, use_cfg, self.kernels
-            )
+            if self.mesh is not None:
+                from sdtpu.parallel.sharding import jit_generate_sharded
+
+                if batch % self.mesh.shape["data"]:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"batch {batch} not divisible by data axis "
+                        f"{self.mesh.shape['data']}", self.errors,
+                    )
+                fn = jit_generate_sharded(
+                    self.cfg, self.mesh, self.sampler, self.steps, use_cfg,
+                    self.kernels,
+                )(self.params)
+            else:
+                fn = jit_generate(
+                    self.cfg, self.sampler, self.steps, use_cfg, self.kernels
+                )
             self._gen_cache[key] = fn
         return fn
 

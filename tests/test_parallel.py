@@ -81,3 +81,24 @@ def test_sharded_generate_matches_single_device(params):
     assert np.abs(a - b).max() <= 1, f"max LSB diff {np.abs(a-b).max()}"
     # and the sharded run actually used the mesh
     assert len(fn(sp, tokens, uncond, key, g).devices()) == 8
+
+
+def test_context_with_mesh_matches_single_device():
+    """Context(mesh=(2,4)): multi-chip serving through the same API — images
+    match the single-device context to 1 uint8 LSB."""
+    import sdtpu
+
+    ctx1 = sdtpu.Context(config="tiny", steps=3)
+    ctx8 = sdtpu.Context(config="tiny", steps=3, mesh=(2, 4))
+    assert len(jax.tree.leaves(ctx8.params)[3].devices()) == 8
+    prompts = ["the horse", "a photograph"]
+    a = ctx1.generate(prompts, guidance=7.5, seed=4)
+    b = ctx8.generate(prompts, guidance=7.5, seed=4)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # indivisible batch -> clean error
+    import pytest as _pytest
+
+    from sdtpu.engine.errors import SdtpuError
+
+    with _pytest.raises(SdtpuError):
+        ctx8.generate(["one"], guidance=7.5, seed=0)
