@@ -183,7 +183,7 @@ def main(argv=None) -> int:
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
-    g.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    g.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
     g.add_argument("--kernels", default="auto",
@@ -200,7 +200,7 @@ def main(argv=None) -> int:
     g.set_defaults(fn=_cmd_generate)
 
     b = sub.add_parser("bench", help="per-part steady-state benchmark")
-    b.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    b.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     b.add_argument("--warmup", type=int, default=20)
     b.add_argument("--iters", type=int, default=100)
     b.add_argument("--steps", type=int, default=20)
@@ -218,7 +218,7 @@ def main(argv=None) -> int:
     pr = sub.add_parser("profile", help="per-op device profile of one part")
     pr.add_argument("--part", default="unet",
                     choices=["temb", "text_encoder", "unet", "vae_decoder"])
-    pr.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    pr.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     pr.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     pr.add_argument("--top", type=int, default=15)
@@ -229,7 +229,7 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=_cmd_profile)
 
     w = sub.add_parser("sweep", help="sampler/steps/CFG/size config sweep")
-    w.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    w.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     w.add_argument("--iters", type=int, default=3)
     w.add_argument("--sizes", default="512,768")
     w.add_argument("--steps-list", default="10,20,50")
@@ -252,7 +252,7 @@ def main(argv=None) -> int:
     sv = sub.add_parser("serve", help="HTTP txt2img service")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
-    sv.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    sv.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     sv.add_argument("--steps", type=int, default=20)
     sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
     sv.add_argument("--model-dir", default=None)

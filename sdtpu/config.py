@@ -26,6 +26,8 @@ class CLIPConfig:
     context_len: int = 77
     # SD v1.x uses the final-layer-norm output of the full stack
     eps: float = 1e-5
+    act: str = "quick_gelu"      # SD2 (OpenCLIP ViT-H) uses "gelu"
+    penultimate: bool = False    # SD2: skip the last block, then final LN
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +39,7 @@ class UNetConfig:
     num_res_blocks: int = 2
     attn_levels: Tuple[int, ...] = (0, 1, 2)   # levels with spatial transformers
     num_heads: int = 8
+    head_dim: int = 0            # SD2: heads = channels // head_dim (64)
     context_dim: int = 768
     time_embed_dim: int = 1280                 # = 4 * model_channels
     groups: int = 32
@@ -63,6 +66,7 @@ class PipelineConfig:
     upscale: int = 8          # VAE upsampling factor (reference: simple_app.cpp:9-11)
     dtype: str = "bfloat16"   # activation/compute dtype on TPU
     param_dtype: str = "float32"
+    prediction: str = "eps"   # "eps" (SD1.x/2.0-base) | "v" (SD2.x 768-v)
 
     @property
     def image_size(self) -> int:
@@ -74,6 +78,19 @@ class PipelineConfig:
 
 
 SD15 = PipelineConfig()
+
+# Stable Diffusion 2.1 (768-v): OpenCLIP ViT-H text tower (penultimate layer,
+# GELU), head_dim-64 UNet attention, v-prediction objective, 768x768 output.
+SD21 = PipelineConfig(
+    clip=CLIPConfig(hidden=1024, layers=23, heads=16, act="gelu",
+                    penultimate=False),  # 23 = 24 - 1, penultimate pre-cut
+    unet=UNetConfig(num_heads=0, head_dim=64, context_dim=1024),
+    latent_size=96,
+    prediction="v",
+)
+
+# SD 2.1-base (512, eps-prediction), same towers
+SD21_BASE = dataclasses.replace(SD21, latent_size=64, prediction="eps")
 
 # Tiny config for CPU-backend tests: same topology, ~1000x fewer FLOPs.
 TINY = PipelineConfig(

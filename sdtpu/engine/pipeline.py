@@ -97,6 +97,11 @@ def denoise(
         eps = unet.apply(
             params["unet"], x_in, te, context, cfg.unet, kernels
         ).astype(jnp.float32)
+        if cfg.prediction == "v":
+            # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
+            # => eps = alpha*v + sigma*x_t (per half of the CFG batch)
+            x_rep = jnp.concatenate([x, x], 0) if use_cfg else x
+            eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
         if use_cfg:
             g = jnp.float32(guidance)
             eps = g * eps[:b] + (1.0 - g) * eps[b:]

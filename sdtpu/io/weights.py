@@ -209,8 +209,92 @@ def vae_rules(cfg: PipelineConfig) -> list[Rule]:
     return rules
 
 
-def all_rules(cfg: PipelineConfig) -> list[Rule]:
-    return unet_rules(cfg) + clip_rules(cfg) + vae_rules(cfg)
+def all_rules(cfg: PipelineConfig, include_clip: bool = True) -> list[Rule]:
+    rules = unet_rules(cfg) + vae_rules(cfg)
+    if include_clip:
+        rules += clip_rules(cfg)
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP text tower (SD 2.x checkpoints: cond_stage_model.model.*)
+# ---------------------------------------------------------------------------
+
+OPENCLIP_PREFIX = "cond_stage_model.model."
+
+
+def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig) -> dict:
+    """SD 2.x LDM keys (OpenCLIP naming, fused in_proj qkv) -> our clip tree.
+
+    Checkpoints carry the full 24-block tower; cfg.clip.layers selects how
+    many to load (SD2 consumes the penultimate layer, so SD21 uses 23)."""
+    pre = OPENCLIP_PREFIX
+    d = cfg.clip.hidden
+
+    def t(name):
+        return np.asarray(tensors[pre + name], np.float32)
+
+    params = {
+        "token_embedding": t("token_embedding.weight"),
+        "position_embedding": t("positional_embedding"),
+        "final_ln": {"scale": t("ln_final.weight"), "bias": t("ln_final.bias")},
+        "blocks": [],
+    }
+    for i in range(cfg.clip.layers):
+        b = f"transformer.resblocks.{i}."
+        in_w = t(b + "attn.in_proj_weight")   # [3d, d] torch layout
+        in_b = t(b + "attn.in_proj_bias")     # [3d]
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+        params["blocks"].append({
+            "ln1": {"scale": t(b + "ln_1.weight"), "bias": t(b + "ln_1.bias")},
+            "q": {"w": np.ascontiguousarray(qw.T), "b": qb},
+            "k": {"w": np.ascontiguousarray(kw.T), "b": kb},
+            "v": {"w": np.ascontiguousarray(vw.T), "b": vb},
+            "out": {"w": np.ascontiguousarray(t(b + "attn.out_proj.weight").T),
+                    "b": t(b + "attn.out_proj.bias")},
+            "ln2": {"scale": t(b + "ln_2.weight"), "bias": t(b + "ln_2.bias")},
+            "fc1": {"w": np.ascontiguousarray(t(b + "mlp.c_fc.weight").T),
+                    "b": t(b + "mlp.c_fc.bias")},
+            "fc2": {"w": np.ascontiguousarray(t(b + "mlp.c_proj.weight").T),
+                    "b": t(b + "mlp.c_proj.bias")},
+        })
+    return params
+
+
+def tree_to_openclip_text(clip_params, cfg: PipelineConfig) -> dict:
+    """Inverse of openclip_text_to_tree (round-trip tests / export)."""
+    pre = OPENCLIP_PREFIX
+    out = {
+        pre + "token_embedding.weight": np.asarray(
+            clip_params["token_embedding"], np.float32),
+        pre + "positional_embedding": np.asarray(
+            clip_params["position_embedding"], np.float32),
+        pre + "ln_final.weight": np.asarray(
+            clip_params["final_ln"]["scale"], np.float32),
+        pre + "ln_final.bias": np.asarray(
+            clip_params["final_ln"]["bias"], np.float32),
+    }
+    for i, blk in enumerate(clip_params["blocks"]):
+        b = f"{pre}transformer.resblocks.{i}."
+        qw = np.asarray(blk["q"]["w"], np.float32).T
+        kw = np.asarray(blk["k"]["w"], np.float32).T
+        vw = np.asarray(blk["v"]["w"], np.float32).T
+        out[b + "attn.in_proj_weight"] = np.concatenate([qw, kw, vw], 0)
+        out[b + "attn.in_proj_bias"] = np.concatenate(
+            [np.asarray(blk[k]["b"], np.float32) for k in "qkv"], 0)
+        out[b + "attn.out_proj.weight"] = np.asarray(
+            blk["out"]["w"], np.float32).T
+        out[b + "attn.out_proj.bias"] = np.asarray(blk["out"]["b"], np.float32)
+        out[b + "ln_1.weight"] = np.asarray(blk["ln1"]["scale"], np.float32)
+        out[b + "ln_1.bias"] = np.asarray(blk["ln1"]["bias"], np.float32)
+        out[b + "ln_2.weight"] = np.asarray(blk["ln2"]["scale"], np.float32)
+        out[b + "ln_2.bias"] = np.asarray(blk["ln2"]["bias"], np.float32)
+        out[b + "mlp.c_fc.weight"] = np.asarray(blk["fc1"]["w"], np.float32).T
+        out[b + "mlp.c_fc.bias"] = np.asarray(blk["fc1"]["b"], np.float32)
+        out[b + "mlp.c_proj.weight"] = np.asarray(blk["fc2"]["w"], np.float32).T
+        out[b + "mlp.c_proj.bias"] = np.asarray(blk["fc2"]["b"], np.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -273,10 +357,17 @@ def _tree_get(tree, path):
 # ---------------------------------------------------------------------------
 
 def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True):
-    """LDM-named {key: np.ndarray} -> pipeline param pytree (numpy leaves)."""
+    """LDM-named {key: np.ndarray} -> pipeline param pytree (numpy leaves).
+
+    Auto-detects the text-tower format: SD 1.x checkpoints use HF-CLIP naming
+    (``cond_stage_model.transformer.*``), SD 2.x use OpenCLIP naming
+    (``cond_stage_model.model.*`` with fused in_proj qkv)."""
+    openclip = any(k.startswith(OPENCLIP_PREFIX) for k in tensors)
     params: dict = {}
+    if openclip:
+        params["clip"] = openclip_text_to_tree(tensors, cfg)
     missing = []
-    for rule in all_rules(cfg):
+    for rule in all_rules(cfg, include_clip=not openclip):
         for ldm_suffix, ours in _SUFFIX[rule.kind]:
             key = f"{rule.ldm}.{ldm_suffix}"
             if key not in tensors:

@@ -50,7 +50,7 @@ def init(key, cfg: CLIPConfig):
     return params
 
 
-def _encoder_block(blk, x, heads, eps, causal):
+def _encoder_block(blk, x, heads, eps, causal, act=quick_gelu):
     from sdtpu.models.layers import sdpa
 
     h = layer_norm(blk["ln1"], x, eps)
@@ -60,15 +60,26 @@ def _encoder_block(blk, x, heads, eps, causal):
     a = causal_sdpa(q, k, v, heads) if causal else sdpa(q, k, v, heads)
     x = x + dense(blk["out"], a)
     h = layer_norm(blk["ln2"], x, eps)
-    return x + dense(blk["fc2"], quick_gelu(dense(blk["fc1"], h)))
+    return x + dense(blk["fc2"], act(dense(blk["fc1"], h)))
 
 
 def apply(params, tokens, cfg: CLIPConfig, dtype=jnp.float32):
-    """tokens: [B, T] int32 -> [B, T, hidden] last hidden state (post final LN)."""
+    """tokens: [B, T] int32 -> [B, T, hidden] hidden state (post final LN).
+
+    ``cfg.penultimate`` skips the last transformer block before the final LN
+    (SD2's OpenCLIP convention); ``cfg.act`` selects quick-GELU (SD1.x) vs
+    GELU (SD2)."""
+    import jax.nn
+
+    act = quick_gelu if cfg.act == "quick_gelu" else (
+        lambda h: jax.nn.gelu(h, approximate=False))
     x = params["token_embedding"][tokens].astype(dtype)
     x = x + params["position_embedding"][: tokens.shape[-1]].astype(dtype)
-    for blk in params["blocks"]:
-        x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True)
+    blocks = params["blocks"]
+    if cfg.penultimate:
+        blocks = blocks[:-1]
+    for blk in blocks:
+        x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True, act=act)
     return layer_norm(params["final_ln"], x, cfg.eps)
 
 

@@ -189,6 +189,8 @@ def _resblock(p, x, emb, groups, kernels="xla"):
 def _transformer(p, x, context, heads, groups, kernels):
     attn_kernel = "pallas" if kernels in ("pallas", "pallas_gn") else "xla"
     b, hh, ww, c = x.shape
+    if heads <= 0:
+        raise ValueError("heads must resolve to a positive count")
     h = _gn(p["norm"], x, groups, 1e-6, False, kernels)
     h = conv2d(p["proj_in"], h, padding=0)
     h = h.reshape(b, hh * ww, c)
@@ -226,6 +228,12 @@ def _upsample_nearest(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _heads(cfg: UNetConfig, c: int) -> int:
+    """SD1.x: fixed head count; SD2.x: fixed head DIM (heads = C / head_dim,
+    so the count grows with channel width)."""
+    return c // cfg.head_dim if cfg.head_dim else cfg.num_heads
+
+
 def apply(
     params,
     x,
@@ -246,8 +254,8 @@ def apply(
         for blk in level["blocks"]:
             h = _resblock(blk["res"], h, t_emb, g, kernels)
             if "st" in blk:
-                h = _transformer(blk["st"], h, context, cfg.num_heads, g,
-                                 kernels)
+                h = _transformer(blk["st"], h, context,
+                                 _heads(cfg, h.shape[-1]), g, kernels)
             skips.append(h)
         if "down" in level:
             h = conv2d(level["down"], h, stride=2)
@@ -255,7 +263,8 @@ def apply(
 
     mid = params["mid"]
     h = _resblock(mid["res1"], h, t_emb, g, kernels)
-    h = _transformer(mid["st"], h, context, cfg.num_heads, g, kernels)
+    h = _transformer(mid["st"], h, context, _heads(cfg, h.shape[-1]), g,
+                     kernels)
     h = _resblock(mid["res2"], h, t_emb, g, kernels)
 
     for level in params["up"]:
@@ -263,8 +272,8 @@ def apply(
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = _resblock(blk["res"], h, t_emb, g, kernels)
             if "st" in blk:
-                h = _transformer(blk["st"], h, context, cfg.num_heads, g,
-                                 kernels)
+                h = _transformer(blk["st"], h, context,
+                                 _heads(cfg, h.shape[-1]), g, kernels)
         if "up" in level:
             h = _upsample_nearest(h)
             h = conv2d(level["up"], h)

@@ -25,6 +25,15 @@ class Plan(NamedTuple):
     sqrt_abar_prev: jnp.ndarray   # [steps]
     sqrt_1m_abar_prev: jnp.ndarray
 
+    # uniform marginal accessors at each step's start time (v-pred support)
+    @property
+    def alpha_s(self):
+        return self.sqrt_abar
+
+    @property
+    def sigma_s(self):
+        return self.sqrt_1m_abar
+
 
 class State(NamedTuple):
     # DDIM is single-step; keep a dummy field so the interface is uniform.

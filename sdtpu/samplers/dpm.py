@@ -26,6 +26,7 @@ class Plan(NamedTuple):
     """Per-step coefficient tables; every field has shape [steps]."""
 
     model_t: jnp.ndarray     # UNet-facing timestep at the step's start time
+    alpha_s: jnp.ndarray      # alpha(t_s)   (v-prediction conversion)
     inv_alpha_s: jnp.ndarray  # 1 / alpha(t_s)          (data-pred)
     sigma_s: jnp.ndarray      # sigma(t_s)              (data-pred)
     sigma_ratio: jnp.ndarray  # sigma(t_next)/sigma(t_s)
@@ -51,6 +52,7 @@ def plan(schedule: NoiseSchedule, steps: int) -> Plan:
     i2r[0] = 0.0                                  # step 0: pure 1st order
     return Plan(
         model_t=to_f32(model_t),
+        alpha_s=to_f32(alpha[:-1]),
         inv_alpha_s=to_f32(1.0 / alpha[:-1]),
         sigma_s=to_f32(sigma[:-1]),
         sigma_ratio=to_f32(sigma[1:] / sigma[:-1]),

@@ -36,6 +36,15 @@ class Plan(NamedTuple):
     sqrt_1m_abar_prev: jnp.ndarray
     ab_coef: jnp.ndarray  # [steps, 4] Adams-Bashforth weights for (e, e1, e2, e3)
 
+    # uniform marginal accessors at each step's start time (v-pred support)
+    @property
+    def alpha_s(self):
+        return self.sqrt_abar
+
+    @property
+    def sigma_s(self):
+        return self.sqrt_1m_abar
+
 
 class State(NamedTuple):
     e1: jnp.ndarray

@@ -100,3 +100,44 @@ def test_load_from_safetensors_file(params, tmp_path):
     loaded = load_pipeline_params(tmp_path, TINY)
     a = np.asarray(params["unet"]["conv_in"]["w"])
     np.testing.assert_array_equal(a, loaded["unet"]["conv_in"]["w"])
+
+
+def test_openclip_text_roundtrip():
+    """SD 2.x text-tower mapping: our tree -> OpenCLIP LDM keys (fused
+    in_proj) -> tree, exact; and the full SD2-style state dict loads."""
+    import dataclasses
+
+    from sdtpu.config import CLIPConfig
+    from sdtpu.io.weights import (
+        load_ldm_state_dict,
+        openclip_text_to_tree,
+        tree_to_openclip_text,
+    )
+    from sdtpu.models import clip as clip_mod
+
+    cfg2 = dataclasses.replace(
+        TINY, clip=CLIPConfig(vocab_size=100, hidden=32, layers=2, heads=2,
+                              context_len=16, act="gelu"))
+    params = init_pipeline_params(jax.random.PRNGKey(5), cfg2)
+    clip_np = jax.tree.map(np.asarray, params["clip"])
+    sd_text = tree_to_openclip_text(clip_np, cfg2)
+    assert "cond_stage_model.model.transformer.resblocks.0.attn.in_proj_weight" in sd_text
+    back = openclip_text_to_tree(sd_text, cfg2)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(clip_np)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+    # full SD2-style checkpoint: openclip text + standard unet/vae keys
+    sd_full = dict(sd_text)
+    sd_full.update({k: v for k, v in params_to_ldm(
+        jax.tree.map(np.asarray, params), cfg2).items()
+        if not k.startswith("cond_stage_model.")})
+    loaded = load_ldm_state_dict(sd_full, cfg2)
+    a = clip_mod.apply(jax.tree.map(jnp.asarray, loaded["clip"]),
+                       jnp.arange(16, dtype=jnp.int32)[None], cfg2.clip)
+    b = clip_mod.apply(params["clip"],
+                       jnp.arange(16, dtype=jnp.int32)[None], cfg2.clip)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
