@@ -73,9 +73,10 @@ def _cmd_bench(args) -> int:
     _select_platform(args.platform)
     from sdtpu.bench.analyze import analyze
     from sdtpu.bench.runner import benchmark_parts
-    from sdtpu.config import SD15, TINY
+    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
 
-    cfg = {"sd15": SD15, "tiny": TINY}[args.config]
+    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
+           "tiny": TINY}[args.config]
     parts = args.parts.split(",") if args.parts else None
     summary = benchmark_parts(
         cfg, warmup=args.warmup, iters=args.iters, parts=parts,
@@ -100,10 +101,11 @@ def _cmd_profile(args) -> int:
 
     from sdtpu.bench.runner import _part_specs
     from sdtpu.bench.xprof import profile_ops, summarize
-    from sdtpu.config import SD15, TINY
+    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
     from sdtpu.io.params import cast_params, init_pipeline_params
 
-    cfg = {"sd15": SD15, "tiny": TINY}[args.config]
+    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
+           "tiny": TINY}[args.config]
     kernels = args.kernels
     if kernels == "auto":
         kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -164,7 +166,10 @@ def _cmd_info(args) -> int:
 
     print(f"sdtpu {sdtpu.__version__}")
     print(f"backend: {jax.default_backend()}, devices: {jax.device_count()}")
-    for name, cfg in [("sd15", SD15), ("tiny", TINY)]:
+    from sdtpu.config import SD21, SD21_BASE
+
+    for name, cfg in [("sd15", SD15), ("sd21", SD21),
+                      ("sd21base", SD21_BASE), ("tiny", TINY)]:
         print(f"config {name}: {cfg.image_size}x{cfg.image_size}, "
               f"latent {cfg.latent_size}, unet ch {cfg.unet.model_channels}, "
               f"dtype {cfg.dtype}")

@@ -50,7 +50,8 @@ def main(argv=None) -> int:
     ap.add_argument("out_dir", type=Path)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    ap.add_argument("--config", default="sd15",
+                    choices=["sd15", "sd21", "sd21base", "tiny"])
     ap.add_argument("--tokenizer", type=Path, default=None,
                     help="ctokenizer.txt to copy into the model dir")
     ap.add_argument("--int8", action="store_true",
@@ -62,11 +63,12 @@ def main(argv=None) -> int:
 
     jax.config.update("jax_platforms", "cpu")
 
-    from sdtpu.config import SD15, TINY
+    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
     from sdtpu.io.params import cast_params
     from sdtpu.io.weights import NATIVE_SUFFIX, load_ldm_state_dict, save_native
 
-    cfg = {"sd15": SD15, "tiny": TINY}[args.config]
+    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
+           "tiny": TINY}[args.config]
     out = args.out_dir / f"model{NATIVE_SUFFIX}"
     args.out_dir.mkdir(parents=True, exist_ok=True)
     if out.exists() and not args.force:
