@@ -149,10 +149,11 @@ def _cmd_serve(args) -> int:
     from sdtpu.engine.logging import LogLevel
     from sdtpu.engine.server import serve
 
+    mesh = tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
     ctx = sdtpu.Context(
         model_dir=args.model_dir, steps=args.steps, sampler=args.sampler,
         config=args.config, log_level=LogLevel(args.log_level),
-        kernels=args.kernels,
+        kernels=args.kernels, mesh=mesh,
     )
     serve(ctx, host=args.host, port=args.port)
     return 0
@@ -261,6 +262,8 @@ def main(argv=None) -> int:
     sv.add_argument("--steps", type=int, default=20)
     sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
     sv.add_argument("--model-dir", default=None)
+    sv.add_argument("--mesh", default=None,
+                    help="multi-chip serving mesh as 'data,model' (e.g. 2,4)")
     sv.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     sv.add_argument("--log-level", type=int, default=2)
