@@ -174,9 +174,16 @@ class Context:
                     lambda k: init_pipeline_params(k, self.cfg)
                 )(jax.random.PRNGKey(0))
             else:
+                from sdtpu.io.orbax_ckpt import is_orbax_checkpoint, load_checkpoint
                 from sdtpu.io.weights import load_pipeline_params
 
-                params = load_pipeline_params(self.model_dir, self.cfg)
+                if is_orbax_checkpoint(self.model_dir):
+                    params = load_checkpoint(
+                        self.model_dir, self.cfg,
+                        dtype=self.cfg.compute_dtype, mesh=self.mesh,
+                    )
+                else:
+                    params = load_pipeline_params(self.model_dir, self.cfg)
             params = cast_params(params, self.cfg.compute_dtype)
             if self.quantize == "int8":
                 from sdtpu.quant.ptq import count_quantized, quantize_unet

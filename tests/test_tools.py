@@ -123,3 +123,44 @@ def test_profile_ops_tiny():
     assert ops, "no device events captured"
     text = summarize(ops)
     assert "per-class totals" in text
+
+
+def test_orbax_checkpoint_roundtrip_and_sharded_restore(tmp_path):
+    from sdtpu.io.orbax_ckpt import (
+        is_orbax_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from sdtpu.parallel.mesh import make_mesh
+
+    params = init_pipeline_params(jax.random.PRNGKey(6), TINY)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(params, ckpt)
+    assert is_orbax_checkpoint(ckpt)
+
+    # plain restore: exact round trip
+    back = load_checkpoint(ckpt, TINY)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+    # direct-to-mesh restore: values equal, leaves sharded over 8 devices
+    mesh = make_mesh(data=2, model=4)
+    sharded = load_checkpoint(ckpt, TINY, mesh=mesh)
+    qw = sharded["clip"]["blocks"][0]["q"]["w"]
+    assert len(qw.devices()) == 8 or len(qw.sharding.device_set) == 8
+    np.testing.assert_array_equal(
+        np.asarray(qw), np.asarray(params["clip"]["blocks"][0]["q"]["w"]))
+
+
+def test_context_loads_orbax_dir(tmp_path):
+    from sdtpu.io.orbax_ckpt import save_checkpoint
+
+    params = init_pipeline_params(jax.random.PRNGKey(8), TINY)
+    save_checkpoint(params, tmp_path / "ckpt")
+    ctx = sdtpu.Context(model_dir=tmp_path / "ckpt", config="tiny", steps=2)
+    img = ctx.generate("the horse", seed=0)
+    assert img.shape == (TINY.image_size, TINY.image_size, 3)

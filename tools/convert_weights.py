@@ -56,6 +56,9 @@ def main(argv=None) -> int:
                     help="ctokenizer.txt to copy into the model dir")
     ap.add_argument("--int8", action="store_true",
                     help="also apply int8 PTQ to the transformer matmuls")
+    ap.add_argument("--format", default="safetensors",
+                    choices=["safetensors", "orbax"],
+                    help="orbax = sharded checkpoint dir (direct-to-mesh load)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)
 
@@ -69,7 +72,8 @@ def main(argv=None) -> int:
 
     cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
            "tiny": TINY}[args.config]
-    out = args.out_dir / f"model{NATIVE_SUFFIX}"
+    out = args.out_dir / ("ckpt" if args.format == "orbax"
+                          else f"model{NATIVE_SUFFIX}")
     args.out_dir.mkdir(parents=True, exist_ok=True)
     if out.exists() and not args.force:
         print(f"{out} exists (use --force to overwrite)")
@@ -85,7 +89,12 @@ def main(argv=None) -> int:
 
         params = quantize_unet(params)
         print(f"  int8 PTQ: {count_quantized(params)} sites")
-    save_native(params, out)
+    if args.format == "orbax":
+        from sdtpu.io.orbax_ckpt import save_checkpoint
+
+        save_checkpoint(params, out)
+    else:
+        save_native(params, out)
     print(f"wrote {out}")
     if args.tokenizer:
         shutil.copy(args.tokenizer, args.out_dir / "ctokenizer.txt")
