@@ -65,9 +65,10 @@ def phase_timings(
     }
     out = {}
     for name, (fn, args) in fns.items():
-        # pre-build distinct input variants — identical repeated inputs can
-        # be memoized by remote execution layers and fake the timing
-        n_var = 8
+        # distinct input per call + forced fetch — repeat inputs are
+        # memoized by remote execution layers and block_until_ready can
+        # return early there
+        import numpy as np
 
         def vary(a, i):
             if a is key:
@@ -78,13 +79,14 @@ def phase_timings(
                 return jnp.roll(a, i, axis=-1)
             return a
 
-        variants = [tuple(vary(a, i) for a in args) for i in range(n_var)]
+        variants = [tuple(vary(a, i) for a in args)
+                    for i in range(warmup + iters)]
         for i in range(warmup):
-            fn(*variants[i % n_var]).block_until_ready()
+            np.asarray(fn(*variants[i]))
         times = []
         for i in range(iters):
             t = time.perf_counter()
-            fn(*variants[i % n_var]).block_until_ready()
+            np.asarray(fn(*variants[warmup + i]))
             times.append((time.perf_counter() - t) * 1e3)
         out[name] = statistics.median(times)
     out["image_generation_est"] = (

@@ -42,17 +42,23 @@ def _vary(args, key):
     return tuple(out)
 
 
-def _time_fn(fn, args, warmup: int, iters: int, n_variants: int = 8):
-    variants = [_vary(args, jax.random.PRNGKey(v)) for v in range(n_variants)]
+def _time_fn(fn, args, warmup: int, iters: int):
+    """Steady-state timing that is honest over remote backends: EVERY call
+    gets a distinct input (repeat inputs are memoized by the remote layer)
+    and completion is forced by fetching a value (block_until_ready can
+    return before remote execution finishes)."""
+    import numpy as np
+
+    variants = [_vary(args, jax.random.PRNGKey(v))
+                for v in range(warmup + iters)]
     for v in range(warmup):
-        r = fn(*variants[v % n_variants])
-    jax.tree.leaves(r)[0].block_until_ready()
+        np.asarray(jax.tree.leaves(fn(*variants[v]))[0])
     times = []
     for i in range(iters):
-        a = variants[i % n_variants]
+        a = variants[warmup + i]
         t = time.perf_counter()
         r = fn(*a)
-        jax.tree.leaves(r)[0].block_until_ready()
+        np.asarray(jax.tree.leaves(r)[0])
         times.append((time.perf_counter() - t) * 1e3)
     return times
 
