@@ -61,7 +61,8 @@ def phase_timings(
                 p, c, k, gg, cfg, sampler, 1, True, kernels)),
             (params, ctx2, key, g)),
         "decoding": (
-            jax.jit(lambda p, x: decode_latents(p, x, cfg)), (params, lat)),
+            jax.jit(lambda p, x: decode_latents(p, x, cfg, kernels)),
+            (params, lat)),
     }
     out = {}
     for name, (fn, args) in fns.items():

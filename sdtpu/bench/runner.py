@@ -131,7 +131,7 @@ def _part_specs(cfg: PipelineConfig, params, kernels: str):
              jnp.zeros((b, cfg.clip.context_len, cfg.unet.context_dim), dt)),
         ),
         "vae_decoder": (
-            lambda p, z: vae.apply(p, z, cfg.vae),
+            lambda p, z: vae.apply(p, z, cfg.vae, kernels),
             (params["vae"], jnp.zeros((1, s, s, cfg.vae.z_channels), dt)),
         ),
     }

@@ -41,7 +41,7 @@ def encode_text(params, tokens, cfg: PipelineConfig):
     return clip.apply(params["clip"], tokens, cfg.clip, dtype=cfg.compute_dtype)
 
 
-def decode_latents(params, x, cfg: PipelineConfig):
+def decode_latents(params, x, cfg: PipelineConfig, kernels: str = "xla"):
     """Scaled latents [B,h,w,4] -> uint8 RGB [B,H,W,3] (clamp(255*(img+1)/2),
     reference: context.cpp:392-395 does clamp(255*f) on its 0..1 output).
 
@@ -49,7 +49,7 @@ def decode_latents(params, x, cfg: PipelineConfig):
     conv2d follows its input dtype, and an f32-input VAE runs multi-pass on
     the MXU."""
     z = (x / cfg.vae.scale_factor).astype(cfg.compute_dtype)
-    img = vae.apply(params["vae"], z, cfg.vae)
+    img = vae.apply(params["vae"], z, cfg.vae, kernels)
     img = (img.astype(jnp.float32) + 1.0) * 127.5
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
@@ -149,7 +149,7 @@ def generate(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels,
     )
-    return decode_latents(params, x, cfg)
+    return decode_latents(params, x, cfg, kernels)
 
 
 def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,

@@ -87,13 +87,14 @@ def _resblock(p, x, groups):
     return x + h
 
 
-def _attn(p, x, groups):
+def _attn(p, x, groups, kernels="xla"):
     b, hh, ww, c = x.shape
     h = group_norm(p["norm"], x, groups, eps=1e-6)
     q = conv2d(p["q"], h, padding=0).reshape(b, hh * ww, c)
     k = conv2d(p["k"], h, padding=0).reshape(b, hh * ww, c)
     v = conv2d(p["v"], h, padding=0).reshape(b, hh * ww, c)
-    o = sdpa(q, k, v, heads=1).reshape(b, hh, ww, c)
+    kern = "pallas" if kernels in ("pallas", "pallas_gn") else "xla"
+    o = sdpa(q, k, v, heads=1, kernel=kern).reshape(b, hh, ww, c)
     return x + conv2d(p["proj"], o, padding=0)
 
 
@@ -103,15 +104,19 @@ def _upsample_nearest(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
-def apply(params, z, cfg: VAEConfig):
+def apply(params, z, cfg: VAEConfig, kernels: str = "xla"):
     """z: [B,h,w,z_channels] *scaled* latent (the pipeline divides by
-    cfg.scale_factor before calling) -> [B, h*2^L, w*2^L, 3] in ~[-1, 1]."""
+    cfg.scale_factor before calling) -> [B, h*2^L, w*2^L, 3] in ~[-1, 1].
+
+    The mid-block's single-head attention runs over the full latent grid
+    (4096 tokens at 512x512 output, d=512) — `kernels='pallas'` routes it
+    to the flash kernel like the UNet's self-attention."""
     g = cfg.groups
     h = conv2d(params["post_quant"], z, padding=0)
     h = conv2d(params["conv_in"], h)
     mid = params["mid"]
     h = _resblock(mid["res1"], h, g)
-    h = _attn(mid["attn"], h, g)
+    h = _attn(mid["attn"], h, g, kernels)
     h = _resblock(mid["res2"], h, g)
     for level in params["up"]:
         for blk in level["blocks"]:
