@@ -23,7 +23,7 @@ def _interpret_mode(monkeypatch):
     gn_ops._gn_call.clear_cache()
 
 
-@pytest.mark.parametrize("seq,heads,d", [(512, 2, 32), (1024, 4, 40)])
+@pytest.mark.parametrize("seq,heads,d", [(512, 2, 32), (1024, 4, 40), (512, 1, 512)])
 def test_flash_attention_matches_xla(rng, seq, heads, d):
     c = heads * d
     q = jnp.asarray(rng.standard_normal((2, seq, c), dtype=np.float32))
