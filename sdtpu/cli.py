@@ -42,8 +42,16 @@ def _cmd_generate(args) -> int:
         size=args.size,
     )
     t0 = time.perf_counter()
-    img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
-                       negative_prompt=args.negative_prompt)
+    if args.init_image:
+        from PIL import Image
+
+        init = np.asarray(Image.open(args.init_image).convert("RGB"))
+        img = ctx.img2img(args.prompt, init, strength=args.strength,
+                          guidance=args.guidance, seed=args.seed,
+                          negative_prompt=args.negative_prompt)
+    else:
+        img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
+                           negative_prompt=args.negative_prompt)
     dt = time.perf_counter() - t0
     print(f"generated {img.shape[0]}x{img.shape[1]} image in {dt:.3f}s "
           f"(steps={args.steps}, sampler={args.sampler}, seed={args.seed})")
@@ -186,6 +194,10 @@ def main(argv=None) -> int:
     g.add_argument("--prompt", default=DEFAULT_PROMPT)
     g.add_argument("--guidance", type=float, default=7.5)
     g.add_argument("--negative-prompt", default=None)
+    g.add_argument("--init-image", default=None,
+                   help="img2img: starting image (png/jpg at the output size)")
+    g.add_argument("--strength", type=float, default=0.6,
+                   help="img2img strength in (0, 1]")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])

@@ -351,6 +351,75 @@ class Context:
                 return out
             return img
 
+    def img2img(
+        self,
+        prompt: str | list[str],
+        image: np.ndarray,
+        strength: float = 0.6,
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+    ) -> np.ndarray:
+        """Image-to-image. `image`: uint8 [H, W, 3] (or [B, H, W, 3]) at the
+        context's resolution. `strength` in (0, 1]: fraction of the denoise
+        trajectory applied — 1.0 ignores the input image, small values stay
+        close to it. Capability extension (the reference is txt2img-only)."""
+        import functools
+
+        from sdtpu.engine.pipeline import img2img as _img2img
+
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            if not (0.0 < strength <= 1.0):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"strength must be in (0, 1], got {strength}", self.errors,
+                )
+            single = isinstance(prompt, str)
+            prompts = [prompt] if single else list(prompt)
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            want = (len(prompts), self.cfg.image_size, self.cfg.image_size, 3)
+            if img.shape != want or img.dtype != np.uint8:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"image must be uint8 {want}, got {img.shape}/{img.dtype}",
+                    self.errors,
+                )
+            start_step = int(round(self.steps * (1.0 - strength)))
+            start_step = min(max(start_step, 0), self.steps - 1)
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
+                 for p in prompts], jnp.int32,
+            )
+            if seed is None:
+                seed = self.seed
+                self.seed += 1
+            use_cfg = guidance != 1.0
+            uncond = (self._embed_prompt(negative_prompt)
+                      if negative_prompt else self._uncond)
+            key = ("img2img", len(prompts), self.steps, start_step,
+                   self.sampler, use_cfg)
+            fn = self._gen_cache.get(key)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    _img2img, cfg=self.cfg, sampler=self.sampler,
+                    steps=self.steps, start_step=start_step, use_cfg=use_cfg,
+                    kernels=self.kernels,
+                ))
+                self._gen_cache[key] = fn
+            x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
+            out = np.asarray(fn(
+                self.params, tokens, uncond, jax.random.PRNGKey(seed),
+                jnp.float32(guidance), x,
+            ))
+            return out[0] if single else out
+
     def generate_async(
         self,
         prompt: str | list[str],

@@ -65,9 +65,14 @@ def denoise(
     use_cfg: bool,
     kernels: str = "xla",
     init_latents=None,
+    start_step: int = 0,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
-    embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond."""
+    embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    img2img: pass `init_latents` (clean, scale-factored latents) and
+    `start_step` > 0 — they are noised to the start step's marginal and the
+    scan covers steps [start_step, steps)."""
     from sdtpu.samplers import NoiseSchedule
 
     mod = get_sampler(sampler)
@@ -75,8 +80,13 @@ def denoise(
     b = context.shape[0] // 2 if use_cfg else context.shape[0]
     shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
-    x = jax.random.normal(key, shape, jnp.float32) if init_latents is None \
-        else init_latents
+    noise = jax.random.normal(key, shape, jnp.float32)
+    if init_latents is None:
+        x = noise
+    else:
+        # forward-diffuse the clean latents to the start step's marginal
+        x = (plan.alpha_s[start_step] * init_latents.astype(jnp.float32)
+             + plan.sigma_s[start_step] * noise)
     # all step time-embeddings in one tiny batched MLP call, outside the scan
     # (the reference precomputes these through its temb graph at init,
     # context.cpp:256-279)
@@ -110,9 +120,10 @@ def denoise(
 
     # unroll=2: exposes cross-step overlap to the latency-hiding scheduler
     # (weight prefetch of step i+1 behind the tail of step i)
+    n_run = steps - start_step
     (x, _), _ = jax.lax.scan(
-        body, (x, state), jnp.arange(steps),
-        unroll=2 if steps % 2 == 0 else 1,
+        body, (x, state), jnp.arange(start_step, steps),
+        unroll=2 if n_run % 2 == 0 else 1,
     )
     return x
 
@@ -148,6 +159,45 @@ def generate(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels,
+    )
+    return decode_latents(params, x, cfg, kernels)
+
+
+def img2img(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    image,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    start_step: int = 10,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+):
+    """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
+    noise to `start_step`, denoise the remaining steps, decode. The reference
+    has no encoder (txt2img only); this is a capability extension."""
+    from sdtpu.models import vae as vae_mod
+
+    p_cond = encode_text(params, tokens, cfg)
+    if use_cfg:
+        b = tokens.shape[0]
+        p_un = jnp.broadcast_to(
+            uncond_embedding.astype(p_cond.dtype)[None],
+            (b, *uncond_embedding.shape))
+        context = jnp.concatenate([p_cond, p_un], axis=0)
+    else:
+        context = p_cond
+    mean, _ = vae_mod.apply_encoder(
+        params["vae_enc"], image.astype(cfg.compute_dtype), cfg.vae, kernels)
+    init_latents = mean.astype(jnp.float32) * cfg.vae.scale_factor
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, use_cfg,
+        kernels, init_latents=init_latents, start_step=start_step,
     )
     return decode_latents(params, x, cfg, kernels)
 

@@ -22,12 +22,13 @@ def init_pipeline_params(key, cfg: PipelineConfig, demo: bool = True):
     the pipeline degenerates (zero-init is a *training* convention; demo
     mode needs a non-trivial function). Fully traceable (jit the whole init
     for a single device dispatch)."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
         "clip": clip.init(k1, cfg.clip),
         "temb": temb.init(k2, cfg.unet),
         "unet": unet.init(k3, cfg.unet, zero_init_outs=not demo),
         "vae": vae.init(k4, cfg.vae),
+        "vae_enc": vae.init_encoder(k5, cfg.vae),
     }
 
 

@@ -206,6 +206,39 @@ def vae_rules(cfg: PipelineConfig) -> list[Rule]:
         Rule(dec + "norm_out", ("vae", "norm_out"), "norm"),
         Rule(dec + "conv_out", ("vae", "conv_out"), "conv"),
     ]
+
+    # encoder (img2img; every SD checkpoint carries it)
+    enc = pre + "encoder."
+    rules += [
+        Rule(enc + "conv_in", ("vae_enc", "conv_in"), "conv"),
+        Rule(pre + "quant_conv", ("vae_enc", "quant"), "conv"),
+    ]
+    cur = v.base_channels
+    for lvl, mult in enumerate(v.channel_mult):
+        out_ch = v.base_channels * mult
+        for b in range(v.num_res_blocks):
+            rules += res(
+                f"{enc}down.{lvl}.block.{b}.",
+                ("vae_enc", "down", lvl, "blocks", b), cur, out_ch,
+            )
+            cur = out_ch
+        if lvl != n_lvl - 1:
+            rules.append(Rule(f"{enc}down.{lvl}.downsample.conv",
+                              ("vae_enc", "down", lvl, "down"), "conv"))
+    rules += res(enc + "mid.block_1.", ("vae_enc", "mid", "res1"), cur, cur)
+    rules += [
+        Rule(enc + "mid.attn_1.norm", ("vae_enc", "mid", "attn", "norm"), "norm"),
+        Rule(enc + "mid.attn_1.q", ("vae_enc", "mid", "attn", "q"), "conv"),
+        Rule(enc + "mid.attn_1.k", ("vae_enc", "mid", "attn", "k"), "conv"),
+        Rule(enc + "mid.attn_1.v", ("vae_enc", "mid", "attn", "v"), "conv"),
+        Rule(enc + "mid.attn_1.proj_out", ("vae_enc", "mid", "attn", "proj"),
+             "conv"),
+    ]
+    rules += res(enc + "mid.block_2.", ("vae_enc", "mid", "res2"), cur, cur)
+    rules += [
+        Rule(enc + "norm_out", ("vae_enc", "norm_out"), "norm"),
+        Rule(enc + "conv_out", ("vae_enc", "conv_out"), "conv"),
+    ]
     return rules
 
 

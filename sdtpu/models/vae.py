@@ -104,6 +104,74 @@ def _upsample_nearest(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def init_encoder(key, cfg: VAEConfig):
+    """SD v1.x AutoencoderKL *encoder* (img2img support — the reference has
+    no encoder; txt2img only needs the decoder). Mirror of the decoder:
+    conv_in, per-level ResnetBlocks with stride-2 downsample between levels,
+    middle (Resnet, Attn, Resnet), GroupNorm -> SiLU -> conv_out producing
+    2*z channels (mean, logvar), then the 1x1 quant_conv."""
+    keys = iter(jax.random.split(key, 64))
+    params = {"conv_in": init_conv(next(keys), 3, cfg.out_channels,
+                                   cfg.base_channels)}
+    down = []
+    cur = cfg.base_channels
+    for lvl, mult in enumerate(cfg.channel_mult):
+        out_ch = cfg.base_channels * mult
+        blocks = []
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_init_resblock(next(keys), cur, out_ch))
+            cur = out_ch
+        level = {"blocks": blocks}
+        if lvl != len(cfg.channel_mult) - 1:
+            level["down"] = init_conv(next(keys), 3, cur, cur)
+        down.append(level)
+    params["down"] = down
+    params["mid"] = {
+        "res1": _init_resblock(next(keys), cur, cur),
+        "attn": _init_attn(next(keys), cur),
+        "res2": _init_resblock(next(keys), cur, cur),
+    }
+    params["norm_out"] = init_norm(cur)
+    params["conv_out"] = init_conv(next(keys), 3, cur, 2 * cfg.z_channels)
+    params["quant"] = init_conv(next(keys), 1, 2 * cfg.z_channels,
+                                2 * cfg.z_channels)
+    return params
+
+
+def _downsample(p, x):
+    # torch Downsample pads (0,1,0,1) then stride-2 VALID conv
+    from jax import lax
+
+    from sdtpu.models.layers import PRECISION
+
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (2, 2), [(0, 1), (0, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def apply_encoder(params, img, cfg: VAEConfig, kernels: str = "xla"):
+    """img: [B, H, W, 3] in [-1, 1] -> (mean, logvar) each [B, h, w, z]."""
+    g = cfg.groups
+    h = conv2d(params["conv_in"], img)
+    for level in params["down"]:
+        for blk in level["blocks"]:
+            h = _resblock(blk, h, g)
+        if "down" in level:
+            h = _downsample(level["down"], h)
+    mid = params["mid"]
+    h = _resblock(mid["res1"], h, g)
+    h = _attn(mid["attn"], h, g, kernels)
+    h = _resblock(mid["res2"], h, g)
+    h = silu(group_norm(params["norm_out"], h, g, eps=1e-6))
+    h = conv2d(params["conv_out"], h)
+    h = conv2d(params["quant"], h, padding=0)
+    mean, logvar = jnp.split(h, 2, axis=-1)
+    return mean, logvar
+
+
 def apply(params, z, cfg: VAEConfig, kernels: str = "xla"):
     """z: [B,h,w,z_channels] *scaled* latent (the pipeline divides by
     cfg.scale_factor before calling) -> [B, h*2^L, w*2^L, 3] in ~[-1, 1].
