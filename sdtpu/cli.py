@@ -46,9 +46,17 @@ def _cmd_generate(args) -> int:
         from PIL import Image
 
         init = np.asarray(Image.open(args.init_image).convert("RGB"))
-        img = ctx.img2img(args.prompt, init, strength=args.strength,
-                          guidance=args.guidance, seed=args.seed,
-                          negative_prompt=args.negative_prompt)
+        if args.mask_image:
+            mask = np.asarray(Image.open(args.mask_image).convert("L"))
+            img = ctx.inpaint(args.prompt, init, mask,
+                              strength=args.strength or 1.0,
+                              guidance=args.guidance, seed=args.seed,
+                              negative_prompt=args.negative_prompt)
+        else:
+            img = ctx.img2img(args.prompt, init,
+                              strength=args.strength or 0.6,
+                              guidance=args.guidance, seed=args.seed,
+                              negative_prompt=args.negative_prompt)
     else:
         img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
                            negative_prompt=args.negative_prompt)
@@ -196,8 +204,12 @@ def main(argv=None) -> int:
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--init-image", default=None,
                    help="img2img: starting image (png/jpg at the output size)")
-    g.add_argument("--strength", type=float, default=0.6,
-                   help="img2img strength in (0, 1]")
+    g.add_argument("--strength", type=float, default=None,
+                   help="img2img/inpaint strength in (0, 1] "
+                        "(default 0.6 img2img, 1.0 inpaint)")
+    g.add_argument("--mask-image", default=None,
+                   help="inpainting: grayscale mask (white = repaint); "
+                        "requires --init-image")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])

@@ -364,9 +364,40 @@ class Context:
         context's resolution. `strength` in (0, 1]: fraction of the denoise
         trajectory applied — 1.0 ignores the input image, small values stay
         close to it. Capability extension (the reference is txt2img-only)."""
+        return self._image_conditioned(
+            "img2img", prompt, image, None, strength, guidance, seed,
+            negative_prompt,
+        )
+
+    def inpaint(
+        self,
+        prompt: str | list[str],
+        image: np.ndarray,
+        mask: np.ndarray,
+        strength: float = 1.0,
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+    ) -> np.ndarray:
+        """Inpainting with the standard (non-inpaint) checkpoint. `image`:
+        uint8 [H, W, 3] (or [B, H, W, 3]); `mask`: [H, W] (or [B, H, W])
+        uint8/bool — nonzero pixels are REPAINTED from the prompt, zero
+        pixels keep the input image (uint8 values between 0 and 255 give a
+        soft blend). Capability extension (the reference is txt2img-only)."""
+        return self._image_conditioned(
+            "inpaint", prompt, image, mask, strength, guidance, seed,
+            negative_prompt,
+        )
+
+    def _image_conditioned(
+        self, mode, prompt, image, mask, strength, guidance, seed,
+        negative_prompt,
+    ) -> np.ndarray:
+        """Shared img2img/inpaint path: validate, tokenize, build/reuse the
+        compiled program, run."""
         import functools
 
-        from sdtpu.engine.pipeline import img2img as _img2img
+        from sdtpu.engine import pipeline as pl
 
         with slog.logger_scope(self.logger):
             if self._failed:
@@ -384,13 +415,26 @@ class Context:
             img = np.asarray(image)
             if img.ndim == 3:
                 img = img[None]
-            want = (len(prompts), self.cfg.image_size, self.cfg.image_size, 3)
+            size = self.cfg.image_size
+            want = (len(prompts), size, size, 3)
             if img.shape != want or img.dtype != np.uint8:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT,
                     f"image must be uint8 {want}, got {img.shape}/{img.dtype}",
                     self.errors,
                 )
+            if mode == "inpaint":
+                m = np.asarray(mask)
+                if m.ndim == 2:
+                    m = m[None]
+                if m.shape != (len(prompts), size, size):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"mask must be [B, {size}, {size}], got {m.shape}",
+                        self.errors,
+                    )
+                scale = 255.0 if m.dtype == np.uint8 else 1.0
+                m = (np.asarray(m, np.float32) / scale)[..., None]
             start_step = int(round(self.steps * (1.0 - strength)))
             start_step = min(max(start_step, 0), self.steps - 1)
             tokens = jnp.asarray(
@@ -403,21 +447,23 @@ class Context:
             use_cfg = guidance != 1.0
             uncond = (self._embed_prompt(negative_prompt)
                       if negative_prompt else self._uncond)
-            key = ("img2img", len(prompts), self.steps, start_step,
-                   self.sampler, use_cfg)
-            fn = self._gen_cache.get(key)
+            cache_key = (mode, len(prompts), self.steps, start_step,
+                         self.sampler, use_cfg)
+            fn = self._gen_cache.get(cache_key)
             if fn is None:
                 fn = jax.jit(functools.partial(
-                    _img2img, cfg=self.cfg, sampler=self.sampler,
+                    pl.img2img if mode == "img2img" else pl.inpaint,
+                    cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, start_step=start_step, use_cfg=use_cfg,
                     kernels=self.kernels,
                 ))
-                self._gen_cache[key] = fn
+                self._gen_cache[cache_key] = fn
             x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
-            out = np.asarray(fn(
-                self.params, tokens, uncond, jax.random.PRNGKey(seed),
-                jnp.float32(guidance), x,
-            ))
+            args = (self.params, tokens, uncond, jax.random.PRNGKey(seed),
+                    jnp.float32(guidance), x)
+            if mode == "inpaint":
+                args += (jnp.asarray(m),)
+            out = np.asarray(fn(*args))
             return out[0] if single else out
 
     def generate_async(

@@ -66,13 +66,20 @@ def denoise(
     kernels: str = "xla",
     init_latents=None,
     start_step: int = 0,
+    mask=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
 
     img2img: pass `init_latents` (clean, scale-factored latents) and
     `start_step` > 0 — they are noised to the start step's marginal and the
-    scan covers steps [start_step, steps)."""
+    scan covers steps [start_step, steps).
+
+    inpaint: additionally pass `mask` [B, h, w, 1] float in [0, 1]
+    (1 = generate, 0 = keep `init_latents`). At the start of every step the
+    kept region is re-pinned to the init latents forward-diffused to that
+    step's marginal, so only the masked region evolves freely; after the
+    scan the kept region is replaced with the clean latents exactly."""
     from sdtpu.samplers import NoiseSchedule
 
     mod = get_sampler(sampler)
@@ -99,6 +106,14 @@ def denoise(
 
     def body(carry, i):
         x, st = carry
+        if mask is not None:
+            # re-pin the kept region to the init latents at this step's
+            # marginal (fresh noise per step keeps its statistics honest)
+            n_i = jax.random.normal(
+                jax.random.fold_in(key, i + 1), shape, jnp.float32)
+            pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
+                      + plan.sigma_s[i] * n_i)
+            x = mask * x + (1.0 - mask) * pinned
         te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
         if use_cfg:
             x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
@@ -125,6 +140,8 @@ def denoise(
         body, (x, state), jnp.arange(start_step, steps),
         unroll=2 if n_run % 2 == 0 else 1,
     )
+    if mask is not None:
+        x = mask * x + (1.0 - mask) * init_latents.astype(jnp.float32)
     return x
 
 
@@ -147,20 +164,33 @@ def generate(
     setup); key: PRNG key; guidance: scalar (traced — changing it does not
     recompile). Returns uint8 [B, H, W, 3].
     """
-    p_cond = encode_text(params, tokens, cfg)
-    if use_cfg:
-        b = tokens.shape[0]
-        p_un = jnp.broadcast_to(
-            uncond_embedding.astype(p_cond.dtype)[None], (b, *uncond_embedding.shape)
-        )
-        context = jnp.concatenate([p_cond, p_un], axis=0)
-    else:
-        context = p_cond
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels,
     )
     return decode_latents(params, x, cfg, kernels)
+
+
+def _build_context(params, tokens, uncond_embedding, cfg, use_cfg):
+    """Cond (+ broadcast uncond) prompt embeddings for the CFG batch."""
+    p_cond = encode_text(params, tokens, cfg)
+    if not use_cfg:
+        return p_cond
+    b = tokens.shape[0]
+    p_un = jnp.broadcast_to(
+        uncond_embedding.astype(p_cond.dtype)[None],
+        (b, *uncond_embedding.shape))
+    return jnp.concatenate([p_cond, p_un], axis=0)
+
+
+def _encode_init_latents(params, image, cfg, kernels):
+    """[B,H,W,3] float in [-1,1] -> clean scale-factored latents (f32)."""
+    from sdtpu.models import vae as vae_mod
+
+    mean, _ = vae_mod.apply_encoder(
+        params["vae_enc"], image.astype(cfg.compute_dtype), cfg.vae, kernels)
+    return mean.astype(jnp.float32) * cfg.vae.scale_factor
 
 
 def img2img(
@@ -181,23 +211,46 @@ def img2img(
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
     noise to `start_step`, denoise the remaining steps, decode. The reference
     has no encoder (txt2img only); this is a capability extension."""
-    from sdtpu.models import vae as vae_mod
-
-    p_cond = encode_text(params, tokens, cfg)
-    if use_cfg:
-        b = tokens.shape[0]
-        p_un = jnp.broadcast_to(
-            uncond_embedding.astype(p_cond.dtype)[None],
-            (b, *uncond_embedding.shape))
-        context = jnp.concatenate([p_cond, p_un], axis=0)
-    else:
-        context = p_cond
-    mean, _ = vae_mod.apply_encoder(
-        params["vae_enc"], image.astype(cfg.compute_dtype), cfg.vae, kernels)
-    init_latents = mean.astype(jnp.float32) * cfg.vae.scale_factor
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    init_latents = _encode_init_latents(params, image, cfg, kernels)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step,
+    )
+    return decode_latents(params, x, cfg, kernels)
+
+
+def inpaint(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    image,
+    mask,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    start_step: int = 0,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+):
+    """Masked image-to-image (inpainting with a standard, non-inpaint
+    checkpoint). `image`: [B,H,W,3] float in [-1,1]; `mask`: [B,H,W,1] float
+    in [0,1], 1 = repaint. The pixel mask is mean-pooled to latent resolution
+    (soft edges blend the two regions in latent space); the kept region is
+    re-pinned to the forward-diffused init latents every step. Capability
+    extension — the reference is txt2img-only."""
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    init_latents = _encode_init_latents(params, image, cfg, kernels)
+    f = cfg.image_size // cfg.latent_size
+    b = mask.shape[0]
+    s = cfg.latent_size
+    m = mask.reshape(b, s, f, s, f, 1).mean(axis=(2, 4)).astype(jnp.float32)
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, use_cfg,
+        kernels, init_latents=init_latents, start_step=start_step, mask=m,
     )
     return decode_latents(params, x, cfg, kernels)
 

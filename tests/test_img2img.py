@@ -69,6 +69,59 @@ def test_img2img_full_strength_close_to_txt2img(ctx, init_image):
     assert img.shape == txt.shape
 
 
+def test_inpaint_pins_kept_latents_exactly(ctx, init_image):
+    """After the scan, mask=0 latents are replaced with the clean encoding
+    EXACTLY (final blend), mask=1 latents are freely denoised — verify at
+    the latent level where the guarantee is bitwise."""
+    from sdtpu.engine.pipeline import (_build_context, _encode_init_latents,
+                                       denoise)
+
+    cfg = ctx.cfg
+    s = cfg.latent_size
+    x_img = jnp.asarray(init_image[None], jnp.float32) / 127.5 - 1.0
+    z0 = _encode_init_latents(ctx.params, x_img, cfg, ctx.kernels)
+    m = np.zeros((1, s, s, 1), np.float32)
+    m[:, :, s // 2:] = 1.0  # repaint the right half
+    tokens = jnp.asarray(
+        [ctx.tokenizer.tokenize("the horse", cfg.clip.context_len)], jnp.int32)
+    context = _build_context(ctx.params, tokens, ctx._uncond, cfg, True)
+    x = np.asarray(denoise(
+        ctx.params, context, jax.random.PRNGKey(5), jnp.float32(7.5), cfg,
+        ctx.sampler, ctx.steps, True, ctx.kernels,
+        init_latents=z0, start_step=0, mask=jnp.asarray(m),
+    ))
+    z0 = np.asarray(z0)
+    np.testing.assert_array_equal(x[:, :, : s // 2], z0[:, :, : s // 2])
+    assert np.abs(x[:, :, s // 2:] - z0[:, :, s // 2:]).max() > 1e-3
+
+
+def test_inpaint_smoke(ctx, init_image):
+    size = ctx.cfg.image_size
+    mask = np.zeros((size, size), np.uint8)
+    mask[:, size // 2:] = 255
+    a = ctx.inpaint("the horse", init_image, mask, seed=5)
+    b = ctx.inpaint("the horse", init_image, mask, seed=5)
+    assert np.array_equal(a, b)
+    assert a.shape == (size, size, 3) and a.dtype == np.uint8
+
+
+def test_inpaint_full_mask_matches_img2img(ctx, init_image):
+    """mask=1 everywhere makes every blend a no-op: inpaint must equal
+    img2img bit-for-bit at the same strength/seed."""
+    size = ctx.cfg.image_size
+    mask = np.full((size, size), 255, np.uint8)
+    a = ctx.inpaint("the horse", init_image, mask, strength=0.5, seed=7)
+    b = ctx.img2img("the horse", init_image, strength=0.5, seed=7)
+    assert np.array_equal(a, b)
+
+
+def test_inpaint_validation(ctx, init_image):
+    size = ctx.cfg.image_size
+    with pytest.raises(SdtpuError) as ei:
+        ctx.inpaint("x", init_image, np.zeros((size // 2, size), np.uint8))
+    assert ei.value.code == ErrorCode.INVALID_ARGUMENT
+
+
 def test_img2img_validation(ctx, init_image):
     with pytest.raises(SdtpuError) as ei:
         ctx.img2img("x", init_image, strength=0.0)
