@@ -120,6 +120,32 @@ def test_native_error_surface(lib, flat_file):
         nat.update(0, np.zeros(4, np.float32), np.zeros(4, np.float32))
 
 
+def test_threaded_capi_under_tsan(flat_file):
+    """8 threads hammer the shared tokenizer, the mutex-guarded global error
+    table, and per-thread DPM solvers under -fsanitize=thread (the race
+    detection the reference's 3-thread init, context.cpp:49-80, never had).
+    TSan aborts the binary on any data race; the binary itself checks
+    cross-thread id consistency against single-threaded golden ids."""
+    import os
+    import pathlib
+    import subprocess
+
+    csrc = pathlib.Path(__file__).resolve().parents[1] / "csrc"
+    build = subprocess.run(
+        ["make", "-C", str(csrc), "SANITIZE=thread"],
+        capture_output=True, text=True, timeout=600,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"tsan build failed: {build.stderr[-500:]}")
+    run = subprocess.run(
+        [str(csrc / "build-thread" / "test_threads"), str(flat_file), "8",
+         "100"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "TSAN_OPTIONS": "halt_on_error=1"},
+    )
+    assert run.returncode == 0, run.stderr[-2000:] + run.stdout[-500:]
+
+
 def test_capi_refcount_semantics(lib):
     """Engine handle validation without embedding: a garbage pointer must be
     rejected as INVALID_CONTEXT, not crash (reference: TRY_RETRIEVE_CONTEXT,
