@@ -171,7 +171,8 @@ def _cmd_serve(args) -> int:
         config=args.config, log_level=LogLevel(args.log_level),
         kernels=args.kernels, mesh=mesh,
     )
-    serve(ctx, host=args.host, port=args.port)
+    serve(ctx, host=args.host, port=args.port,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     return 0
 
 
@@ -291,6 +292,12 @@ def main(argv=None) -> int:
     sv.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     sv.add_argument("--log-level", type=int, default=2)
+    sv.add_argument("--max-batch", type=int, default=4,
+                    help="micro-batching: max concurrent /generate requests "
+                         "fused into one compiled call")
+    sv.add_argument("--max-wait-ms", type=float, default=25.0,
+                    help="micro-batching: max added latency while waiting "
+                         "for batch-mates")
     sv.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     sv.set_defaults(fn=_cmd_serve)

@@ -351,6 +351,77 @@ class Context:
                 return out
             return img
 
+    def generate_batch(self, requests: list[dict]) -> list[np.ndarray]:
+        """Serve one compiled call for several independent requests
+        (server-side micro-batching). Each request dict: ``prompt`` (str,
+        required) and optional ``guidance``/``seed``/``negative_prompt`` —
+        all PER-SAMPLE (vector guidance, one PRNG key per sample, stacked
+        negative embeddings). The batch is padded up to the next power of
+        two so only O(log max_batch) programs are ever compiled. A batch of
+        1 is bit-identical to `generate`; larger batches are numerically
+        equivalent but may differ by float-rounding of the batched tiling.
+        """
+        import functools
+
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            if not requests:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT, "empty request list",
+                    self.errors,
+                )
+            for r in requests:
+                if not isinstance(r.get("prompt"), str):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        "each request needs a string 'prompt'", self.errors,
+                    )
+            n = len(requests)
+            p = 1
+            while p < n:
+                p *= 2
+            t0 = time.perf_counter()
+            pad = requests + [requests[0]] * (p - n)
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(r["prompt"], self.cfg.clip.context_len)
+                 for r in pad], jnp.int32,
+            )
+            guidance = jnp.asarray(
+                [float(r.get("guidance", 7.5)) for r in pad], jnp.float32)
+            seeds = []
+            for r in pad:
+                s = r.get("seed")
+                if s is None:
+                    s = self.seed
+                    self.seed += 1
+                seeds.append(int(s))
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+            uncond = jnp.stack([
+                self._embed_prompt(r["negative_prompt"])
+                if r.get("negative_prompt") else self._uncond
+                for r in pad
+            ])
+            cache_key = ("batch", p, self.steps, self.sampler)
+            fn = self._gen_cache.get(cache_key)
+            if fn is None:
+                from sdtpu.engine.pipeline import generate as _generate
+
+                fn = jax.jit(functools.partial(
+                    _generate, cfg=self.cfg, sampler=self.sampler,
+                    steps=self.steps, use_cfg=True, kernels=self.kernels,
+                ))
+                self._gen_cache[cache_key] = fn
+            out = np.asarray(fn(self.params, tokens, uncond, keys, guidance))
+            self.logger.info(
+                f"batch of {n} (padded {p}) took "
+                f"{time.perf_counter() - t0:.3f}s"
+            )
+            return [out[i] for i in range(n)]
+
     def img2img(
         self,
         prompt: str | list[str],

@@ -87,7 +87,14 @@ def denoise(
     b = context.shape[0] // 2 if use_cfg else context.shape[0]
     shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
-    noise = jax.random.normal(key, shape, jnp.float32)
+    if key.ndim == 2:
+        # batched serving: one PRNG key per sample, so each request's noise
+        # is independent of its batch-mates (batch(1) reproduces the single
+        # path bit-for-bit: threefry bits depend on flat count, not shape)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, shape[1:], jnp.float32))(key)
+    else:
+        noise = jax.random.normal(key, shape, jnp.float32)
     if init_latents is None:
         x = noise
     else:
@@ -109,8 +116,12 @@ def denoise(
         if mask is not None:
             # re-pin the kept region to the init latents at this step's
             # marginal (fresh noise per step keeps its statistics honest)
-            n_i = jax.random.normal(
-                jax.random.fold_in(key, i + 1), shape, jnp.float32)
+            if key.ndim == 2:
+                n_i = jax.vmap(lambda k: jax.random.normal(
+                    jax.random.fold_in(k, i + 1), shape[1:], jnp.float32))(key)
+            else:
+                n_i = jax.random.normal(
+                    jax.random.fold_in(key, i + 1), shape, jnp.float32)
             pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
                       + plan.sigma_s[i] * n_i)
             x = mask * x + (1.0 - mask) * pinned
@@ -128,7 +139,9 @@ def denoise(
             x_rep = jnp.concatenate([x, x], 0) if use_cfg else x
             eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
         if use_cfg:
-            g = jnp.float32(guidance)
+            g = jnp.asarray(guidance, jnp.float32)
+            if g.ndim:  # per-sample guidance scale [B] (batched serving)
+                g = g.reshape((-1,) + (1,) * (eps.ndim - 1))
             eps = g * eps[:b] + (1.0 - g) * eps[b:]
         x, st = mod.step(plan, i, x, eps, st)
         return (x, st), None
@@ -173,14 +186,17 @@ def generate(
 
 
 def _build_context(params, tokens, uncond_embedding, cfg, use_cfg):
-    """Cond (+ broadcast uncond) prompt embeddings for the CFG batch."""
+    """Cond (+ broadcast uncond) prompt embeddings for the CFG batch.
+
+    uncond_embedding: [T, D] (shared, broadcast over the batch) or [B, T, D]
+    (per-sample negative prompts, batched serving)."""
     p_cond = encode_text(params, tokens, cfg)
     if not use_cfg:
         return p_cond
     b = tokens.shape[0]
-    p_un = jnp.broadcast_to(
-        uncond_embedding.astype(p_cond.dtype)[None],
-        (b, *uncond_embedding.shape))
+    p_un = uncond_embedding.astype(p_cond.dtype)
+    if p_un.ndim == 2:
+        p_un = jnp.broadcast_to(p_un[None], (b, *p_un.shape))
     return jnp.concatenate([p_cond, p_un], axis=0)
 
 

@@ -7,23 +7,107 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
     POST /generate  {"prompt": "...", "guidance": 7.5, "seed": 1,
                      "negative_prompt": "...", "format": "png"|"raw"}
       -> image/png bytes (or application/octet-stream raw uint8 HWC)
+    POST /img2img   {..., "image_b64": <base64 png/jpg>, "strength": 0.6}
+    POST /inpaint   {..., "image_b64": ..., "mask_b64": <base64 grayscale,
+                     white = repaint>, "strength": 1.0}
     GET /healthz    -> {"status": "ok", ...engine info}
 
-Requests are serialized through one device context (single TPU chip = one
-queue; batching across requests is the parallel/ mesh's job). For
+Concurrent /generate requests are MICRO-BATCHED: a worker collects requests
+for up to ``max_wait_ms`` (or until ``max_batch``) and runs them as one
+compiled call with per-sample guidance/seed/negative-prompt
+(Context.generate_batch). Batches are padded to power-of-two sizes so at
+most log2(max_batch)+1 programs are ever compiled — XLA needs static
+shapes, so unpadded dynamic batches would recompile per size. img2img /
+inpaint are serialized through the same device lock (no batching — their
+image payloads dominate, and traffic is assumed txt2img-heavy). For
 production-scale serving put N processes behind a load balancer, one per
 chip/mesh.
 """
 
 from __future__ import annotations
 
+import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
 
-def make_handler(ctx, lock: threading.Lock):
+
+class MicroBatcher:
+    """Collect concurrent generate requests into one compiled call.
+
+    The first waiter pays up to ``max_wait_ms`` of added latency; everyone
+    in the batch shares one program dispatch (~the single-image latency, so
+    throughput scales with the batch until the MXU saturates).
+    """
+
+    def __init__(self, ctx, device_lock, max_batch: int = 4,
+                 max_wait_ms: float = 25.0):
+        self.ctx = ctx
+        self.device_lock = device_lock
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait = max_wait_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="sdtpu-batcher")
+        self._worker.start()
+
+    def submit(self, req: dict) -> np.ndarray:
+        item = {"req": req, "done": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify_all()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                deadline = time.monotonic() + self.max_wait
+                while len(self._queue) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            try:
+                with self.device_lock:
+                    outs = self.ctx.generate_batch(
+                        [b["req"] for b in batch])
+                for b, o in zip(batch, outs):
+                    b["result"] = o
+            except Exception as e:  # noqa: BLE001 — delivered to the waiter
+                for b in batch:
+                    b["error"] = e
+            for b in batch:
+                b["done"].set()
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64)))
+                      .convert("RGB"))
+
+
+def _decode_mask(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64)))
+                      .convert("L"))
+
+
+def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through engine logging
             ctx.logger.debug("http: " + fmt % args)
@@ -38,6 +122,16 @@ def make_handler(ctx, lock: threading.Lock):
         def _json(self, code: int, obj):
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _image(self, img: np.ndarray, fmt: str):
+            if fmt == "raw":
+                return self._send(200, img.tobytes(),
+                                  "application/octet-stream")
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            return self._send(200, buf.getvalue(), "image/png")
+
         def do_GET(self):
             if self.path != "/healthz":
                 return self._json(404, {"error": "not found"})
@@ -49,10 +143,11 @@ def make_handler(ctx, lock: threading.Lock):
                 "image_size": ctx.cfg.image_size,
                 "steps": ctx.steps,
                 "sampler": ctx.sampler,
+                "max_batch": batcher.max_batch,
             })
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/img2img", "/inpaint"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -60,37 +155,56 @@ def make_handler(ctx, lock: threading.Lock):
                 prompt = req.get("prompt")
                 if not isinstance(prompt, str) or not prompt.strip():
                     return self._json(400, {"error": "missing 'prompt'"})
+                fmt = req.get("format", "png")
                 guidance = float(req.get("guidance", 7.5))
                 seed = req.get("seed")
+                seed = int(seed) if seed is not None else None
                 neg = req.get("negative_prompt")
-                fmt = req.get("format", "png")
-                with lock:  # one device queue
-                    img = ctx.generate(
-                        prompt, guidance=guidance,
-                        seed=int(seed) if seed is not None else None,
-                        negative_prompt=neg,
-                    )
-                if fmt == "raw":
-                    return self._send(200, img.tobytes(),
-                                      "application/octet-stream")
-                from PIL import Image
-
-                buf = io.BytesIO()
-                Image.fromarray(img).save(buf, format="PNG")
-                return self._send(200, buf.getvalue(), "image/png")
+                if self.path == "/generate":
+                    img = batcher.submit({
+                        "prompt": prompt, "guidance": guidance,
+                        "seed": seed, "negative_prompt": neg,
+                    })
+                    return self._image(img, fmt)
+                if "image_b64" not in req:
+                    return self._json(400, {"error": "missing 'image_b64'"})
+                init = _decode_image(req["image_b64"])
+                if self.path == "/img2img":
+                    with lock:
+                        img = ctx.img2img(
+                            prompt, init,
+                            strength=float(req.get("strength", 0.6)),
+                            guidance=guidance, seed=seed,
+                            negative_prompt=neg)
+                else:
+                    if "mask_b64" not in req:
+                        return self._json(400,
+                                          {"error": "missing 'mask_b64'"})
+                    mask = _decode_mask(req["mask_b64"])
+                    with lock:
+                        img = ctx.inpaint(
+                            prompt, init, mask,
+                            strength=float(req.get("strength", 1.0)),
+                            guidance=guidance, seed=seed,
+                            negative_prompt=neg)
+                return self._image(img, fmt)
             except Exception as e:  # noqa: BLE001
-                ctx.logger.error(f"/generate failed: {e}")
+                ctx.logger.error(f"{self.path} failed: {e}")
                 return self._json(500, {"error": str(e)})
 
     return Handler
 
 
 def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
-          ready_event: threading.Event | None = None):
+          ready_event: threading.Event | None = None,
+          max_batch: int = 4, max_wait_ms: float = 25.0):
     """Blocking serve loop. `ready_event` is set once the socket is bound."""
     lock = threading.Lock()
-    httpd = ThreadingHTTPServer((host, port), make_handler(ctx, lock))
-    ctx.logger.info(f"serving on http://{host}:{httpd.server_address[1]}")
+    batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(ctx, lock, batcher))
+    ctx.logger.info(f"serving on http://{host}:{httpd.server_address[1]} "
+                    f"(max_batch={batcher.max_batch})")
     if ready_event is not None:
         serve.last_server = httpd  # test hook
         ready_event.set()

@@ -66,6 +66,95 @@ def test_generate_raw_matches_direct(server):
     assert np.array_equal(img, direct)
 
 
+def test_concurrent_requests_micro_batched(server):
+    """4 simultaneous requests are fused by the batcher; each result must
+    match the single-request path for its own seed/guidance (per-sample
+    noise keys + vector guidance make batching invisible to callers).
+    Tolerance: batched programs may tile reductions differently, so a pixel
+    sitting on a .5 rounding boundary can legally flip by one uint8 level."""
+    ctx, base = server
+    size = ctx.cfg.image_size
+    results = {}
+
+    def one(i):
+        status, _, body = _post(
+            base + "/generate",
+            {"prompt": "the horse", "seed": 100 + i,
+             "guidance": 5.0 + i, "format": "raw"})
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        status, body = results[i]
+        assert status == 200, body
+        img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        direct = ctx.generate("the horse", seed=100 + i, guidance=5.0 + i)
+        diff = np.abs(img.astype(int) - direct.astype(int)).max()
+        assert diff <= 1, f"request {i} diverged (maxdiff {diff})"
+
+
+def test_generate_batch_api(server):
+    """Direct Context.generate_batch: batch(1) is bitwise the single path;
+    padding (3 -> 4) returns exactly the requested images."""
+    ctx, _ = server
+    single = ctx.generate("the horse", seed=11, guidance=6.0)
+    [b1] = ctx.generate_batch(
+        [{"prompt": "the horse", "seed": 11, "guidance": 6.0}])
+    assert np.array_equal(b1, single)
+    outs = ctx.generate_batch([
+        {"prompt": "the horse", "seed": 1},
+        {"prompt": "a cat", "seed": 2, "guidance": 3.0},
+        {"prompt": "the horse", "seed": 3, "negative_prompt": "blurry"},
+    ])
+    assert len(outs) == 3
+    assert not np.array_equal(outs[0], outs[1])
+
+
+def test_img2img_and_inpaint_endpoints(server):
+    import base64
+    import io
+
+    from PIL import Image
+
+    ctx, base = server
+    size = ctx.cfg.image_size
+    row = np.linspace(0, 255, size, dtype=np.uint8)
+    init = np.broadcast_to(row[None, :, None], (size, size, 3))
+
+    def b64(arr, mode):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    status, ctype, body = _post(
+        base + "/img2img",
+        {"prompt": "the horse", "seed": 3, "strength": 0.5,
+         "image_b64": b64(np.ascontiguousarray(init), "RGB"),
+         "format": "raw"})
+    assert status == 200, body
+    img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+    direct = ctx.img2img("the horse", init, strength=0.5, seed=3)
+    assert np.array_equal(img, direct)
+
+    mask = np.zeros((size, size), np.uint8)
+    mask[:, size // 2:] = 255
+    status, _, body = _post(
+        base + "/inpaint",
+        {"prompt": "the horse", "seed": 3,
+         "image_b64": b64(np.ascontiguousarray(init), "RGB"),
+         "mask_b64": b64(mask, "L"), "format": "raw"})
+    assert status == 200, body
+
+    status, _, body = _post(
+        base + "/inpaint",
+        {"prompt": "x", "image_b64": b64(np.ascontiguousarray(init), "RGB")})
+    assert status == 400 and b"mask_b64" in body
+
+
 def test_generate_missing_prompt(server):
     _, base = server
     status, _, body = _post(base + "/generate", {"guidance": 7.5})
