@@ -213,7 +213,7 @@ def main(argv=None) -> int:
                         "requires --init-image")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
-    g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
     g.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
@@ -285,7 +285,7 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
     sv.add_argument("--steps", type=int, default=20)
-    sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
     sv.add_argument("--model-dir", default=None)
     sv.add_argument("--mesh", default=None,
                     help="multi-chip serving mesh as 'data,model' (e.g. 2,4)")

@@ -109,22 +109,9 @@ def denoise(
     )  # [steps, time_embed_dim]
 
     dtype = cfg.compute_dtype
-    state = mod.init_state(shape)
 
-    def body(carry, i):
-        x, st = carry
-        if mask is not None:
-            # re-pin the kept region to the init latents at this step's
-            # marginal (fresh noise per step keeps its statistics honest)
-            if key.ndim == 2:
-                n_i = jax.vmap(lambda k: jax.random.normal(
-                    jax.random.fold_in(k, i + 1), shape[1:], jnp.float32))(key)
-            else:
-                n_i = jax.random.normal(
-                    jax.random.fold_in(key, i + 1), shape, jnp.float32)
-            pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
-                      + plan.sigma_s[i] * n_i)
-            x = mask * x + (1.0 - mask) * pinned
+    def predict_eps(x, i):
+        """One guided UNet eval at step index `i` (traced or static)."""
         te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
         if use_cfg:
             x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
@@ -143,7 +130,37 @@ def denoise(
             if g.ndim:  # per-sample guidance scale [B] (batched serving)
                 g = g.reshape((-1,) + (1,) * (eps.ndim - 1))
             eps = g * eps[:b] + (1.0 - g) * eps[b:]
-        x, st = mod.step(plan, i, x, eps, st)
+        return eps
+
+    state = mod.init_state(shape)
+
+    if sampler == "plms_exact" and start_step == 0:
+        # CompVis-exact PLMS first step (pseudo improved Euler): a second
+        # UNet eval at the *next* time refines eps before the step-0 update.
+        # The plain "plms" sampler spends one eval here instead.
+        e_t = predict_eps(x, 0)
+        x_mid, _ = mod.step(plan, 0, x, e_t, state)
+        e_next = predict_eps(x_mid, 1)
+        x, _ = mod.step(plan, 0, x, 0.5 * (e_t + e_next), state)
+        # history gets e_t (not the average), as in the reference method
+        _, state = mod.step(plan, 0, x_mid, e_t, state)
+        start_step = 1
+
+    def body(carry, i):
+        x, st = carry
+        if mask is not None:
+            # re-pin the kept region to the init latents at this step's
+            # marginal (fresh noise per step keeps its statistics honest)
+            if key.ndim == 2:
+                n_i = jax.vmap(lambda k: jax.random.normal(
+                    jax.random.fold_in(k, i + 1), shape[1:], jnp.float32))(key)
+            else:
+                n_i = jax.random.normal(
+                    jax.random.fold_in(key, i + 1), shape, jnp.float32)
+            pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
+                      + plan.sigma_s[i] * n_i)
+            x = mask * x + (1.0 - mask) * pinned
+        x, st = mod.step(plan, i, x, predict_eps(x, i), st)
         return (x, st), None
 
     # unroll=2: exposes cross-step overlap to the latency-hiding scheduler

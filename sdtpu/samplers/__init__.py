@@ -23,6 +23,9 @@ SAMPLERS = {
     "dpm++": dpm,
     "ddim": ddim,
     "plms": plms,
+    # CompVis-exact variant: the pipeline spends a second UNet eval on the
+    # pseudo-improved-Euler first step (see engine/pipeline.denoise)
+    "plms_exact": plms,
 }
 
 

@@ -12,9 +12,11 @@ coefficient table so the scan body is branch-free:
     order 4:  (55 e - 59 e1 + 37 e2 - 9 e3) / 24
 
 Deviation from CompVis: their step 0 spends a second model eval on a
-pseudo-improved-Euler correction; we use a plain 1st-order step instead
+pseudo-improved-Euler correction; "plms" uses a plain 1st-order step instead
 (the k-diffusion convention), keeping exactly one UNet eval per scan
-iteration. Affects step 0 only.
+iteration. Affects step 0 only. Select sampler "plms_exact" to get the
+CompVis-exact first step (the pipeline runs the two-eval corrector as a
+pre-scan prologue, engine/pipeline.py).
 """
 
 from __future__ import annotations

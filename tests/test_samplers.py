@@ -202,3 +202,62 @@ def test_steps_are_scannable_and_jittable(sched):
 
         out = run(jnp.ones((4, 4)))
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plms_exact_first_step_matches_compvis_recipe():
+    """"plms_exact" spends a second UNet eval on the pseudo-improved-Euler
+    first step (CompVis PLMS p_sample step 0). Oracle: walk the recipe
+    eagerly — e_t at step 0, DDIM-step to x_mid, e_next at step 1, final
+    step-0 update with (e_t+e_next)/2, history seeded with e_t — then plain
+    AB steps; must match the jitted pipeline bit-for-bit."""
+    import sdtpu
+    from sdtpu.engine.pipeline import denoise, encode_text
+    from sdtpu.models import temb as temb_mod
+    from sdtpu.models import unet as unet_mod
+    from sdtpu.samplers import NoiseSchedule
+
+    ctx = sdtpu.Context(config="tiny", steps=4, sampler="plms_exact")
+    cfg = ctx.cfg
+    steps = 4
+    tokens = jnp.asarray(
+        [ctx.tokenizer.tokenize("the horse", cfg.clip.context_len)], jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    ours = np.asarray(denoise(
+        ctx.params, encode_text(ctx.params, tokens, cfg), key,
+        jnp.float32(1.0), cfg, "plms_exact", steps, use_cfg=False,
+    ))
+
+    pl = plms.plan(NoiseSchedule.sd_v1(), steps)
+    context = encode_text(ctx.params, tokens, cfg)
+    t_embs = temb_mod.apply(ctx.params["temb"], pl.model_t, cfg.unet,
+                            dtype=cfg.compute_dtype)
+
+    def ev(x, i):
+        te = jnp.broadcast_to(t_embs[i], (1, t_embs.shape[-1]))
+        return unet_mod.apply(
+            ctx.params["unet"], x.astype(cfg.compute_dtype), te, context,
+            cfg.unet).astype(jnp.float32)
+
+    shape = (1, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
+    x = jax.random.normal(key, shape, jnp.float32)
+    st0 = plms.init_state(shape)
+    e_t = ev(x, 0)
+    x_mid, _ = plms.step(pl, 0, x, e_t, st0)
+    e_next = ev(x_mid, 1)
+    x, _ = plms.step(pl, 0, x, 0.5 * (e_t + e_next), st0)
+    st = plms.State(e1=e_t, e2=st0.e1, e3=st0.e2)
+    for i in range(1, steps):
+        x, st = plms.step(pl, i, x, ev(x, i), st)
+    np.testing.assert_allclose(ours, np.asarray(x), atol=1e-5)
+
+
+def test_plms_exact_differs_from_plms_only_via_first_step():
+    import sdtpu
+
+    a = sdtpu.Context(config="tiny", steps=3, sampler="plms").generate(
+        "the horse", seed=5)
+    b = sdtpu.Context(config="tiny", steps=3, sampler="plms_exact").generate(
+        "the horse", seed=5)
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)  # the corrector changed step 0
