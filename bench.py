@@ -47,25 +47,45 @@ def main() -> int:
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     prompt = "a photograph of an astronaut riding a horse"
+    # SDTPU_BENCH_BATCH=N switches to the serving path (Context.generate_batch
+    # with per-sample seeds, the program the HTTP micro-batcher drives) and
+    # reports per-IMAGE time at that batch size; default N=1 is the headline
+    # single-request latency.
+    batch = int(os.environ.get("SDTPU_BENCH_BATCH", "1"))
+    seed = [0]
+
+    def one_call():
+        if batch == 1:
+            ctx.generate(prompt, guidance=7.5, seed=seed[0])
+            seed[0] += 1
+        else:
+            ctx.generate_batch([
+                {"prompt": prompt, "guidance": 7.5, "seed": seed[0] + i}
+                for i in range(batch)
+            ])
+            seed[0] += batch
+
     for i in range(WARMUP):
         t = time.perf_counter()
-        ctx.generate(prompt, guidance=7.5, seed=i)
+        one_call()
         print(f"# warmup {i}: {time.perf_counter() - t:.3f}s", file=sys.stderr)
 
     times = []
     for i in range(ITERS):
         t = time.perf_counter()
-        ctx.generate(prompt, guidance=7.5, seed=100 + i)
-        times.append(time.perf_counter() - t)
+        one_call()
+        times.append((time.perf_counter() - t) / batch)
     value = statistics.median(times)
     p90 = sorted(times)[int(0.9 * (len(times) - 1))]
     print(
-        f"# iters n={len(times)} median {value:.3f}s p90 {p90:.3f}s "
-        f"min {min(times):.3f}s max {max(times):.3f}s",
+        f"# iters n={len(times)} batch={batch} median {value:.3f}s/image "
+        f"p90 {p90:.3f}s min {min(times):.3f}s max {max(times):.3f}s",
         file=sys.stderr,
     )
+    metric = ("txt2img_512_20step_s_per_image" if batch == 1
+              else f"txt2img_512_20step_s_per_image_batch{batch}")
     print(json.dumps({
-        "metric": "txt2img_512_20step_s_per_image",
+        "metric": metric,
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(TARGET_S / value, 4),
