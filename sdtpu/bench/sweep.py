@@ -18,7 +18,7 @@ from typing import Optional
 
 def run_sweep(
     config: str = "sd15",
-    samplers=("dpm", "ddim", "plms"),
+    samplers=("dpm", "ddim", "plms", "plms_exact"),
     steps_list=(10, 20, 50),
     guidance_list=(1.0, 4.0, 7.5),
     batches=(1, 4),
