@@ -90,6 +90,15 @@ SDTPU_API int sdtpu_release(void* context);
 SDTPU_API int sdtpu_generate_image(void* context, const char* prompt,
                                    float guidance, void** image_buffer,
                                    size_t* buffer_size);
+/* img2img / inpainting. `image`: uint8 RGB HWC at the context resolution
+ * (image_size bytes = H*W*3). `mask`: optional uint8 grayscale [H, W]
+ * (mask_size = H*W; nonzero = repaint) — NULL selects plain img2img.
+ * `strength` in (0, 1]. Output protocol as sdtpu_generate_image. */
+SDTPU_API int sdtpu_img2img_image(void* context, const char* prompt,
+                                  float guidance, float strength,
+                                  const uint8_t* image, size_t image_size,
+                                  const uint8_t* mask, size_t mask_size,
+                                  void** image_buffer, size_t* buffer_size);
 SDTPU_API void sdtpu_free_buffer(void* buffer);
 
 #ifdef __cplusplus

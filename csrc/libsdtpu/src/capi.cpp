@@ -204,6 +204,68 @@ void raise_py(ContextHandle* h, const char* what) {
   Py_XDECREF(tb);
   throw Error(SDTPU_RUNTIME_ERROR, msg, what, h ? &h->errors : nullptr);
 }
+
+// Copy a numpy image result into the caller-or-callee allocated output
+// buffer (reference output protocol: api/libsdod.h:91-114). Steals `img`.
+void deliver_image(ContextHandle* h, PyObject* img, void** image_buffer,
+                   size_t* buffer_size) {
+  PyObject* bytes = PyObject_CallMethod(img, "tobytes", nullptr);
+  Py_DECREF(img);
+  if (!bytes) raise_py(h, "tobytes");
+  char* data;
+  Py_ssize_t len;
+  PyBytes_AsStringAndSize(bytes, &data, &len);
+  if (*image_buffer) {
+    if (*buffer_size < size_t(len)) {
+      Py_DECREF(bytes);
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "caller buffer too small");
+    }
+  } else {
+    *image_buffer = std::malloc(size_t(len));
+    if (!*image_buffer) {
+      Py_DECREF(bytes);
+      SDTPU_THROW_T(&h->errors, SDTPU_FAILED_ALLOCATION, "image buffer");
+    }
+  }
+  std::memcpy(*image_buffer, data, size_t(len));
+  *buffer_size = size_t(len);
+  Py_DECREF(bytes);
+}
+
+// bytes -> uint8 ndarray of the given shape (dims 2 or 3)
+PyObject* bytes_to_array(ContextHandle* h, const uint8_t* data, size_t n,
+                         int dims, long d0, long d1, long d2) {
+  PyObject* np = PyImport_ImportModule("numpy");
+  if (!np) raise_py(h, "import numpy");
+  PyObject* by =
+      PyBytes_FromStringAndSize(reinterpret_cast<const char*>(data),
+                                Py_ssize_t(n));
+  PyObject* flat = by ? PyObject_CallMethod(np, "frombuffer", "(Os)", by,
+                                            "uint8")
+                      : nullptr;
+  Py_XDECREF(by);
+  Py_DECREF(np);
+  if (!flat) raise_py(h, "np.frombuffer");
+  PyObject* arr =
+      dims == 3 ? PyObject_CallMethod(flat, "reshape", "(lll)", d0, d1, d2)
+                : PyObject_CallMethod(flat, "reshape", "(ll)", d0, d1);
+  Py_DECREF(flat);
+  if (!arr) raise_py(h, "reshape");
+  return arr;
+}
+
+long context_image_size(ContextHandle* h) {
+  PyObject* cfg =
+      PyObject_GetAttrString(static_cast<PyObject*>(h->py_ctx), "cfg");
+  if (!cfg) raise_py(h, "cfg");
+  PyObject* o = PyObject_GetAttrString(cfg, "image_size");
+  Py_DECREF(cfg);
+  if (!o) raise_py(h, "image_size");
+  long isz = PyLong_AsLong(o);
+  Py_DECREF(o);
+  return isz;
+}
 }  // namespace
 
 int sdtpu_setup(void** context, const char* model_dir, const char* config,
@@ -272,28 +334,43 @@ int sdtpu_generate_image(void* context, const char* prompt, float guidance,
                                         "generate", "(sf)", prompt,
                                         (double)guidance);
     if (!img) raise_py(h, "generate");
-    PyObject* bytes = PyObject_CallMethod(img, "tobytes", nullptr);
-    Py_DECREF(img);
-    if (!bytes) raise_py(h, "tobytes");
-    char* data;
-    Py_ssize_t len;
-    PyBytes_AsStringAndSize(bytes, &data, &len);
-    if (*image_buffer) {
-      if (*buffer_size < size_t(len)) {
-        Py_DECREF(bytes);
-        SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
-                      "caller buffer too small");
-      }
+    deliver_image(h, img, image_buffer, buffer_size);
+  });
+}
+
+int sdtpu_img2img_image(void* context, const char* prompt, float guidance,
+                        float strength, const uint8_t* image,
+                        size_t image_size, const uint8_t* mask,
+                        size_t mask_size, void** image_buffer,
+                        size_t* buffer_size) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!prompt || !image || !image_buffer || !buffer_size)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null args");
+    Gil gil;
+    long isz = context_image_size(h);
+    if (image_size != size_t(isz) * size_t(isz) * 3)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "image must be H*W*3 bytes at the context resolution");
+    if (mask && mask_size != size_t(isz) * size_t(isz))
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "mask must be H*W bytes at the context resolution");
+    PyObject* ctx = static_cast<PyObject*>(h->py_ctx);
+    PyObject* arr = bytes_to_array(h, image, image_size, 3, isz, isz, 3);
+    PyObject* img;
+    if (mask) {
+      PyObject* marr = bytes_to_array(h, mask, mask_size, 2, isz, isz, 0);
+      img = PyObject_CallMethod(ctx, "inpaint", "(sOOdd)", prompt, arr, marr,
+                                double(strength), double(guidance));
+      Py_DECREF(marr);
     } else {
-      *image_buffer = std::malloc(size_t(len));
-      if (!*image_buffer) {
-        Py_DECREF(bytes);
-        SDTPU_THROW_T(&h->errors, SDTPU_FAILED_ALLOCATION, "image buffer");
-      }
+      img = PyObject_CallMethod(ctx, "img2img", "(sOdd)", prompt, arr,
+                                double(strength), double(guidance));
     }
-    std::memcpy(*image_buffer, data, size_t(len));
-    *buffer_size = size_t(len);
-    Py_DECREF(bytes);
+    Py_DECREF(arr);
+    if (!img) raise_py(h, mask ? "inpaint" : "img2img");
+    deliver_image(h, img, image_buffer, buffer_size);
   });
 }
 
@@ -328,6 +405,10 @@ int sdtpu_setup(void** context, const char*, const char*, int32_t, int32_t,
 int sdtpu_set_steps(void*, int32_t) { return SDTPU_UNSUPPORTED; }
 int sdtpu_set_seed(void*, int64_t) { return SDTPU_UNSUPPORTED; }
 int sdtpu_generate_image(void*, const char*, float, void**, size_t*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_img2img_image(void*, const char*, float, float, const uint8_t*,
+                        size_t, const uint8_t*, size_t, void**, size_t*) {
   return SDTPU_UNSUPPORTED;
 }
 int sdtpu_ref_context(void*) { return SDTPU_UNSUPPORTED; }

@@ -33,6 +33,26 @@ int main(int argc, char** argv) {
   fwrite(buf, 1, size, f);
   fclose(f);
   printf("wrote output.bin (%zu bytes)\n", size);
+
+  /* img2img round trip: feed the generated image back at strength 0.5 */
+  void* buf2 = NULL;
+  size_t size2 = 0;
+  st = sdtpu_img2img_image(ctx, prompt, 7.5f, 0.5f,
+                           (const unsigned char*)buf, size, NULL, 0, &buf2,
+                           &size2);
+  if (st != SDTPU_NO_ERROR) {
+    fprintf(stderr, "img2img failed: %s (%s)\n",
+            sdtpu_get_error_description(st),
+            sdtpu_get_last_error_extra_info(st, ctx));
+    sdtpu_free_buffer(buf);
+    sdtpu_release(ctx);
+    return 1;
+  }
+  f = fopen("output2.bin", "wb");
+  fwrite(buf2, 1, size2, f);
+  fclose(f);
+  printf("wrote output2.bin (%zu bytes, img2img)\n", size2);
+  sdtpu_free_buffer(buf2);
   sdtpu_free_buffer(buf);
   sdtpu_release(ctx);
   return 0;

@@ -120,6 +120,33 @@ def test_native_error_surface(lib, flat_file):
         nat.update(0, np.zeros(4, np.float32), np.zeros(4, np.float32))
 
 
+def test_simple_app_e2e_engine(lib, tmp_path):
+    """The native E2E app drives the embedded-Python engine through the C
+    ABI: setup -> generate -> img2img(output fed back) -> raw .bin outputs
+    (the reference's simple_app flow, test/simple_app.cpp:6-38, plus the
+    img2img extension)."""
+    import os
+    import pathlib
+    import subprocess
+
+    csrc = pathlib.Path(__file__).resolve().parents[1] / "csrc"
+    app = csrc / "build" / "simple_app"
+    if not app.exists():
+        pytest.skip("simple_app not built")
+    env = {**os.environ,
+           "PYTHONPATH": f"{csrc.parent}:{os.environ.get('PYTHONPATH', '')}",
+           "JAX_PLATFORMS": "cpu"}
+    run = subprocess.run(
+        [str(app), "the horse", "tiny"], cwd=tmp_path,
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    a = np.fromfile(tmp_path / "output.bin", np.uint8)
+    b = np.fromfile(tmp_path / "output2.bin", np.uint8)
+    assert a.size == 16 * 16 * 3 and b.size == a.size
+    assert not np.array_equal(a, b)  # img2img at strength .5 repaints
+
+
 def test_threaded_capi_under_tsan(flat_file):
     """8 threads hammer the shared tokenizer, the mutex-guarded global error
     table, and per-thread DPM solvers under -fsanitize=thread (the race
