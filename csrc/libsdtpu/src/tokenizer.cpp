@@ -221,11 +221,13 @@ std::vector<std::string> Tokenizer::pretokenize(const std::string& text) const {
       ++i;
       continue;
     }
+    // "other" run. CLIP's regex tries contractions only at the match START,
+    // so apostrophes inside a punctuation run are consumed greedily
+    // ("!!'s" -> ["!!'", "s"]).
     size_t j = i;
     while (j < n) {
       uint32_t cj = cps[j];
       if (is_space(cj) || is_letter(cj) || is_number(cj)) break;
-      if (cj == '\'' && j > i && contraction_len(cps, j)) break;
       ++j;
     }
     emit(i, j);

@@ -106,6 +106,14 @@ class Context:
         self.params = None
         self.tokenizer: Optional[Tokenizer] = None
         self.steps = int(steps)
+        from sdtpu.samplers import SAMPLERS
+
+        if sampler.lower() not in SAMPLERS:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"unknown sampler {sampler!r}; available: {sorted(SAMPLERS)}",
+                self.errors,
+            )
         self.sampler = sampler
         self.seed = int(seed)
         if kernels == "auto":

@@ -83,7 +83,10 @@ def denoise(
     from sdtpu.samplers import NoiseSchedule
 
     mod = get_sampler(sampler)
-    plan = mod.plan(NoiseSchedule.sd_v1(), steps)
+    # start_step > 0 truncates the trajectory: multistep solver history
+    # restarts at the first executed step (plan() zeroes the higher-order
+    # mix-in there; the zero-initialised State buffers never enter a blend)
+    plan = mod.plan(NoiseSchedule.sd_v1(), steps, start_step=start_step)
     b = context.shape[0] // 2 if use_cfg else context.shape[0]
     shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
@@ -217,13 +220,33 @@ def _build_context(params, tokens, uncond_embedding, cfg, use_cfg):
     return jnp.concatenate([p_cond, p_un], axis=0)
 
 
-def _encode_init_latents(params, image, cfg, kernels):
-    """[B,H,W,3] float in [-1,1] -> clean scale-factored latents (f32)."""
+# fold_in tag for the VAE-posterior draw: far outside the per-step inpaint
+# pin-noise tags (fold_in(key, i+1), i < steps), so the streams never collide
+_POSTERIOR_FOLD = 1 << 20
+
+
+def _encode_init_latents(params, image, cfg, kernels, key=None):
+    """[B,H,W,3] float in [-1,1] -> clean scale-factored latents (f32).
+
+    With `key`, SAMPLES the diagonal-Gaussian posterior (mean +
+    exp(0.5*logvar)*noise) as CompVis/diffusers img2img do — deterministic
+    per request key via a fold_in. Without `key`, returns the posterior
+    mode (mean)."""
     from sdtpu.models import vae as vae_mod
 
-    mean, _ = vae_mod.apply_encoder(
+    mean, logvar = vae_mod.apply_encoder(
         params["vae_enc"], image.astype(cfg.compute_dtype), cfg.vae, kernels)
-    return mean.astype(jnp.float32) * cfg.vae.scale_factor
+    z = mean.astype(jnp.float32)
+    if key is not None:
+        if key.ndim == 2:  # batched serving: one key per sample
+            noise = jax.vmap(lambda k: jax.random.normal(
+                jax.random.fold_in(k, _POSTERIOR_FOLD),
+                z.shape[1:], jnp.float32))(key)
+        else:
+            noise = jax.random.normal(
+                jax.random.fold_in(key, _POSTERIOR_FOLD), z.shape, jnp.float32)
+        z = z + jnp.exp(0.5 * logvar.astype(jnp.float32)) * noise
+    return z * cfg.vae.scale_factor
 
 
 def img2img(
@@ -242,10 +265,13 @@ def img2img(
     kernels: str = "xla",
 ):
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
-    noise to `start_step`, denoise the remaining steps, decode. The reference
-    has no encoder (txt2img only); this is a capability extension."""
+    noise to `start_step`, denoise the remaining steps, decode. The latents
+    are SAMPLED from the VAE posterior with the request key (the upstream
+    CompVis/diffusers convention), so results stay deterministic per seed.
+    The reference has no encoder (txt2img only); this is a capability
+    extension."""
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
-    init_latents = _encode_init_latents(params, image, cfg, kernels)
+    init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step,
@@ -273,10 +299,11 @@ def inpaint(
     checkpoint). `image`: [B,H,W,3] float in [-1,1]; `mask`: [B,H,W,1] float
     in [0,1], 1 = repaint. The pixel mask is mean-pooled to latent resolution
     (soft edges blend the two regions in latent space); the kept region is
-    re-pinned to the forward-diffused init latents every step. Capability
-    extension — the reference is txt2img-only."""
+    re-pinned to the forward-diffused init latents every step. Like img2img,
+    the init latents are sampled from the VAE posterior with the request key.
+    Capability extension — the reference is txt2img-only."""
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
-    init_latents = _encode_init_latents(params, image, cfg, kernels)
+    init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     f = cfg.image_size // cfg.latent_size
     b = mask.shape[0]
     s = cfg.latent_size

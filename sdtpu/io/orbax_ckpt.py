@@ -45,7 +45,7 @@ def abstract_params(cfg, dtype=None, mesh=None, demo: bool = True):
         pspecs = param_pspecs(tree, mesh.shape["model"])
         shardings = jax.tree.map(
             lambda s: NamedSharding(mesh, s), pspecs,
-            is_leaf=lambda x: hasattr(x, "_cls") or type(x).__name__ == "PartitionSpec",
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
         )
 
     def to_abstract(leaf, sh=None):

@@ -40,7 +40,8 @@ class State(NamedTuple):
     unused: jnp.ndarray
 
 
-def plan(schedule: NoiseSchedule, steps: int) -> Plan:
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
+    del start_step  # DDIM is single-step: no history to restart
     ts = schedule.ddim_timesteps(steps)                # descending, e.g. 951..1
     abar = schedule.alphas_cumprod[ts]                 # [steps]
     abar_prev = np.concatenate(

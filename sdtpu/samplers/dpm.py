@@ -38,7 +38,11 @@ class State(NamedTuple):
     prev_y: jnp.ndarray  # previous step's data prediction
 
 
-def plan(schedule: NoiseSchedule, steps: int) -> Plan:
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
+    """`start_step` > 0 (img2img/inpaint warm start): the trajectory is
+    truncated, so solver history restarts there — the first EXECUTED step is
+    pure 1st order (i2r=0), matching how CompVis/diffusers re-init multistep
+    solvers on a shortened schedule."""
     ts = schedule.sampling_times(steps)           # [steps+1], 1 -> 1/N
     model_t = schedule.model_times(ts[:-1])       # [steps]
     alpha = schedule.marginal_alpha(ts)           # [steps+1]
@@ -49,7 +53,7 @@ def plan(schedule: NoiseSchedule, steps: int) -> Plan:
     r = np.ones_like(h)
     r[1:] = h[:-1] / h[1:]
     i2r = 1.0 / (2.0 * r)
-    i2r[0] = 0.0                                  # step 0: pure 1st order
+    i2r[: start_step + 1] = 0.0  # first executed step: pure 1st order
     return Plan(
         model_t=to_f32(model_t),
         alpha_s=to_f32(alpha[:-1]),

@@ -64,9 +64,12 @@ _AB_TABLE = np.array(
 )
 
 
-def plan(schedule: NoiseSchedule, steps: int) -> Plan:
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
+    """`start_step` > 0 (img2img warm start): the AB order ramp restarts at 1
+    from the first executed step — earlier history buffers are zero-filled
+    and must not enter the blend."""
     base = ddim.plan(schedule, steps)
-    orders = np.minimum(np.arange(steps), 3)
+    orders = np.clip(np.arange(steps) - start_step, 0, 3)
     return Plan(
         model_t=base.model_t,
         sqrt_abar=base.sqrt_abar,

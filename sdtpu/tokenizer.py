@@ -119,18 +119,16 @@ def pretokenize(text: str) -> Iterator[str]:
             yield ch
             i += 1
             continue
-        # "other" run: chars that are not space/letter/number. An apostrophe
-        # that failed the contraction check belongs to this class, but the
-        # run must stop BEFORE any apostrophe that *starts* a contraction.
+        # "other" run: chars that are not space/letter/number. CLIP's regex
+        # alternation only tries contractions at the MATCH START, so an
+        # apostrophe inside a punctuation run is consumed greedily even when
+        # a contraction suffix follows ("!!'s" -> ["!!'", "s"], not
+        # ["!!", "'s"]).
         j = i
         while j < n:
             cj = text[j]
             if _is_space(cj) or _is_letter(cj) or _is_number(cj):
                 break
-            if cj == "'" and j > i:
-                rest = text[j + 1 : j + 3].lower()
-                if any(rest.startswith(c[1:]) for c in _CONTRACTIONS):
-                    break
             j += 1
         yield text[i:j]
         i = j

