@@ -392,6 +392,10 @@ class Context:
             p = 1
             while p < n:
                 p *= 2
+            if self.mesh is not None:
+                # the padded batch must tile the data axis exactly
+                d = self.mesh.shape["data"]
+                p = -(-p // d) * d
             t0 = time.perf_counter()
             pad = requests + [requests[0]] * (p - n)
             tokens = jnp.asarray(
@@ -418,14 +422,152 @@ class Context:
             if fn is None:
                 from sdtpu.engine.pipeline import generate as _generate
 
-                fn = jax.jit(functools.partial(
+                part = functools.partial(
                     _generate, cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, use_cfg=True, kernels=self.kernels,
-                ))
+                )
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from sdtpu.parallel.sharding import jit_pipeline_sharded
+
+                    fn = jit_pipeline_sharded(
+                        part, self.mesh, self.params,
+                        arg_pspecs=(
+                            P("data", None),        # tokens [B, T]
+                            P("data", None, None),  # per-sample uncond [B,T,D]
+                            P("data", None),        # per-sample keys [B, 2]
+                            P("data"),              # per-sample guidance [B]
+                        ),
+                    )
+                else:
+                    fn = jax.jit(part)
                 self._gen_cache[cache_key] = fn
+            if self.mesh is not None:
+                # the stacked uncond rows are committed (multi-device) arrays
+                # from the sharded encoder — re-place per the batch sharding
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                uncond = jax.device_put(
+                    uncond, NamedSharding(self.mesh, P("data", None, None)))
             out = np.asarray(fn(self.params, tokens, uncond, keys, guidance))
             self.logger.info(
                 f"batch of {n} (padded {p}) took "
+                f"{time.perf_counter() - t0:.3f}s"
+            )
+            return [out[i] for i in range(n)]
+
+    def img2img_batch(self, requests: list[dict],
+                      strength: float = 0.6) -> list[np.ndarray]:
+        """Serve several independent img2img requests as ONE compiled call
+        (server-side micro-batching, like `generate_batch`). Each request
+        dict: ``prompt`` (str) and ``image`` (uint8 [H, W, 3]) required,
+        optional per-sample ``guidance``/``seed``/``negative_prompt``.
+        `strength` is shared across the batch — it selects the compiled
+        program's start step, so the HTTP batcher groups requests by it.
+        Padded to the next power of two (and to the mesh data axis)."""
+        import functools
+
+        from sdtpu.engine import pipeline as pl
+
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            if not requests:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT, "empty request list",
+                    self.errors,
+                )
+            if not (0.0 < strength <= 1.0):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"strength must be in (0, 1], got {strength}", self.errors,
+                )
+            size = self.cfg.image_size
+            for r in requests:
+                if not isinstance(r.get("prompt"), str):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        "each request needs a string 'prompt'", self.errors,
+                    )
+                im = np.asarray(r.get("image"))
+                if im.shape != (size, size, 3) or im.dtype != np.uint8:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"each request needs a uint8 [{size},{size},3] "
+                        f"'image', got {im.shape}/{im.dtype}", self.errors,
+                    )
+            n = len(requests)
+            p = 1
+            while p < n:
+                p *= 2
+            if self.mesh is not None:
+                d = self.mesh.shape["data"]
+                p = -(-p // d) * d
+            t0 = time.perf_counter()
+            pad = requests + [requests[0]] * (p - n)
+            start_step = int(round(self.steps * (1.0 - strength)))
+            start_step = min(max(start_step, 0), self.steps - 1)
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(r["prompt"], self.cfg.clip.context_len)
+                 for r in pad], jnp.int32,
+            )
+            guidance = jnp.asarray(
+                [float(r.get("guidance", 7.5)) for r in pad], jnp.float32)
+            seeds = []
+            for r in pad:
+                s = r.get("seed")
+                if s is None:
+                    s = self.seed
+                    self.seed += 1
+                seeds.append(int(s))
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+            uncond = jnp.stack([
+                self._embed_prompt(r["negative_prompt"])
+                if r.get("negative_prompt") else self._uncond
+                for r in pad
+            ])
+            images = jnp.asarray(
+                np.stack([np.asarray(r["image"]) for r in pad]),
+                jnp.float32) / 127.5 - 1.0
+            cache_key = ("i2i_batch", p, self.steps, start_step, self.sampler)
+            fn = self._gen_cache.get(cache_key)
+            if fn is None:
+                part = functools.partial(
+                    pl.img2img, cfg=self.cfg, sampler=self.sampler,
+                    steps=self.steps, start_step=start_step, use_cfg=True,
+                    kernels=self.kernels,
+                )
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from sdtpu.parallel.sharding import jit_pipeline_sharded
+
+                    fn = jit_pipeline_sharded(
+                        part, self.mesh, self.params,
+                        arg_pspecs=(
+                            P("data", None),              # tokens
+                            P("data", None, None),        # per-sample uncond
+                            P("data", None),              # per-sample keys
+                            P("data"),                    # per-sample guidance
+                            P("data", None, None, None),  # images
+                        ),
+                    )
+                else:
+                    fn = jax.jit(part)
+                self._gen_cache[cache_key] = fn
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                uncond = jax.device_put(
+                    uncond, NamedSharding(self.mesh, P("data", None, None)))
+            out = np.asarray(
+                fn(self.params, tokens, uncond, keys, guidance, images))
+            self.logger.info(
+                f"img2img batch of {n} (padded {p}) took "
                 f"{time.perf_counter() - t0:.3f}s"
             )
             return [out[i] for i in range(n)]
@@ -530,12 +672,36 @@ class Context:
                          self.sampler, use_cfg)
             fn = self._gen_cache.get(cache_key)
             if fn is None:
-                fn = jax.jit(functools.partial(
+                part = functools.partial(
                     pl.img2img if mode == "img2img" else pl.inpaint,
                     cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, start_step=start_step, use_cfg=use_cfg,
                     kernels=self.kernels,
-                ))
+                )
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from sdtpu.parallel.sharding import jit_pipeline_sharded
+
+                    if len(prompts) % self.mesh.shape["data"]:
+                        raise SdtpuError(
+                            ErrorCode.INVALID_ARGUMENT,
+                            f"batch {len(prompts)} not divisible by data axis"
+                            f" {self.mesh.shape['data']}", self.errors,
+                        )
+                    specs = [
+                        P("data", None),              # tokens [B, T]
+                        P(),                          # shared uncond [T, D]
+                        P(),                          # PRNG key
+                        P(),                          # guidance scalar
+                        P("data", None, None, None),  # image [B, H, W, 3]
+                    ]
+                    if mode == "inpaint":
+                        specs.append(P("data", None, None, None))  # mask
+                    fn = jit_pipeline_sharded(
+                        part, self.mesh, self.params, arg_pspecs=tuple(specs))
+                else:
+                    fn = jax.jit(part)
                 self._gen_cache[cache_key] = fn
             x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
             args = (self.params, tokens, uncond, jax.random.PRNGKey(seed),

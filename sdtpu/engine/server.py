@@ -12,16 +12,19 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
                      white = repaint>, "strength": 1.0}
     GET /healthz    -> {"status": "ok", ...engine info}
 
-Concurrent /generate requests are MICRO-BATCHED: a worker collects requests
-for up to ``max_wait_ms`` (or until ``max_batch``) and runs them as one
-compiled call with per-sample guidance/seed/negative-prompt
-(Context.generate_batch). Batches are padded to power-of-two sizes so at
-most log2(max_batch)+1 programs are ever compiled — XLA needs static
-shapes, so unpadded dynamic batches would recompile per size. img2img /
-inpaint are serialized through the same device lock (no batching — their
-image payloads dominate, and traffic is assumed txt2img-heavy). For
-production-scale serving put N processes behind a load balancer, one per
-chip/mesh.
+Concurrent /generate AND /img2img requests are MICRO-BATCHED: a worker
+collects same-kind requests for up to ``max_wait_ms`` (or until
+``max_batch``) and runs them as one compiled call with per-sample
+guidance/seed/negative-prompt (Context.generate_batch /
+Context.img2img_batch). img2img requests additionally group by strength,
+since strength selects the compiled program's start step. Batches are
+padded to power-of-two sizes so at most log2(max_batch)+1 programs are
+ever compiled per group — XLA needs static shapes, so unpadded dynamic
+batches would recompile per size. inpaint stays serialized through the
+device lock (per-request masks; traffic is assumed txt2img-heavy).
+Request bodies above ``max_body_mb`` (default 32 MB) are rejected with
+413. For production-scale serving put N processes behind a load
+balancer, one per chip/mesh.
 """
 
 from __future__ import annotations
@@ -37,10 +40,12 @@ import numpy as np
 
 
 class MicroBatcher:
-    """Collect concurrent generate requests into one compiled call.
+    """Collect concurrent requests into per-group compiled calls.
 
-    The first waiter pays up to ``max_wait_ms`` of added latency; everyone
-    in the batch shares one program dispatch (~the single-image latency, so
+    Requests are submitted with a ``group`` key; only same-group requests
+    batch together (txt2img is one group, img2img groups by strength). The
+    first waiter pays up to ``max_wait_ms`` of added latency; everyone in
+    the batch shares one program dispatch (~the single-image latency, so
     throughput scales with the batch until the MXU saturates).
     """
 
@@ -51,13 +56,16 @@ class MicroBatcher:
         self.max_batch = max(1, int(max_batch))
         self.max_wait = max_wait_ms / 1e3
         self._cv = threading.Condition()
+        # FIFO of items; each carries its group key — the worker drains the
+        # oldest group's items first (bounded unfairness: one group's batch
+        # per dispatch)
         self._queue: list[dict] = []
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="sdtpu-batcher")
         self._worker.start()
 
-    def submit(self, req: dict) -> np.ndarray:
-        item = {"req": req, "done": threading.Event(),
+    def submit(self, req: dict, group=("gen",)) -> np.ndarray:
+        item = {"req": req, "group": group, "done": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
             self._queue.append(item)
@@ -73,17 +81,29 @@ class MicroBatcher:
                 while not self._queue:
                     self._cv.wait()
                 deadline = time.monotonic() + self.max_wait
-                while len(self._queue) < self.max_batch:
+                group = self._queue[0]["group"]
+
+                def _ready():
+                    return sum(
+                        1 for i in self._queue if i["group"] == group)
+
+                while _ready() < self.max_batch:
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
-                batch = self._queue[: self.max_batch]
-                del self._queue[: self.max_batch]
+                batch = [i for i in self._queue if i["group"] == group]
+                batch = batch[: self.max_batch]
+                for i in batch:
+                    self._queue.remove(i)
             try:
+                reqs = [b["req"] for b in batch]
                 with self.device_lock:
-                    outs = self.ctx.generate_batch(
-                        [b["req"] for b in batch])
+                    if group[0] == "gen":
+                        outs = self.ctx.generate_batch(reqs)
+                    else:  # ("i2i", strength)
+                        outs = self.ctx.img2img_batch(reqs,
+                                                      strength=group[1])
                 for b, o in zip(batch, outs):
                     b["result"] = o
             except Exception as e:  # noqa: BLE001 — delivered to the waiter
@@ -107,7 +127,8 @@ def _decode_mask(b64: str) -> np.ndarray:
                       .convert("L"))
 
 
-def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher):
+def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
+                 max_body: int = 32 << 20):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through engine logging
             ctx.logger.debug("http: " + fmt % args)
@@ -150,7 +171,13 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher):
             if self.path not in ("/generate", "/img2img", "/inpaint"):
                 return self._json(404, {"error": "not found"})
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return self._json(400, {"error": "bad Content-Length"})
+                if n < 0 or n > max_body:
+                    return self._json(413, {
+                        "error": f"request body {n} exceeds {max_body} bytes"})
                 req = json.loads(self.rfile.read(n) or b"{}")
                 prompt = req.get("prompt")
                 if not isinstance(prompt, str) or not prompt.strip():
@@ -170,12 +197,16 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher):
                     return self._json(400, {"error": "missing 'image_b64'"})
                 init = _decode_image(req["image_b64"])
                 if self.path == "/img2img":
-                    with lock:
-                        img = ctx.img2img(
-                            prompt, init,
-                            strength=float(req.get("strength", 0.6)),
-                            guidance=guidance, seed=seed,
-                            negative_prompt=neg)
+                    # micro-batched: same-strength requests share one
+                    # compiled call (strength selects the start step, so it
+                    # is part of the group key)
+                    strength = float(req.get("strength", 0.6))
+                    img = batcher.submit(
+                        {"prompt": prompt, "image": init,
+                         "guidance": guidance, "seed": seed,
+                         "negative_prompt": neg},
+                        group=("i2i", strength),
+                    )
                 else:
                     if "mask_b64" not in req:
                         return self._json(400,
@@ -197,12 +228,14 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher):
 
 def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
           ready_event: threading.Event | None = None,
-          max_batch: int = 4, max_wait_ms: float = 25.0):
+          max_batch: int = 4, max_wait_ms: float = 25.0,
+          max_body_mb: int = 32):
     """Blocking serve loop. `ready_event` is set once the socket is bound."""
     lock = threading.Lock()
     batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms)
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(ctx, lock, batcher))
+    httpd = ThreadingHTTPServer(
+        (host, port),
+        make_handler(ctx, lock, batcher, max_body=max_body_mb << 20))
     ctx.logger.info(f"serving on http://{host}:{httpd.server_address[1]} "
                     f"(max_batch={batcher.max_batch})")
     if ready_event is not None:

@@ -14,9 +14,10 @@ collectives from sharding annotations. Axes:
 
 Pipeline/expert parallelism intentionally do not exist here: the model is a
 20-iteration recurrent UNet (pipelining across layers would bubble every
-step boundary) and has no MoE layers. Sequence/spatial parallelism is
-subsumed by `model`-axis sharding of the flattened HW axis when activations
-are annotated (see sharding.py).
+step boundary) and has no MoE layers. Sequence/spatial parallelism of the
+conv stack is NOT implemented: the current plan keeps convolutions and
+norms replicated on the model axis (see sharding.py's module docstring for
+the measured rationale); only the transformer matmuls are tensor-parallel.
 """
 
 from __future__ import annotations

@@ -79,42 +79,53 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs):
+    """jit ``fn(params, *args)`` over the mesh.
+
+    in_shardings: params per the TP plan, each further positional arg per
+    ``arg_pspecs`` (a PartitionSpec per arg — ``P("data", ...)`` for batched
+    tensors, ``P()`` for replicated scalars/keys). The whole program (CLIP +
+    UNet scan + VAE) runs as one SPMD program; GSPMD propagates the
+    annotations and emits the ICI collectives. The uint8 image output is
+    batch-sharded over `data`.
+    """
+    pspecs = param_pspecs(params, mesh.shape["model"])
+    param_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    in_sh = (param_sh, *(NamedSharding(mesh, p) for p in arg_pspecs))
+    return jax.jit(
+        fn,
+        in_shardings=in_sh,
+        out_shardings=NamedSharding(mesh, P("data", None, None, None)),
+    )
+
+
 def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
                          steps: int = 20, use_cfg: bool = True,
                          kernels: str = "xla"):
-    """Compile the full generate program over the mesh.
-
-    in_shardings: params per the TP plan, tokens batch-sharded over `data`,
-    scalars replicated. The whole scan (CLIP + UNet steps + VAE) runs as one
-    SPMD program; GSPMD propagates the annotations and emits collectives.
-    """
+    """Compile the full generate program over the mesh (single shared
+    negative embedding, one key, scalar guidance — the `Context.generate`
+    signature)."""
     import functools
 
     from sdtpu.engine.pipeline import generate
 
-    model_size = mesh.shape["model"]
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
         kernels=kernels,
     )
-    rep = NamedSharding(mesh, P())
-
-    def in_shardings(params):
-        pspecs = param_pspecs(params, model_size)
-        return (
-            jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                         is_leaf=lambda x: isinstance(x, P)),
-            NamedSharding(mesh, P("data", None)),          # tokens [B, T]
-            rep,                                           # uncond embedding
-            rep,                                           # PRNG key
-            rep,                                           # guidance
-        )
 
     def build(params):
-        return jax.jit(
-            fn,
-            in_shardings=in_shardings(params),
-            out_shardings=NamedSharding(mesh, P("data", None, None, None)),
+        return jit_pipeline_sharded(
+            fn, mesh, params,
+            arg_pspecs=(
+                P("data", None),  # tokens [B, T]
+                P(),              # uncond embedding [T, D]
+                P(),              # PRNG key
+                P(),              # guidance scalar
+            ),
         )
 
     return build

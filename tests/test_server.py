@@ -166,3 +166,89 @@ def test_unknown_route(server):
     _, base = server
     status, _, _ = _post(base + "/nope", {})
     assert status == 404
+
+
+def test_concurrent_img2img_micro_batched(server):
+    """4 simultaneous same-strength img2img requests are fused into one
+    compiled img2img_batch call; each result must match the direct
+    single-request path for its own seed (±1 LSB for batched tiling)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    ctx, base = server
+    size = ctx.cfg.image_size
+    row = np.linspace(0, 255, size, dtype=np.uint8)
+    init = np.ascontiguousarray(
+        np.broadcast_to(row[None, :, None], (size, size, 3)))
+    buf = io.BytesIO()
+    Image.fromarray(init, "RGB").save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    results = {}
+
+    def one(i):
+        status, _, body = _post(
+            base + "/img2img",
+            {"prompt": "the horse", "seed": 200 + i, "strength": 0.5,
+             "image_b64": b64, "format": "raw"})
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        status, body = results[i]
+        assert status == 200, body
+        img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        direct = ctx.img2img("the horse", init, strength=0.5, seed=200 + i)
+        diff = np.abs(img.astype(int) - direct.astype(int)).max()
+        assert diff <= 1, f"request {i} diverged (maxdiff {diff})"
+    # the batcher compiled ONE batch-4 img2img program for the group
+    assert any(k[0] == "i2i_batch" and k[1] == 4
+               for k in ctx._gen_cache)
+
+
+def test_img2img_batch_api(server):
+    """Direct Context.img2img_batch: batch(1) is bitwise the single path."""
+    ctx, _ = server
+    size = ctx.cfg.image_size
+    row = np.linspace(0, 255, size, dtype=np.uint8)
+    init = np.ascontiguousarray(
+        np.broadcast_to(row[None, :, None], (size, size, 3)))
+    single = ctx.img2img("the horse", init, strength=0.5, seed=31)
+    [b1] = ctx.img2img_batch(
+        [{"prompt": "the horse", "image": init, "seed": 31}], strength=0.5)
+    assert np.array_equal(b1, single)
+    from sdtpu.engine.errors import SdtpuError
+
+    with pytest.raises(SdtpuError):
+        ctx.img2img_batch([], strength=0.5)
+    with pytest.raises(SdtpuError):
+        ctx.img2img_batch([{"prompt": "x", "image": init[:4]}], strength=0.5)
+
+
+def test_body_size_cap(server):
+    """Bodies over the cap are rejected with 413 before being read."""
+    import urllib.request
+
+    _, base = server
+    req = urllib.request.Request(
+        base + "/generate", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(64 << 20)}, method="POST",
+    )
+    # urllib refuses mismatched Content-Length; build the raw request instead
+    import socket
+
+    host, port = base.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(
+            f"POST /generate HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {64 << 20}\r\n\r\n".encode())
+        head = s.recv(4096).decode(errors="replace")
+    assert " 413 " in head.splitlines()[0], head
