@@ -36,6 +36,14 @@ assert jax.default_backend() == _platform, (
 )
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute test (production-width golden parity); runs by "
+        "default, deselect with -m 'not slow' for fast iteration",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
