@@ -247,18 +247,22 @@ def apply(
 
     kernels: 'pallas' uses the fused flash-attention + GroupNorm(+SiLU) TPU
     kernels (sdtpu.ops); 'xla' is the portable fallback."""
+    # optional W-axis activation sharding of the conv stack (no-op unless a
+    # sharded jit was built with spatial=True — see parallel/spatial.py)
+    from sdtpu.parallel.spatial import constrain
+
     g = cfg.groups
-    h = conv2d(params["conv_in"], x)
+    h = constrain(conv2d(params["conv_in"], x))
     skips = [h]
     for lvl, level in enumerate(params["down"]):
         for blk in level["blocks"]:
-            h = _resblock(blk["res"], h, t_emb, g, kernels)
+            h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
                                  _heads(cfg, h.shape[-1]), g, kernels)
             skips.append(h)
         if "down" in level:
-            h = conv2d(level["down"], h, stride=2)
+            h = constrain(conv2d(level["down"], h, stride=2))
             skips.append(h)
 
     mid = params["mid"]
@@ -270,13 +274,13 @@ def apply(
     for level in params["up"]:
         for blk in level["blocks"]:
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = _resblock(blk["res"], h, t_emb, g, kernels)
+            h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
                                  _heads(cfg, h.shape[-1]), g, kernels)
         if "up" in level:
             h = _upsample_nearest(h)
-            h = conv2d(level["up"], h)
+            h = constrain(conv2d(level["up"], h))
 
     h = _gn(params["out_norm"], h, g, 1e-5, True, kernels)
     return conv2d(params["conv_out"], h)

@@ -79,7 +79,8 @@ def shard_params(params, mesh: Mesh):
     )
 
 
-def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs):
+def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs,
+                         spatial: bool = False):
     """jit ``fn(params, *args)`` over the mesh.
 
     in_shardings: params per the TP plan, each further positional arg per
@@ -88,6 +89,11 @@ def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs):
     UNet scan + VAE) runs as one SPMD program; GSPMD propagates the
     annotations and emits the ICI collectives. The uint8 image output is
     batch-sharded over `data`.
+
+    ``spatial=True`` additionally constrains UNet conv activations to
+    ``P("data", None, "model", None)`` so GSPMD spatially partitions the
+    conv stack (halo exchange) instead of replicating it — see
+    parallel/spatial.py and the measured tradeoff in docs/PERF_NOTES.md.
     """
     pspecs = param_pspecs(params, mesh.shape["model"])
     param_sh = jax.tree.map(
@@ -95,6 +101,20 @@ def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs):
         is_leaf=lambda x: isinstance(x, P),
     )
     in_sh = (param_sh, *(NamedSharding(mesh, p) for p in arg_pspecs))
+    if spatial:
+        from sdtpu.parallel import spatial as sp
+
+        spec = NamedSharding(mesh, P("data", None, "model", None))
+        inner = fn
+
+        def traced(*args):
+            prev = sp.set_spec(spec)
+            try:
+                return inner(*args)
+            finally:
+                sp.set_spec(prev)
+
+        fn = traced
     return jax.jit(
         fn,
         in_shardings=in_sh,
@@ -104,7 +124,7 @@ def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs):
 
 def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
                          steps: int = 20, use_cfg: bool = True,
-                         kernels: str = "xla"):
+                         kernels: str = "xla", spatial: bool = False):
     """Compile the full generate program over the mesh (single shared
     negative embedding, one key, scalar guidance — the `Context.generate`
     signature)."""
@@ -126,6 +146,7 @@ def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
                 P(),              # PRNG key
                 P(),              # guidance scalar
             ),
+            spatial=spatial,
         )
 
     return build

@@ -1,0 +1,42 @@
+"""Optional spatial (W-axis) activation sharding for the conv stack.
+
+The default TP plan replicates conv compute on the model axis (see
+sharding.py). This hook lets the sharded-jit builders annotate UNet conv
+activations with a ``P("data", None, "model", None)`` constraint during
+tracing, so GSPMD spatially partitions the convolutions (emitting halo
+exchanges) instead of replicating them. Measured evidence for when this
+pays lives in docs/PERF_NOTES.md ("TP plan HLO evidence").
+
+The spec is trace-time state: ``jit_generate_sharded(..., spatial=True)``
+sets it around the traced call; ``constrain`` is a no-op otherwise (and on
+single-device jits, where the spec is never set).
+"""
+
+from __future__ import annotations
+
+import jax
+
+_SPEC = None  # NamedSharding for 4-D conv activations, or None
+
+
+def set_spec(spec):
+    """Install (or clear, with None) the activation sharding; returns the
+    previous value so callers can restore it."""
+    global _SPEC
+    prev = _SPEC
+    _SPEC = spec
+    return prev
+
+
+def constrain(x):
+    """Annotate a [B, H, W, C] activation with the spatial spec, when set.
+
+    Skips tensors whose W axis does not tile the model axis with at least
+    2 columns per shard — below that the 3x3 halo (1 column each side)
+    exceeds the shard's own data and the exchange cannot pay."""
+    if _SPEC is None or x.ndim != 4:
+        return x
+    n = _SPEC.mesh.shape.get("model", 1)
+    if n <= 1 or x.shape[2] % n or x.shape[2] // n < 2:
+        return x
+    return jax.lax.with_sharding_constraint(x, _SPEC)

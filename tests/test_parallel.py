@@ -155,3 +155,24 @@ def test_img2img_and_inpaint_on_mesh_match_single_device():
 
     with pytest.raises(SdtpuError):
         ctx8.img2img("one", img, strength=0.5, seed=0)
+
+
+def test_spatial_sharding_matches_single_device(params):
+    """spatial=True: conv activations W-sharded over the model axis (GSPMD
+    halo exchange) — must still reproduce single-device images (the HLO
+    evidence that convs actually shard lives in tools/analyze_tp_hlo.py and
+    docs/PERF_NOTES.md)."""
+    mesh = make_mesh(data=2, model=4)
+    tokens = jnp.asarray(
+        np.tile(np.arange(TINY.clip.context_len, dtype=np.int32), (2, 1)))
+    uncond = jnp.zeros((TINY.clip.context_len, TINY.clip.hidden), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    g = jnp.float32(7.5)
+
+    single = jit_generate(TINY, "dpm", 3, True)(params, tokens, uncond, key, g)
+    sp = shard_params(params, mesh)
+    fn = jit_generate_sharded(TINY, mesh, "dpm", 3, True, spatial=True)(params)
+    sharded = fn(sp, tokens, uncond, key, g)
+    a = np.asarray(single, np.int32)
+    b = np.asarray(sharded, np.int32)
+    assert np.abs(a - b).max() <= 1, f"max LSB diff {np.abs(a-b).max()}"
