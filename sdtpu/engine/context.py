@@ -119,10 +119,11 @@ class Context:
         if kernels == "auto":
             kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.kernels = kernels
-        if quantize not in ("none", "int8"):
+        if quantize not in ("none", "int8", "int8w", "int8w_dense"):
             raise SdtpuError(
                 ErrorCode.INVALID_ARGUMENT,
-                f"quantize must be none|int8, got {quantize!r}", self.errors,
+                f"quantize must be none|int8|int8w|int8w_dense, got "
+                f"{quantize!r}", self.errors,
             )
         self.quantize = quantize
         self.model_dir = Path(model_dir) if model_dir else None
@@ -199,6 +200,23 @@ class Context:
                 params = quantize_unet(params)
                 self.logger.info(
                     f"int8 PTQ: {count_quantized(params)} matmul sites quantized"
+                )
+            elif self.quantize.startswith("int8w"):
+                # weight-only int8: halve the UNet's per-eval HBM weight
+                # stream; compute stays bf16 (dequant in VMEM inside the
+                # Pallas conv kernel — sdtpu.quant.ptq.quantize_weights_only)
+                from sdtpu.quant.ptq import quantize_weights_only
+
+                # UNet only: its weights re-stream every denoise step (the
+                # measured bottleneck); VAE convs at >64px planes would hit
+                # the XLA dequant fallback and pay a materialized copy
+                dense_too = self.quantize == "int8w_dense"
+                params = dict(params)
+                params["unet"] = quantize_weights_only(
+                    params["unet"], include_dense=dense_too)
+                self.logger.info(
+                    f"weight-only int8 ({self.quantize}): UNet convs"
+                    + ("+matmuls" if dense_too else "")
                 )
             elif self.fuse_qkv:
                 # neutral on v5e at SD widths (bench: 0.679 vs 0.657 s/img —

@@ -121,12 +121,44 @@ def _dense_int8(p, x, dtype):
     return y.astype(dtype)
 
 
+def _weight(p, dtype):
+    """Resolve a site's weight: plain ``w``, or weight-only int8 ``w8`` +
+    per-output-channel ``w8_scale`` dequantized to the compute dtype (the
+    XLA fallback path; the Pallas kernels dequantize in VMEM instead —
+    sdtpu.ops.conv)."""
+    if "w8" in p:
+        return (p["w8"].astype(dtype) *
+                p["w8_scale"].astype(dtype))
+    return p["w"].astype(dtype)
+
+
+def _int8w_gemm_ok(p, x):
+    """Route a weight-only-int8 site through the Pallas dequant-in-VMEM GEMM
+    (sdtpu.ops.matmul)? w8 presence is the opt-in (quantize='int8w_dense');
+    shape-ineligible sites fall back to the XLA dequant path."""
+    if "w8" not in p:
+        return False
+    from sdtpu.ops import matmul as mm
+
+    if mm.DISABLE:
+        return False
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    return mm.eligible(m, p["w8"].shape[0], p["w8"].shape[1])
+
+
 def dense(p, x, dtype=None):
     dtype = dtype or x.dtype
     if "w_q" in p:
         return _dense_int8(p, x, dtype)
+    if _int8w_gemm_ok(p, x):
+        from sdtpu.ops.matmul import matmul_int8w
+
+        return matmul_int8w(
+            x.astype(dtype), p["w8"], p["w8_scale"], p.get("b"))
     y = jnp.dot(
-        x.astype(dtype), p["w"].astype(dtype),
+        x.astype(dtype), _weight(p, dtype),
         preferred_element_type=jnp.float32, precision=PRECISION,
     )
     if "b" in p:
@@ -137,9 +169,18 @@ def dense(p, x, dtype=None):
 def conv2d(p, x, stride=1, padding=1, dtype=None):
     """3x3/1x1 conv, NHWC x HWIO -> NHWC."""
     dtype = dtype or x.dtype
+    if ("w8" in p and p["w8"].shape[0] == 1 and stride == 1 and padding == 0
+            and _int8w_gemm_ok(
+                {"w8": p["w8"].reshape(p["w8"].shape[2:])}, x)):
+        # 1x1 conv is a matmul: stream int8 weights through the Pallas GEMM
+        from sdtpu.ops.matmul import matmul_int8w
+
+        return matmul_int8w(
+            x.astype(dtype), p["w8"].reshape(p["w8"].shape[2:]),
+            p["w8_scale"], p.get("b"))
     y = lax.conv_general_dilated(
         x.astype(dtype),
-        p["w"].astype(dtype),
+        _weight(p, dtype),
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

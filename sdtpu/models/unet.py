@@ -177,7 +177,35 @@ def _gn(p, x, groups, eps, fuse_silu, kernels):
     return silu(y) if fuse_silu else y
 
 
+def _conv_wq(p):
+    """(weight, int8 scale or None) for a conv site — the Pallas kernel
+    dequantizes weight-only-int8 in VMEM (sdtpu.ops.conv docstring)."""
+    if "w8" in p:
+        return p["w8"], p["w8_scale"]
+    return p["w"], None
+
+
 def _resblock(p, x, emb, groups, kernels="xla"):
+    if kernels == "pallas_conv":
+        from sdtpu.ops import conv as C
+
+        w1, s1 = _conv_wq(p["conv1"])
+        w2, s2 = _conv_wq(p["conv2"])
+        if C.eligible(x, w1, 1, 1) and C.eligible(x, w2, 1, 1):
+            # whole ResBlock branch = 2 kernel launches: GN+SiLU prologues
+            # in-kernel, conv1's bias carries the per-sample t-emb add
+            w1 = w1.astype(x.dtype) if s1 is None else w1
+            w2 = w2.astype(x.dtype) if s2 is None else w2
+            a1, d1 = C.gn_affine(p["norm1"], x, groups, 1e-5)
+            b1 = (p["conv1"]["b"].astype(jnp.float32)[None, :]
+                  + dense(p["emb"], silu(emb)).astype(jnp.float32))
+            h = C.fused_conv(x, w1, b1, a=a1, d=d1, silu=True, w_scale=s1)
+            a2, d2 = C.gn_affine(p["norm2"], h, groups, 1e-5)
+            h = C.fused_conv(h, w2, p["conv2"]["b"], a=a2, d=d2, silu=True,
+                             w_scale=s2)
+            if "skip" in p:
+                x = conv2d(p["skip"], x, padding=0)
+            return x + h
     h = conv2d(p["conv1"], _gn(p["norm1"], x, groups, 1e-5, True, kernels))
     h = h + dense(p["emb"], silu(emb))[:, None, None, :]
     h = conv2d(p["conv2"], _gn(p["norm2"], h, groups, 1e-5, True, kernels))
@@ -187,12 +215,24 @@ def _resblock(p, x, emb, groups, kernels="xla"):
 
 
 def _transformer(p, x, context, heads, groups, kernels):
-    attn_kernel = "pallas" if kernels in ("pallas", "pallas_gn") else "xla"
+    attn_kernel = "pallas" if kernels.startswith("pallas") else "xla"
     b, hh, ww, c = x.shape
     if heads <= 0:
         raise ValueError("heads must resolve to a positive count")
-    h = _gn(p["norm"], x, groups, 1e-6, False, kernels)
-    h = conv2d(p["proj_in"], h, padding=0)
+    fused_in = False
+    if kernels == "pallas_conv":
+        from sdtpu.ops import conv as C
+
+        wi, si = _conv_wq(p["proj_in"])
+        if C.eligible(x, wi, 1, 0):
+            a, d = C.gn_affine(p["norm"], x, groups, 1e-6)
+            wi = wi.astype(x.dtype) if si is None else wi
+            h = C.fused_conv(x, wi, p["proj_in"]["b"], a=a, d=d, silu=False,
+                             w_scale=si)
+            fused_in = True
+    if not fused_in:
+        h = _gn(p["norm"], x, groups, 1e-6, False, kernels)
+        h = conv2d(p["proj_in"], h, padding=0)
     h = h.reshape(b, hh * ww, c)
 
     a = p["attn1"]

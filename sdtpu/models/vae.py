@@ -79,7 +79,28 @@ def init(key, cfg: VAEConfig):
     return params
 
 
-def _resblock(p, x, groups):
+def _resblock(p, x, groups, kernels="xla"):
+    if kernels == "pallas_conv":
+        # fused GN+SiLU-prologue conv (sdtpu.ops.conv); only the 64x64
+        # levels fit the full-image VMEM scratch — the 128..512px levels
+        # fall back to XLA via `eligible`
+        from sdtpu.models.unet import _conv_wq
+        from sdtpu.ops import conv as C
+
+        w1, s1 = _conv_wq(p["conv1"])
+        w2, s2 = _conv_wq(p["conv2"])
+        if C.eligible(x, w1, 1, 1) and C.eligible(x, w2, 1, 1):
+            w1 = w1.astype(x.dtype) if s1 is None else w1
+            w2 = w2.astype(x.dtype) if s2 is None else w2
+            a1, d1 = C.gn_affine(p["norm1"], x, groups, 1e-6)
+            h = C.fused_conv(x, w1, p["conv1"]["b"], a=a1, d=d1, silu=True,
+                             w_scale=s1)
+            a2, d2 = C.gn_affine(p["norm2"], h, groups, 1e-6)
+            h = C.fused_conv(h, w2, p["conv2"]["b"], a=a2, d=d2, silu=True,
+                             w_scale=s2)
+            if "nin" in p:
+                x = conv2d(p["nin"], x, padding=0)
+            return x + h
     h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups, eps=1e-6)))
     h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups, eps=1e-6)))
     if "nin" in p:
@@ -93,7 +114,7 @@ def _attn(p, x, groups, kernels="xla"):
     q = conv2d(p["q"], h, padding=0).reshape(b, hh * ww, c)
     k = conv2d(p["k"], h, padding=0).reshape(b, hh * ww, c)
     v = conv2d(p["v"], h, padding=0).reshape(b, hh * ww, c)
-    kern = "pallas" if kernels in ("pallas", "pallas_gn") else "xla"
+    kern = "pallas" if kernels.startswith("pallas") else "xla"
     o = sdpa(q, k, v, heads=1, kernel=kern).reshape(b, hh, ww, c)
     return x + conv2d(p["proj"], o, padding=0)
 
@@ -158,13 +179,13 @@ def apply_encoder(params, img, cfg: VAEConfig, kernels: str = "xla"):
     h = conv2d(params["conv_in"], img)
     for level in params["down"]:
         for blk in level["blocks"]:
-            h = _resblock(blk, h, g)
+            h = _resblock(blk, h, g, kernels)
         if "down" in level:
             h = _downsample(level["down"], h)
     mid = params["mid"]
-    h = _resblock(mid["res1"], h, g)
+    h = _resblock(mid["res1"], h, g, kernels)
     h = _attn(mid["attn"], h, g, kernels)
-    h = _resblock(mid["res2"], h, g)
+    h = _resblock(mid["res2"], h, g, kernels)
     h = silu(group_norm(params["norm_out"], h, g, eps=1e-6))
     h = conv2d(params["conv_out"], h)
     h = conv2d(params["quant"], h, padding=0)
@@ -183,12 +204,12 @@ def apply(params, z, cfg: VAEConfig, kernels: str = "xla"):
     h = conv2d(params["post_quant"], z, padding=0)
     h = conv2d(params["conv_in"], h)
     mid = params["mid"]
-    h = _resblock(mid["res1"], h, g)
+    h = _resblock(mid["res1"], h, g, kernels)
     h = _attn(mid["attn"], h, g, kernels)
-    h = _resblock(mid["res2"], h, g)
+    h = _resblock(mid["res2"], h, g, kernels)
     for level in params["up"]:
         for blk in level["blocks"]:
-            h = _resblock(blk, h, g)
+            h = _resblock(blk, h, g, kernels)
         if "up" in level:
             h = _upsample_nearest(h)
             h = conv2d(level["up"], h)

@@ -100,3 +100,201 @@ def test_flash_attention_cross_padded(rng, monkeypatch):
     ours = np.asarray(attn_ops.flash_attention(q, k, v, 2))
     ref = np.asarray(L.sdpa(q, k, v, 2, kernel="xla"))
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused implicit-GEMM conv (sdtpu.ops.conv)
+# ---------------------------------------------------------------------------
+
+from sdtpu.ops import conv as conv_ops  # noqa: E402
+from sdtpu.ops import matmul as mm_ops  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _conv_interpret(monkeypatch):
+    monkeypatch.setattr(conv_ops, "INTERPRET", True)
+    monkeypatch.setattr(mm_ops, "INTERPRET", True)
+    conv_ops._fused_conv.clear_cache()
+    mm_ops._mm.clear_cache()
+    yield
+    conv_ops._fused_conv.clear_cache()
+    mm_ops._mm.clear_cache()
+
+
+def _ref_conv(x, w, pad):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_fused_conv_gn_silu_prologue(rng):
+    n, h, w_, cin, cout, g = 2, 8, 8, 64, 96, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout),
+                                        dtype=np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal((n, cout), dtype=np.float32))
+    p = {"scale": jnp.asarray(rng.standard_normal(cin,
+                                                  dtype=np.float32)) * 0.1 + 1,
+         "bias": jnp.asarray(rng.standard_normal(cin, dtype=np.float32))}
+    ref = _ref_conv(L.silu(L.group_norm(p, x, g)), w, 1) + b[:, None, None, :]
+    a, d = conv_ops.gn_affine(p, x, g)
+    got = conv_ops.fused_conv(x, w, b, a=a, d=d, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_conv_1x1_plain_bias(rng):
+    n, h, w_, cin, cout = 2, 8, 8, 64, 96
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, cin, cout),
+                                        dtype=np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    ref = _ref_conv(x, w, 0) + b
+    got = conv_ops.fused_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_conv_affine_no_silu(rng):
+    # transformer proj_in: GN prologue WITHOUT the SiLU
+    n, h, w_, c, g = 1, 8, 8, 64, 8
+    x = jnp.asarray(rng.standard_normal((n, h, w_, c), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, c, c), dtype=np.float32)) * 0.1
+    p = {"scale": jnp.ones(c), "bias": jnp.zeros(c)}
+    ref = _ref_conv(L.group_norm(p, x, g, eps=1e-6), w, 0)
+    a, d = conv_ops.gn_affine(p, x, g, eps=1e-6)
+    got = conv_ops.fused_conv(x, w, jnp.zeros(c), a=a, d=d, silu=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_conv_int8_weights(rng):
+    n, h, w_, cin, cout = 2, 8, 8, 64, 96
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout),
+                                        dtype=np.float32)) * 0.05
+    ws = jnp.abs(w).max(axis=(0, 1, 2)) / 127.0
+    wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    ref = _ref_conv(x, wq.astype(jnp.float32) * ws, 1)
+    got = conv_ops.fused_conv(x, wq, jnp.zeros(cout), w_scale=ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_fused_conv_tiled_cin_cout(rng):
+    # Cin=640 -> 640-wide contraction chunk; Cout=256 -> one 256 tile
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 640), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 640, 256),
+                                        dtype=np.float32)) * 0.02
+    ref = _ref_conv(x, w, 1)
+    got = conv_ops.fused_conv(x, w, jnp.zeros(256))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_conv_eligibility_gate():
+    # 512px VAE plane exceeds the VMEM scratch budget -> not eligible
+    x = jnp.zeros((1, 512, 512, 128), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 128, 128), jnp.bfloat16)
+    assert not conv_ops.eligible(x, w, 1, 1)
+    # SD15 level-0 up-path worst case (64x64, Cin 640) IS eligible
+    x = jnp.zeros((2, 64, 64, 640), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 640, 320), jnp.bfloat16)
+    assert conv_ops.eligible(x, w, 1, 1)
+    # stride/padding contracts
+    assert not conv_ops.eligible(x, w, 2, 1)
+    assert not conv_ops.eligible(x, w, 1, 0)
+
+
+def test_unet_pallas_conv_matches_xla(rng):
+    from sdtpu.config import TINY
+    from sdtpu.models import unet
+
+    cfg = TINY.unet
+    params = unet.init(jax.random.PRNGKey(0), cfg, zero_init_outs=False)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    temb = jnp.asarray(rng.standard_normal((2, cfg.time_embed_dim),
+                                           dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 16, cfg.context_dim),
+                                          dtype=np.float32))
+    ref = np.asarray(unet.apply(params, x, temb, ctx, cfg, kernels="xla"))
+    got = np.asarray(unet.apply(params, x, temb, ctx, cfg,
+                                kernels="pallas_conv"))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_unet_pallas_conv_int8w_close(rng):
+    from sdtpu.config import TINY
+    from sdtpu.models import unet
+    from sdtpu.quant.ptq import quantize_weights_only
+
+    cfg = TINY.unet
+    params = unet.init(jax.random.PRNGKey(0), cfg, zero_init_outs=False)
+    pq = quantize_weights_only(params, include_dense=True, min_elems=0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    temb = jnp.asarray(rng.standard_normal((1, cfg.time_embed_dim),
+                                           dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 16, cfg.context_dim),
+                                          dtype=np.float32))
+    ref = np.asarray(unet.apply(params, x, temb, ctx, cfg, kernels="xla"))
+    # int8w through the XLA dequant fallback and through the Pallas kernel
+    # must agree with each other tightly and with bf16 within quant error
+    q_xla = np.asarray(unet.apply(pq, x, temb, ctx, cfg, kernels="xla"))
+    q_pal = np.asarray(unet.apply(pq, x, temb, ctx, cfg,
+                                  kernels="pallas_conv"))
+    np.testing.assert_allclose(q_pal, q_xla, atol=1e-3, rtol=1e-3)
+    assert np.mean(np.abs(q_xla - ref)) / (np.mean(np.abs(ref)) + 1e-9) < 0.12
+
+
+def test_vae_pallas_conv_matches_xla(rng):
+    from sdtpu.config import TINY
+    from sdtpu.models import vae
+
+    cfg = TINY.vae
+    params = vae.init(jax.random.PRNGKey(1), cfg)
+    z = jnp.asarray(rng.standard_normal((1, 8, 8, cfg.z_channels),
+                                        dtype=np.float32))
+    ref = np.asarray(vae.apply(params, z, cfg, kernels="xla"))
+    got = np.asarray(vae.apply(params, z, cfg, kernels="pallas_conv"))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# weight-only int8 GEMM (sdtpu.ops.matmul)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("m,k,n", [(128, 64, 128), (256, 320, 256),
+                                   (64, 96, 160)])
+def test_matmul_int8w_matches_dequant(rng, m, k, n):
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32)) * 0.05
+    ws = jnp.abs(w).max(axis=0) / 127.0
+    w8 = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    b = jnp.asarray(rng.standard_normal(n, dtype=np.float32))
+    ref = x @ (w8.astype(jnp.float32) * ws) + b
+    got = mm_ops.matmul_int8w(x, w8, ws, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_matmul_int8w_batched_lead(rng):
+    x = jnp.asarray(rng.standard_normal((2, 64, 96), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((96, 128), dtype=np.float32)) * 0.1
+    ws = jnp.abs(w).max(axis=0) / 127.0
+    w8 = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    ref = jnp.einsum("btk,kn->btn", x, w8.astype(jnp.float32) * ws)
+    got = mm_ops.matmul_int8w(x, w8, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_dense_routes_w8_through_pallas(rng, monkeypatch):
+    # layers.dense must give identical results through the pallas GEMM and
+    # the XLA dequant fallback
+    x = jnp.asarray(rng.standard_normal((128, 96), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((96, 128), dtype=np.float32)) * 0.1
+    ws = jnp.abs(w).max(axis=0) / 127.0
+    w8 = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    p = {"w8": w8, "w8_scale": ws,
+         "b": jnp.asarray(rng.standard_normal(128, dtype=np.float32))}
+    got = np.asarray(L.dense(p, x))
+    monkeypatch.setattr(mm_ops, "DISABLE", True)
+    ref = np.asarray(L.dense(p, x))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
