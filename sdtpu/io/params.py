@@ -34,12 +34,20 @@ def init_pipeline_params(key, cfg: PipelineConfig, demo: bool = True):
 
 def cast_params(params, dtype):
     """Cast the whole tree once at load time (device-resident weights live in
-    the compute dtype; float32 master copies are not kept for inference)."""
+    the compute dtype; float32 master copies are not kept for inference).
+    int8 leaves and quantization scales (``w8_scale``/``w_scale``/
+    ``x_scale``) keep their dtype — scales must stay float32."""
+    from jax.tree_util import tree_map_with_path
+
     dt = jnp.dtype(dtype)
-    return jax.tree.map(
-        lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        params,
-    )
+    keep = ("w8_scale", "w_scale", "x_scale")
+
+    def cast(path, a):
+        if path and getattr(path[-1], "key", None) in keep:
+            return a
+        return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return tree_map_with_path(cast, params)
 
 
 def param_count(params) -> int:

@@ -164,3 +164,48 @@ def test_context_loads_orbax_dir(tmp_path):
     ctx = sdtpu.Context(model_dir=tmp_path / "ckpt", config="tiny", steps=2)
     img = ctx.generate("the horse", seed=0)
     assert img.shape == (TINY.image_size, TINY.image_size, 3)
+
+
+def test_convert_weights_int8w_roundtrip(tmp_path):
+    """--int8w bakes weight-only int8 (w8/w8_scale) into the artifact; the
+    Context loads it and generates, scales stay float32 through cast_params
+    (the deployed-int8 path, reference: todlc.py two-phase export)."""
+    import safetensors.numpy
+
+    params = init_pipeline_params(jax.random.PRNGKey(3), TINY)
+    sd = params_to_ldm(jax.tree.map(np.asarray, params), TINY)
+    ckpt = tmp_path / "sd.safetensors"
+    safetensors.numpy.save_file(sd, str(ckpt))
+    out_dir = tmp_path / "model_int8w"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "convert_weights.py"),
+         str(ckpt), str(out_dir), "--config", "tiny", "--dtype", "float32",
+         "--int8w", "dense"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr
+
+    loaded = load_pipeline_params(out_dir, TINY)
+    # conv sites replaced by w8/w8_scale where big enough; TINY weights are
+    # small so force-check the format by at least one quantized site OR all
+    # kept bf16 (min_elems gate) — verify the tree loads and runs either way
+    from sdtpu.io.params import cast_params
+
+    casted = cast_params(loaded, "bfloat16")
+
+    def scales_f32(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "w8_scale":
+                    assert v.dtype == np.float32
+                else:
+                    scales_f32(v)
+        elif isinstance(node, list):
+            for v in node:
+                scales_f32(v)
+
+    scales_f32(casted)
+    ctx = sdtpu.Context(model_dir=out_dir, config="tiny", steps=2)
+    img = ctx.generate("the horse", seed=0)
+    assert img.shape == (TINY.image_size, TINY.image_size, 3)

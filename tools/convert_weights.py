@@ -11,7 +11,8 @@ targets unless --force, todlc.py:85-101). Here:
 
 Usage:
     python tools/convert_weights.py v1-5-pruned-emaonly.safetensors out_dir \
-        [--dtype bfloat16] [--tokenizer ctokenizer.txt] [--int8] [--force]
+        [--dtype bfloat16] [--tokenizer ctokenizer.txt] [--int8]
+        [--int8w conv|dense] [--force]
 """
 
 from __future__ import annotations
@@ -56,6 +57,11 @@ def main(argv=None) -> int:
                     help="ctokenizer.txt to copy into the model dir")
     ap.add_argument("--int8", action="store_true",
                     help="also apply int8 PTQ to the transformer matmuls")
+    ap.add_argument("--int8w", choices=("conv", "dense"), default=None,
+                    help="bake weight-only int8 into the UNet (conv: conv "
+                         "sites; dense: convs+matmuls) — the deployed "
+                         "format that halves per-step HBM weight traffic "
+                         "(reference: todlc.py two-phase int8 export)")
     ap.add_argument("--format", default="safetensors",
                     choices=["safetensors", "orbax"],
                     help="orbax = sharded checkpoint dir (direct-to-mesh load)")
@@ -89,6 +95,13 @@ def main(argv=None) -> int:
 
         params = quantize_unet(params)
         print(f"  int8 PTQ: {count_quantized(params)} sites")
+    if args.int8w:
+        from sdtpu.quant.ptq import quantize_weights_only
+
+        params = dict(params)
+        params["unet"] = quantize_weights_only(
+            params["unet"], include_dense=args.int8w == "dense")
+        print(f"  weight-only int8 baked ({args.int8w})")
     if args.format == "orbax":
         from sdtpu.io.orbax_ckpt import save_checkpoint
 
