@@ -73,7 +73,13 @@ def _vmem_bytes(h, w, c_in_p, c_out_p, kh, itemsize, tci, th) -> int:
     wblk = 2 * kh * kh * tci * tco * itemsize          # double-buffered
     acc = th * w * tco * 4
     out = 2 * th * w * tco * itemsize
-    return xn + wblk + acc + out
+    # the _stage prologue materializes the normalized chunk as a full
+    # [hp, wp, tci] float32 temporary before the masked store-back; omit it
+    # and Mosaic dies with an opaque compile-helper crash at exactly the
+    # plans this model says are over budget (13 on-chip pass/fail points
+    # across the SD15 shape matrix all separate at the 13 MB line)
+    stage_tmp = hp * wp * tci * 4
+    return xn + wblk + acc + out + stage_tmp
 
 
 def _plan(h, w, c_in, c_out, kh, itemsize):
