@@ -298,3 +298,27 @@ def test_dense_routes_w8_through_pallas(rng, monkeypatch):
     monkeypatch.setattr(mm_ops, "DISABLE", True)
     ref = np.asarray(L.dense(p, x))
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_conv_plan_matches_onchip_validated_matrix():
+    """Pin `_plan` to the tile plans validated on the real chip
+    (tools/smoke_conv_matrix.py): the planner's VMEM model was bisected
+    against 13 on-chip Mosaic pass/fail points — including the GN-prologue
+    f32 staging temporary — and these exact plans compile AND match the
+    XLA reference at every SD15 UNet resblock shape. A change that shifts
+    any of them must re-run the on-chip matrix before landing."""
+    validated = {
+        (64, 64, 320, 320): (384, 128, 64),
+        (64, 64, 640, 320): (640, 128, 32),
+        (32, 32, 640, 640): (640, 640, 32),
+        (32, 32, 960, 640): (1024, 512, 32),
+        (16, 16, 1280, 1280): (1280, 640, 16),
+        (16, 16, 2560, 1280): (2560, 640, 16),
+        (16, 16, 1920, 1280): (1920, 640, 16),
+        (8, 8, 1280, 1280): (1280, 640, 8),
+    }
+    for (h, w, cin, cout), plan in validated.items():
+        assert conv_ops._plan(h, w, cin, cout, 3, 2) == plan, (h, w, cin)
+    # 768px/SD21-base level-0 planes exceed VMEM -> XLA fallback
+    assert conv_ops._plan(96, 96, 320, 320, 3, 2) is None
+    assert conv_ops._plan(96, 96, 640, 320, 3, 2) is None

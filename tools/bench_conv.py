@@ -100,7 +100,8 @@ def main():
 
         def run(f, tag):
             outs = []
-            xs = [x + jnp.float32(i) * 1e-3 for i in range(args.reps + 1)]
+            xs = [(x + i * 1e-3).astype(x.dtype)
+                  for i in range(args.reps + 1)]
             np.asarray(f(xs[0]))          # warm (compile)
             ts = []
             for i in range(args.reps):
