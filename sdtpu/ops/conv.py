@@ -26,13 +26,23 @@ inside the kernel (VERDICT r1 next-round #1). This kernel fuses, per conv:
   the TPU-paying version of the reference's core int8 competency
   (reference: todlc.py:104-110).
 
-Layout/tiling: grid ``(N, Cout_tiles, Cin_tiles)``; the full (padded) image
-lives in a VMEM scratch, loaded by manual DMA once per batch element (a
-pipelined input block would be re-fetched per Cout tile and double-buffered
-— at the 64x64x640 up-path shapes that alone blows the ~16 MB VMEM budget).
+Layout/tiling — two grid orders, chosen per shape by `_plan`:
+
+* **variant B** (preferred, weights-stationary): grid ``(Cout_tiles,
+  Cin_tiles, N)`` with the whole batch's normalized image resident in VMEM
+  — every weight byte AND every activation byte is DMA'd from HBM exactly
+  once per call. Output goes through a VMEM stage + manual DMA in a
+  ``[N, Cout_tiles, H, W, TCo]`` kernel layout (re-tiled by XLA outside).
+* **variant A** (fallback for planes whose batch-resident footprint
+  exceeds VMEM — the 64x64 level-0 shapes): grid ``(N, rows, Cout_tiles,
+  Cin_tiles)``; one batch element's image resident, weight blocks
+  re-fetched per (batch element, row tile). Right trade only where
+  activations dominate weights.
+
 Weights stream as ``[KH, KW, TCi, TCo]`` blocks, double-buffered by the
-Pallas pipeline. Shapes that exceed the VMEM budget (768px level-0) fall
-back to the XLA path via `eligible()`.
+Pallas pipeline. Shapes that exceed the VMEM budget or the on-chip-bisected
+Mosaic limits (dot LHS < 2^20 elements, power-of-two tile dims — see
+`_plan`) fall back to the XLA path via `eligible()`.
 """
 
 from __future__ import annotations
@@ -47,8 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 # set True (tests) to run kernels in the Pallas interpreter on CPU
 INTERPRET = False
 
-# VMEM budget for eligibility (bytes); v5e exposes ~16 MiB/core, leave slack
-_VMEM_BUDGET = 13 * 1024 * 1024
+# VMEM budget for the planner's buffer model (bytes). The hard scoped-vmem
+# limit is 16 MiB/core on v5e; the model counts the explicit buffers only
+# (scratches, double-buffered windows), so leave ~2 MiB slack for the 8-row
+# slab-normalize temporaries, semaphores, and dot staging. Every admitted
+# plan must be revalidated on-chip via tools/smoke_conv_matrix.py.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _tile_co(c_out: int) -> int:
@@ -73,19 +87,35 @@ def _vmem_bytes(h, w, c_in_p, c_out_p, kh, itemsize, tci, th) -> int:
     wblk = 2 * kh * kh * tci * tco * itemsize          # double-buffered
     acc = th * w * tco * 4
     out = 2 * th * w * tco * itemsize
-    # the _stage prologue materializes the normalized chunk as a full
-    # [hp, wp, tci] float32 temporary before the masked store-back; omit it
-    # and Mosaic dies with an opaque compile-helper crash at exactly the
-    # plans this model says are over budget (13 on-chip pass/fail points
-    # across the SD15 shape matrix all separate at the 13 MB line)
-    stage_tmp = hp * wp * tci * 4
-    return xn + wblk + acc + out + stage_tmp
+    return xn + wblk + acc + out
 
 
-def _plan(h, w, c_in, c_out, kh, itemsize):
-    """(c_in_p, tci, th) fitting the VMEM budget; biggest contraction chunk
-    first (MXU-friendliest), then the biggest row tile (weights re-fetch
-    once per row tile). None if nothing fits (caller falls back to XLA).
+def _vmem_bytes_b(n, h, w, c_in_p, c_out_p, kh, itemsize, tci) -> int:
+    """Variant B (weights-stationary): the whole BATCH's normalized image
+    lives in VMEM, weight blocks sweep outermost — every weight byte AND
+    every activation byte is read from HBM exactly once per call."""
+    tco = _tile_co(c_out_p)
+    pad = 2 if kh == 3 else 0
+    hp, wp = _align8(h + pad), _align8(w + pad)
+    xn = n * (c_in_p // tci) * hp * wp * tci * itemsize
+    wblk = 2 * kh * kh * tci * tco * itemsize          # double-buffered
+    acc = n * h * w * tco * 4                          # persists across k
+    outv = h * w * tco * itemsize                      # manual-DMA staging
+    return xn + wblk + acc + outv
+
+
+def _plan(h, w, c_in, c_out, kh, itemsize, n=2):
+    """(c_in_p, tci, th, variant) fitting the VMEM budget, or None (caller
+    falls back to XLA).
+
+    Variant 'B' (preferred): weight blocks outermost, full batch resident —
+    weights and activations each stream from HBM exactly once (the XLA conv
+    floor, minus the fused-GN round trips). Falls back to variant 'A'
+    (batch/row-tile outermost, weights re-fetched n*n_r times) for planes
+    whose batch-resident footprint exceeds VMEM — the level-0 64x64 shapes,
+    where activations dominate weights so re-fetching weights is the right
+    trade. Chain-benched on-chip: A alone loses to XLA at the weight-bound
+    deep levels (0.77-0.97x, tools/bench_conv.py) because of that re-fetch.
 
     Lane dims of every buffer must be 128-multiples on this Mosaic
     toolchain (non-multiples crash the compiler — measured), so Cin is
@@ -97,13 +127,36 @@ def _plan(h, w, c_in, c_out, kh, itemsize):
     else:
         c_in_p = _pad_lanes(c_in)
         cands = (640, 512, 384, 256, 128)
+    c_out_p = _pad_lanes(c_out)
+    # Mosaic cap on a single dot's LHS (K x M elements): at >= 2^20 the
+    # compile helper crashes (640x4096, 384x4096, 512x2048 and even the
+    # exact 256x4096 = 2^20 boundary crash; 640x1024 and 128x4096 compile
+    # — bisected on-chip after the slab-normalize rewrite removed the
+    # competing VMEM-temp failure mode)
+    dot_cap = (1 << 20) - 1
+    # power-of-two row tiles / plane widths only: the one sub-cap plan with
+    # a non-power-of-two dot M (th=24, w=96 -> M=2304 at the 768px level-0
+    # plane) still crashes the compile helper; every validated plan has
+    # M in {256, 1024, 4096}. Conservative, costs only the 96x96 planes
+    # (which fall back to XLA, the status quo before this kernel).
+    pow2 = lambda v: v & (v - 1) == 0
+    if not pow2(w):
+        return None
+    for tci in cands:
+        if c_in_p % tci or tci * h * w > dot_cap or not pow2(h):
+            continue
+        if _vmem_bytes_b(n, h, w, c_in_p, c_out_p, kh, itemsize,
+                         tci) <= _VMEM_BUDGET:
+            return c_in_p, tci, h, "B"
     for tci in cands:
         if c_in_p % tci:
             continue
         for th in [t for t in range(h, 7, -8) if h % t == 0]:
-            if (_vmem_bytes(h, w, c_in_p, _pad_lanes(c_out), kh, itemsize,
+            if tci * th * w > dot_cap or not pow2(th):
+                continue
+            if (_vmem_bytes(h, w, c_in_p, c_out_p, kh, itemsize,
                             tci, th) <= _VMEM_BUDGET):
-                return c_in_p, tci, th
+                return c_in_p, tci, th, "A"
     return None
 
 
@@ -128,7 +181,39 @@ def eligible(x, w, stride: int, padding: int) -> bool:
     if h % 8 or ww % 8:
         # Mosaic on this toolchain requires tile-aligned buffer dims
         return False
-    return _plan(h, ww, c_in, c_out, kh, 2) is not None
+    return _plan(h, ww, c_in, c_out, kh, 2, n) is not None
+
+
+def _normalize_staged(xn_ref, idx, a_ref, d_ref, *, prologue, H, W, HP, WP,
+                      ph, x_dtype):
+    """Apply the GN(+SiLU) affine prologue to the freshly staged chunk
+    ``xn_ref[idx]`` ([HP, WP, TCI]), masking the pad/halo border back to
+    zero (conv zero-padding applies AFTER normalization; silu(0) != 0).
+
+    Processes 8-row slabs in a fori_loop: a whole-plane float32 temporary
+    costs hp*wp*tci*4 bytes of scoped VMEM *per live copy* and the compiler
+    keeps 2-3 alive across the silu/mask chain — at 64x64x(512|640) planes
+    that alone blew the 16 MB scoped-vmem limit (measured both as Mosaic
+    compile-helper crashes and as clean scoped-vmem OOMs). Slab temps are
+    ~300 KB and drop the stage cost out of the planning model entirely."""
+    a = a_ref[0, 0, 0].astype(jnp.float32)
+    d = d_ref[0, 0, 0].astype(jnp.float32)
+
+    def slab(i, carry):
+        rows = pl.ds(i * 8, 8)
+        z = xn_ref[idx + (rows,)].astype(jnp.float32) * a + d
+        if prologue == "silu":
+            z = z * jax.nn.sigmoid(z)
+        if ph or HP > H or WP > W:
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, WP, 1), 0) + i * 8
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, WP, 1), 1)
+            inside = ((row >= ph) & (row < ph + H)
+                      & (col >= ph) & (col < ph + W))
+            z = jnp.where(inside, z, 0.0)
+        xn_ref[idx + (rows,)] = z.astype(x_dtype)
+        return carry
+
+    jax.lax.fori_loop(0, HP // 8, slab, 0)
 
 
 def _conv_kernel(
@@ -165,21 +250,8 @@ def _conv_kernel(
         cp.start()
         cp.wait()
         if prologue:
-            # conv zero-padding applies AFTER normalization (silu(0) != 0),
-            # so mask the halo/alignment border back to zero in-register —
-            # whole-tile store; partial stores are not available here
-            z = xn_ref[k].astype(jnp.float32) \
-                * a_ref[0, 0, 0].astype(jnp.float32) \
-                + d_ref[0, 0, 0].astype(jnp.float32)
-            if prologue == "silu":
-                z = z * jax.nn.sigmoid(z)
-            if ph or HP > H or WP > W:
-                row = jax.lax.broadcasted_iota(jnp.int32, (HP, WP, 1), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (HP, WP, 1), 1)
-                inside = ((row >= ph) & (row < ph + H)
-                          & (col >= ph) & (col < ph + W))
-                z = jnp.where(inside, z, 0.0)
-            xn_ref[k] = z.astype(x_dtype)
+            _normalize_staged(xn_ref, (k,), a_ref, d_ref, prologue=prologue,
+                              H=H, W=W, HP=HP, WP=WP, ph=ph, x_dtype=x_dtype)
 
     # --- implicit GEMM: KH*KH shifted matmuls over this (Cin, Cout) tile --
     @pl.when(k == 0)
@@ -209,6 +281,79 @@ def _conv_kernel(
         o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _conv_kernel_b(
+    x_hbm, w_ref, b_ref, *rest,
+    H, W, HP, WP, KH, TCI, N_CI, prologue, quantized, x_dtype,
+):
+    """Weights-stationary variant: grid (j, k, n) — a weight block stays
+    resident while every batch element is swept, so each weight byte is
+    DMA'd from HBM exactly once per call (variant A re-fetches per batch
+    element and row tile, fatal at the weight-bound 16x16/8x8 levels). The
+    full batch's normalized image persists in VMEM scratch across the j
+    sweeps; the output is staged in VMEM and manually DMA'd to an HBM
+    buffer laid out [N, n_co, H, W, TCo] (re-tiled to NHWC by XLA outside —
+    automatic output windows would flush garbage on the k<last visits).
+
+    rest = [a_ref, d_ref]? [s_ref]? o_hbm, xn_ref, acc_ref, outv_ref,
+           sem_in, sem_out.
+    """
+    it = iter(rest)
+    a_ref = next(it) if prologue else None
+    d_ref = next(it) if prologue else None
+    s_ref = next(it) if quantized else None
+    o_hbm = next(it)
+    xn_ref = next(it)
+    acc_ref = next(it)
+    outv_ref = next(it)
+    sem_in = next(it)
+    sem_out = next(it)
+
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+    n = pl.program_id(2)
+    ph = 1 if KH == 3 else 0
+
+    # stage + normalize chunk (n, k) once, during the first weight sweep
+    @pl.when(j == 0)
+    def _stage():
+        cp = pltpu.make_async_copy(x_hbm.at[n, k], xn_ref.at[n, k], sem_in)
+        cp.start()
+        cp.wait()
+        if prologue:
+            _normalize_staged(xn_ref, (n, k), a_ref, d_ref,
+                              prologue=prologue,
+                              H=H, W=W, HP=HP, WP=WP, ph=ph, x_dtype=x_dtype)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[n] = jnp.zeros(acc_ref.shape[1:], acc_ref.dtype)
+
+    wv = w_ref[...]
+    if quantized:
+        wv = wv.astype(x_dtype)
+    acc = acc_ref[n]
+    for kh in range(KH):
+        for kw in range(KH):
+            xs = xn_ref[n, k, pl.ds(kh, H), kw:kw + W, :]
+            acc = acc + jax.lax.dot_general(
+                xs, wv[kh, kw],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc_ref[n] = acc
+
+    @pl.when(k == N_CI - 1)
+    def _store():
+        y = acc_ref[n]
+        if quantized:
+            y = y * s_ref[0, 0].astype(jnp.float32)
+        y = y + b_ref[0, 0, 0].astype(jnp.float32)
+        outv_ref[...] = y.astype(outv_ref.dtype)
+        cp = pltpu.make_async_copy(outv_ref, o_hbm.at[n, j], sem_out)
+        cp.start()
+        cp.wait()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("prologue", "interpret"),
@@ -216,8 +361,8 @@ def _conv_kernel(
 def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
     n, h, ww, c_in = x.shape
     kh, _, _, c_out = w.shape
-    plan = _plan(h, ww, c_in, c_out, kh, x.dtype.itemsize)
-    c_in_p, tci, th = plan if plan else (c_in, c_in, h)
+    plan = _plan(h, ww, c_in, c_out, kh, x.dtype.itemsize, n)
+    c_in_p, tci, th, variant = plan if plan else (c_in, c_in, h, "B")
     quantized = w_scale is not None
     # pad channel dims to lane multiples (zero rows/cols contribute zero):
     # non-128-multiple lane dims crash this Mosaic toolchain, and lane-exact
@@ -242,15 +387,6 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
     hp, wp = _align8(h + 2 * ph), _align8(ww + 2 * ph)
     n_r = h // th
 
-    # per-channel vectors are shipped as [.., tiles, 1, T] so the trailing
-    # two block dims are (1, full) — the layout Mosaic accepts for any T
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.HBM),                       # x
-        pl.BlockSpec((kh, kh, tci, tco),
-                     lambda n_, r, j, k: (0, 0, k, j)),
-        pl.BlockSpec((1, 1, 1, tco),
-                     lambda n_, r, j, k: (n_, j, 0, 0)),            # bias
-    ]
     if hp > h or wp > ww:
         x = jnp.pad(x, ((0, 0), (ph, hp - h - ph), (ph, wp - ww - ph),
                         (0, 0)))
@@ -258,7 +394,65 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
         x5 = x.reshape(n, 1, hp, wp, c_in_p)
     else:
         x5 = jnp.moveaxis(x.reshape(n, hp, wp, n_ci, tci), 3, 1)
-    operands = [x5, w, b.reshape(n, n_co, 1, tco)]
+    b3 = b.reshape(n, n_co, 1, tco)
+    a3 = a.reshape(n, n_ci, 1, tci) if prologue else None
+    d3 = d.reshape(n, n_ci, 1, tci) if prologue else None
+    s3 = w_scale.reshape(n_co, 1, tco) if quantized else None
+
+    if variant == "B":
+        # grid (j, k, n): weight block stationary across the batch sweep
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),                   # x
+            pl.BlockSpec((kh, kh, tci, tco), lambda j, k, n_: (0, 0, k, j)),
+            pl.BlockSpec((1, 1, 1, tco), lambda j, k, n_: (n_, j, 0, 0)),
+        ]
+        operands = [x5, w, b3]
+        if prologue:
+            in_specs += [
+                pl.BlockSpec((1, 1, 1, tci), lambda j, k, n_: (n_, k, 0, 0)),
+                pl.BlockSpec((1, 1, 1, tci), lambda j, k, n_: (n_, k, 0, 0)),
+            ]
+            operands += [a3, d3]
+        if quantized:
+            in_specs.append(
+                pl.BlockSpec((1, 1, tco), lambda j, k, n_: (j, 0, 0)))
+            operands.append(s3)
+        kernel = functools.partial(
+            _conv_kernel_b,
+            H=h, W=ww, HP=hp, WP=wp, KH=kh, TCI=tci, N_CI=n_ci,
+            prologue=prologue, quantized=quantized, x_dtype=x.dtype,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, n_co, h, ww, tco), x.dtype),
+            grid=(n_co, n_ci, n),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((n, n_ci, hp, wp, tci), x.dtype),
+                pltpu.VMEM((n, h, ww, tco), jnp.float32),
+                pltpu.VMEM((h, ww, tco), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+        )(*operands)
+        # kernel layout [N, n_co, H, W, TCo] -> NHWC
+        out = jnp.moveaxis(out, 1, 3).reshape(n, h, ww, c_out_p)
+        return out if c_out_p == c_out else out[..., :c_out]
+
+    # variant A: grid (n, r, j, k) — batch/row-tile outermost
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),                       # x
+        pl.BlockSpec((kh, kh, tci, tco),
+                     lambda n_, r, j, k: (0, 0, k, j)),
+        pl.BlockSpec((1, 1, 1, tco),
+                     lambda n_, r, j, k: (n_, j, 0, 0)),            # bias
+    ]
+    operands = [x5, w, b3]
     if prologue:
         in_specs += [
             pl.BlockSpec((1, 1, 1, tci),
@@ -266,11 +460,11 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
             pl.BlockSpec((1, 1, 1, tci),
                          lambda n_, r, j, k: (n_, k, 0, 0)),
         ]
-        operands += [a.reshape(n, n_ci, 1, tci), d.reshape(n, n_ci, 1, tci)]
+        operands += [a3, d3]
     if quantized:
         in_specs.append(
             pl.BlockSpec((1, 1, tco), lambda n_, r, j, k: (j, 0, 0)))
-        operands.append(w_scale.reshape(n_co, 1, tco))
+        operands.append(s3)
 
     kernel = functools.partial(
         _conv_kernel,

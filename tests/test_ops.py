@@ -308,17 +308,40 @@ def test_conv_plan_matches_onchip_validated_matrix():
     XLA reference at every SD15 UNet resblock shape. A change that shifts
     any of them must re-run the on-chip matrix before landing."""
     validated = {
-        (64, 64, 320, 320): (384, 128, 64),
-        (64, 64, 640, 320): (640, 128, 32),
-        (32, 32, 640, 640): (640, 640, 32),
-        (32, 32, 960, 640): (1024, 512, 32),
-        (16, 16, 1280, 1280): (1280, 640, 16),
-        (16, 16, 2560, 1280): (2560, 640, 16),
-        (16, 16, 1920, 1280): (1920, 640, 16),
-        (8, 8, 1280, 1280): (1280, 640, 8),
+        (2, 64, 64, 320, 320): (384, 128, 64, "B"),
+        (2, 64, 64, 640, 320): (640, 640, 16, "A"),
+        (2, 32, 32, 640, 640): (640, 640, 32, "B"),
+        (2, 32, 32, 960, 640): (1024, 512, 32, "B"),
+        (2, 16, 16, 1280, 1280): (1280, 640, 16, "B"),
+        (2, 16, 16, 2560, 1280): (2560, 640, 16, "B"),
+        (2, 16, 16, 1920, 1280): (1920, 640, 16, "B"),
+        (2, 8, 8, 1280, 1280): (1280, 640, 8, "B"),
+        (1, 64, 64, 512, 512): (512, 128, 64, "B"),   # VAE decoder plane
+        (2, 64, 64, 512, 512): (512, 512, 16, "A"),
+        (16, 32, 32, 640, 640): (640, 640, 32, "A"),  # serving batch 8 CFG
     }
-    for (h, w, cin, cout), plan in validated.items():
-        assert conv_ops._plan(h, w, cin, cout, 3, 2) == plan, (h, w, cin)
-    # 768px/SD21-base level-0 planes exceed VMEM -> XLA fallback
-    assert conv_ops._plan(96, 96, 320, 320, 3, 2) is None
-    assert conv_ops._plan(96, 96, 640, 320, 3, 2) is None
+    for (n, h, w, cin, cout), plan in validated.items():
+        assert conv_ops._plan(h, w, cin, cout, 3, 2, n) == plan, (n, h, w)
+    # 96x96 planes (768px / SD21-base level 0): non-power-of-two tile
+    # geometry crashes Mosaic -> XLA fallback
+    assert conv_ops._plan(96, 96, 320, 320, 3, 2, 2) is None
+    assert conv_ops._plan(96, 96, 640, 320, 3, 2, 2) is None
+
+
+@pytest.mark.parametrize("variant", ["A", "B"])
+def test_fused_conv_both_variants_match_ref(rng, variant, monkeypatch):
+    """Force each kernel variant at the same shape (the planner would pick
+    B here) so the interpreter covers both grid orders."""
+    n, h, w_, cin, cout, g = 2, 16, 16, 64, 64, 8
+    th = h if variant == "B" else 8
+    monkeypatch.setattr(conv_ops, "_plan",
+                        lambda *a, **k: (cin, cin // 2, th, variant))
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout),
+                                        dtype=np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal((n, cout), dtype=np.float32))
+    p = {"scale": jnp.ones((cin,)), "bias": jnp.zeros((cin,))}
+    ref = _ref_conv(L.silu(L.group_norm(p, x, g)), w, 1) + b[:, None, None, :]
+    a, d = conv_ops.gn_affine(p, x, g)
+    got = conv_ops.fused_conv(x, w, b, a=a, d=d, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

@@ -23,6 +23,9 @@ from sdtpu.ops import conv as C
 
 def case(name, n, h, w_, cin, cout, int8=False):
     t0 = time.time()
+    if C._plan(h, w_, cin, cout, 3, 2, n) is None:
+        print(f"{name}: SKIP (ineligible -> XLA fallback)", flush=True)
+        return True
     try:
         key = jax.random.PRNGKey(hash(name) % 2**31)
         ks = jax.random.split(key, 4)
@@ -50,10 +53,10 @@ def case(name, n, h, w_, cin, cout, int8=False):
         err = np.abs(np.asarray(y, np.float32)
                      - np.asarray(ref, np.float32)).max()
         print(f"{name}: OK {time.time()-t0:.0f}s err={err:.4g} "
-              f"plan={C._plan(h, w_, cin, cout, 3, 2)}", flush=True)
+              f"plan={C._plan(h, w_, cin, cout, 3, 2, n)}", flush=True)
         return True
     except Exception as e:  # noqa: BLE001 — report and continue the matrix
-        print(f"{name}: FAIL plan={C._plan(h, w_, cin, cout, 3, 2)} "
+        print(f"{name}: FAIL plan={C._plan(h, w_, cin, cout, 3, 2, n)} "
               f"{str(e)[:150]}", flush=True)
         return False
 
@@ -71,6 +74,15 @@ def main():
     ok &= case("L3 1280", 2, 8, 8, 1280, 1280)
     ok &= case("L0 int8", 2, 64, 64, 320, 320, int8=True)
     ok &= case("L0up int8", 2, 64, 64, 640, 320, int8=True)
+    # VAE decoder/encoder 64x64 planes (batch 1; the 512-ch plane was the
+    # scoped-vmem breaker the slab-normalize rewrite fixed)
+    ok &= case("VAE 512->512 b1", 1, 64, 64, 512, 512)
+    ok &= case("VAE 512->512 b2", 2, 64, 64, 512, 512)
+    # SD21-base / 768px level-0 planes (96x96)
+    ok &= case("768-L0 320->320", 2, 96, 96, 320, 320)
+    ok &= case("768-L0up 640->320", 2, 96, 96, 640, 320)
+    # big serving batch (CFG batch 16) exercises the A fallback at L1/L2
+    ok &= case("L1 b16", 16, 32, 32, 640, 640)
     return 0 if ok else 1
 
 
