@@ -1,0 +1,129 @@
+"""LDM fine-tuning: the epsilon-prediction training step for the SD UNet.
+
+The reference runtime is inference-only (SURVEY §2.4 — it consumes
+checkpoints produced elsewhere); training support is a TPU-native extension
+so the framework covers the full model lifecycle. The objective is the
+standard latent-diffusion noise-prediction loss (CompVis
+ldm/models/diffusion/ddpm.py): sample a timestep and Gaussian noise per
+example, forward-diffuse the clean latents to that marginal, and regress
+the UNet's output onto the noise:
+
+    t ~ U{0..999},  eps ~ N(0, I)
+    x_t = sqrt(alphabar_t) x0 + sqrt(1 - alphabar_t) eps
+    loss = mean || unet(x_t, temb(t), clip(tokens)) - eps ||^2
+
+CLIP and the VAE stay frozen (SD fine-tuning convention); only UNet params
+receive gradients. Everything is a pure function of (state, batch, key) —
+one `jax.jit` for single-chip, and on a `(data, model)` mesh the same step
+shards: batch on the data axis, UNet kernels on the model axis via the
+serving TP plan (parallel/sharding.param_pspecs); gradients and AdamW
+moments inherit the param shardings (zeros_like / tree-map preserve
+committed shardings), so GSPMD inserts the gradient all-reduces.
+
+Timestep convention matches inference: model-facing t is the 0-based
+discrete index (pipeline's ``plan.model_t`` = (t - 1/N)*1000 = i), so a
+fine-tuned checkpoint drops straight into the samplers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdtpu.config import PipelineConfig
+from sdtpu.models import clip, temb, unet
+from sdtpu.samplers.schedule import NoiseSchedule
+
+
+class TrainState(NamedTuple):
+    """UNet params + optimizer state. CLIP/temb (frozen) ride separately."""
+
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    lr: float = 1e-5,
+    weight_decay: float = 1e-2,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping — the SD fine-tuning default."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(unet_params, optimizer) -> TrainState:
+    """Build a TrainState; if `unet_params` are committed sharded arrays,
+    the AdamW moments inherit their shardings (zeros_like preserves them)."""
+    return TrainState(
+        params=unet_params,
+        opt_state=optimizer.init(unet_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
+             kernels: str = "xla", remat: bool = False):
+    """batch: ``latents`` [B,h,w,4] clean UNSCALED VAE latents (the posterior
+    sample; scale-factor applied here) + ``tokens`` [B,T] int32."""
+    sched = NoiseSchedule.sd_v1()
+    abar = jnp.asarray(sched.alphas_cumprod, jnp.float32)
+    n_train = sched.num_train_steps
+
+    b = batch["latents"].shape[0]
+    kt, ke = jax.random.split(key)
+    t_idx = jax.random.randint(kt, (b,), 0, n_train)
+    eps = jax.random.normal(ke, batch["latents"].shape, jnp.float32)
+
+    x0 = batch["latents"].astype(jnp.float32) * cfg.vae.scale_factor
+    a = jnp.sqrt(abar[t_idx])[:, None, None, None]
+    s = jnp.sqrt(1.0 - abar[t_idx])[:, None, None, None]
+    x_t = a * x0 + s * eps
+
+    ctx = clip.apply(frozen["clip"], batch["tokens"], cfg.clip,
+                     dtype=cfg.compute_dtype)
+    te = temb.apply(frozen["temb"], t_idx.astype(jnp.float32), cfg.unet,
+                    dtype=cfg.compute_dtype)
+
+    apply = unet.apply
+    if remat:
+        # trade FLOPs for memory on long batches: recompute UNet
+        # activations in the backward pass
+        apply = jax.checkpoint(unet.apply, static_argnums=(4, 5))
+    pred = apply(unet_params, x_t.astype(cfg.compute_dtype), te, ctx,
+                 cfg.unet, kernels)
+    return jnp.mean(jnp.square(pred.astype(jnp.float32) - eps))
+
+
+def train_step(state: TrainState, frozen, batch, key, cfg: PipelineConfig,
+               optimizer, kernels: str = "xla", remat: bool = False):
+    """One optimizer step; returns (new_state, metrics)."""
+    loss, grads = jax.value_and_grad(ldm_loss)(
+        state.params, frozen, batch, key, cfg, kernels, remat)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def jit_train_step(cfg: PipelineConfig, optimizer, kernels: str = "xla",
+                   remat: bool = False, donate: bool = True):
+    """Compiled train step. Single-chip or multi-chip is decided by where
+    the operands live: pass a state whose params were placed with
+    `parallel.sharding.shard_params` and a batch placed with
+    ``NamedSharding(mesh, P("data", ...))`` and GSPMD shards the step over
+    the mesh (data-parallel batch, Megatron-pair TP on the UNet matmuls,
+    psum'd gradients); uncommitted arrays give the plain single-device jit.
+    """
+    import functools
+
+    fn = functools.partial(train_step, cfg=cfg, optimizer=optimizer,
+                           kernels=kernels, remat=remat)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
