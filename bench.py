@@ -38,13 +38,31 @@ def main() -> int:
     t0 = time.perf_counter()
     import os
 
+    quant = os.environ.get("SDTPU_BENCH_QUANT", "none")
     ctx = sdtpu.Context(
         model_dir=None, steps=20, sampler="dpm", config="sd15",
         log_level=LogLevel.INFO,
-        quantize=os.environ.get("SDTPU_BENCH_QUANT", "none"),
+        quantize="int8" if quant == "int8_static" else quant,
         kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
     )
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if quant == "int8_static":
+        # per-tensor static activation scales from a real-prompt jitted
+        # calibration pass (quant/ptq.calibrate, VERDICT r1 #6)
+        from sdtpu.quant.ptq import calibrate
+
+        t1 = time.perf_counter()
+        ctx.params = calibrate(
+            ctx.params, ctx.cfg,
+            ["a photograph of an astronaut riding a horse",
+             "a watercolor painting of a fox in a forest",
+             "macro photo of a snowflake on dark wool",
+             "a city street at night in the rain"],
+            ctx.tokenizer, steps=4,
+        )
+        ctx._gen_cache.clear()  # param-tree structure changed (x_scale)
+        print(f"# calibrate(SD15, 4 prompts x 4 steps): "
+              f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
 
     prompt = "a photograph of an astronaut riding a horse"
     # SDTPU_BENCH_BATCH=N switches to the serving path (Context.generate_batch
