@@ -144,11 +144,80 @@ def _flash_mha(q, k, v, heads: int, block_q: int, block_k: int,
     )
 
 
+def _chunked_attn_bwd(q, k, v, do, heads: int, chunk: int = 512):
+    """Exact attention gradients without materializing the [S, S] scores:
+    lax.scan over q chunks recomputes each chunk's softmax row block and
+    accumulates dk/dv (Rabe & Staats, "Self-attention Does Not Need O(n^2)
+    Memory" — the backward-pass analogue of the flash forward). Peak
+    temporary is [B*H, chunk, S] instead of [B*H, S, S]. All math in f32;
+    einsums land on the MXU."""
+    b, s, c = q.shape
+    d = c // heads
+    scale = 1.0 / math.sqrt(d)
+
+    def split(x):
+        return (x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+                .reshape(b * heads, s, d).astype(jnp.float32))
+
+    qh, kh, vh, doh = split(q), split(k), split(v), split(do)
+    nc = s // chunk if (s % chunk == 0 and s > chunk) else 1
+    cq = s // nc
+    qc = qh.reshape(b * heads, nc, cq, d).transpose(1, 0, 2, 3)
+    doc = doh.reshape(b * heads, nc, cq, d).transpose(1, 0, 2, 3)
+
+    def body(carry, xs):
+        dk, dv = carry
+        qi, doi = xs                                   # [BH, cq, d]
+        sblk = jnp.einsum("bqd,bkd->bqk", qi, kh) * scale
+        p = jax.nn.softmax(sblk, axis=-1)              # [BH, cq, S]
+        dv = dv + jnp.einsum("bqk,bqd->bkd", p, doi)
+        dp = jnp.einsum("bqd,bkd->bqk", doi, vh)
+        tmp = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - tmp)                            # [BH, cq, S]
+        dqi = jnp.einsum("bqk,bkd->bqd", ds, kh) * scale
+        dk = dk + jnp.einsum("bqk,bqd->bkd", ds, qi) * scale
+        return (dk, dv), dqi
+
+    (dk, dv), dq = jax.lax.scan(
+        body, (jnp.zeros_like(kh), jnp.zeros_like(vh)), (qc, doc))
+    dq = dq.transpose(1, 0, 2, 3).reshape(b * heads, s, d)
+
+    def merge(x, ref):
+        return (x.reshape(b, heads, s, d).transpose(0, 2, 1, 3)
+                .reshape(b, s, c).astype(ref.dtype))
+
+    return merge(dq, q), merge(dk, k), merge(dv, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_self(q, k, v, heads: int, block_q: int, block_k: int):
+    """Differentiable wrapper over the Pallas self-attention forward: jax
+    cannot autodiff through `pallas_call`, so training gets an exact
+    chunked backward (`_chunked_attn_bwd`) via custom_vjp. Inference-only
+    callers pay nothing (the vjp rules only engage under jax.grad)."""
+    return _flash_mha(q, k, v, heads, block_q, block_k)
+
+
+def _flash_self_fwd(q, k, v, heads, block_q, block_k):
+    return _flash_mha(q, k, v, heads, block_q, block_k), (q, k, v)
+
+
+def _flash_self_bwd(heads, block_q, block_k, res, do):
+    q, k, v = res
+    return _chunked_attn_bwd(q, k, v, do, heads)
+
+
+_flash_self.defvjp(_flash_self_fwd, _flash_self_bwd)
+
+
 def flash_attention(q, k, v, heads: int):
     """Drop-in for layers.sdpa(..., kernel='xla') on [B, T, C] tensors.
 
     Routes small/unaligned problems (cross-attention over 77 text tokens,
     tiny spatial grids) to the XLA path; fused Pallas kernel otherwise.
+    Differentiable: the self-attention kernel carries a custom_vjp with an
+    exact chunked backward, so `kernels='pallas'` works under jax.grad
+    (sdtpu/train) as well as in inference.
     """
     from sdtpu.models.layers import sdpa
 
@@ -159,7 +228,7 @@ def flash_attention(q, k, v, heads: int):
     # 1.7x over 512x512; 2048-wide tiles exceed the VMEM budget
     block_q = _pick_block(sq, 1024)
     if sq == sk:                       # spatial self-attention
-        return _flash_mha(q, k, v, heads, block_q, _pick_block(sk, 1024))
+        return _flash_self(q, k, v, heads, block_q, _pick_block(sk, 1024))
     if CROSS_FLASH and sk <= 1024:     # cross-attention: pad kv to one tile
         sk_p = -(-sk // 128) * 128
         return _flash_mha(q, k, v, heads, block_q, sk_p, kv_pad=sk_p - sk)

@@ -345,3 +345,27 @@ def test_fused_conv_both_variants_match_ref(rng, variant, monkeypatch):
     a, d = conv_ops.gn_affine(p, x, g)
     got = conv_ops.fused_conv(x, w, b, a=a, d=d, silu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_flash_attention_gradients_match_xla(rng):
+    """custom_vjp backward (chunked exact recompute) must match XLA sdpa
+    gradients — this is what makes kernels='pallas' usable under jax.grad
+    in the training step."""
+    b, s, heads, d = 1, 512, 2, 32
+    c = heads * d
+    q = jnp.asarray(rng.standard_normal((b, s, c), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, c), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, c), dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((b, s, c), dtype=np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(attn_ops.flash_attention(q, k, v, heads) - tgt))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(L.sdpa(q, k, v, heads, kernel="xla") - tgt))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=1e-3)
