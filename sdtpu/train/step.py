@@ -39,11 +39,15 @@ from sdtpu.samplers.schedule import NoiseSchedule
 
 
 class TrainState(NamedTuple):
-    """UNet params + optimizer state. CLIP/temb (frozen) ride separately."""
+    """UNet params + optimizer state. CLIP/temb (frozen) ride separately.
+    ``ema`` is an exponential moving average of the params (the weights SD
+    releases actually ship), or None — the two pytree structures compile
+    as distinct jit variants."""
 
     params: dict
     opt_state: optax.OptState
     step: jnp.ndarray
+    ema: dict | None = None
 
 
 def make_optimizer(
@@ -58,13 +62,15 @@ def make_optimizer(
     )
 
 
-def init_train_state(unet_params, optimizer) -> TrainState:
+def init_train_state(unet_params, optimizer,
+                     ema: bool = False) -> TrainState:
     """Build a TrainState; if `unet_params` are committed sharded arrays,
-    the AdamW moments inherit their shardings (zeros_like preserves them)."""
+    the AdamW moments (and EMA copy) inherit their shardings."""
     return TrainState(
         params=unet_params,
         opt_state=optimizer.init(unet_params),
         step=jnp.zeros((), jnp.int32),
+        ema=jax.tree.map(jnp.copy, unet_params) if ema else None,
     )
 
 
@@ -102,15 +108,61 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
 
 
 def train_step(state: TrainState, frozen, batch, key, cfg: PipelineConfig,
-               optimizer, kernels: str = "xla", remat: bool = False):
+               optimizer, kernels: str = "xla", remat: bool = False,
+               ema_decay: float = 0.9999):
     """One optimizer step; returns (new_state, metrics)."""
     loss, grads = jax.value_and_grad(ldm_loss)(
         state.params, frozen, batch, key, cfg, kernels, remat)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
+    ema = state.ema
+    if ema is not None:
+        ema = jax.tree.map(
+            lambda e, p: e * ema_decay + p.astype(e.dtype) * (1 - ema_decay),
+            ema, params)
     metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-    return TrainState(params, opt_state, state.step + 1), metrics
+    return TrainState(params, opt_state, state.step + 1, ema), metrics
+
+
+def save_train_state(state: TrainState, path) -> None:
+    """Orbax checkpoint of the full training state (params, AdamW moments,
+    step, EMA) — the resume artifact (SURVEY §5.4: checkpoint/resume is a
+    first-class auxiliary subsystem). Saved as a dict so the restore
+    template is structure-stable across TrainState field evolution."""
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    if state.ema is not None:
+        tree["ema"] = state.ema
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).resolve(), tree)
+        ckptr.wait_until_finished()
+
+
+def load_train_state(path, like: TrainState) -> TrainState:
+    """Restore a TrainState. ``like`` supplies structure, shapes, dtypes
+    AND shardings (pass a freshly built `init_train_state` over params
+    placed on the target mesh — each restored leaf lands directly on its
+    devices, no host full-copy)."""
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    def absify(x):
+        sh = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+    tmpl = {"params": jax.tree.map(absify, like.params),
+            "opt_state": jax.tree.map(absify, like.opt_state),
+            "step": absify(like.step)}
+    if like.ema is not None:
+        tmpl["ema"] = jax.tree.map(absify, like.ema)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(Path(path).resolve(), tmpl)
+    return TrainState(tree["params"], tree["opt_state"], tree["step"],
+                      tree.get("ema"))
 
 
 def jit_train_step(cfg: PipelineConfig, optimizer, kernels: str = "xla",

@@ -104,3 +104,43 @@ def test_sharded_train_step_matches_single(setup):
     # and one more step runs on the updated sharded state
     new_state2, metrics2 = step(new_state, sfrozen, sbatch, key)
     assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_ema_tracks_params(setup):
+    unet_params, frozen, batch = setup
+    opt = make_optimizer(lr=1e-2)
+    from sdtpu.train import train_step
+    state = init_train_state(unet_params, opt, ema=True)
+    key = jax.random.PRNGKey(5)
+    s1, _ = train_step(state, frozen, batch, key, TINY, opt, ema_decay=0.5)
+    # ema moved halfway toward the updated params
+    p = jax.tree.leaves(s1.params)[0]
+    e = jax.tree.leaves(s1.ema)[0]
+    p0 = jax.tree.leaves(unet_params)[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(0.5 * p0 + 0.5 * p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_state_checkpoint_roundtrip(setup, tmp_path):
+    """Save/restore the full training state (params + AdamW moments + step
+    + EMA) and verify training CONTINUES identically — the resume
+    guarantee (SURVEY §5.4)."""
+    from sdtpu.train import load_train_state, save_train_state, train_step
+
+    unet_params, frozen, batch = setup
+    opt = make_optimizer(lr=1e-3)
+    state = init_train_state(unet_params, opt, ema=True)
+    key = jax.random.PRNGKey(6)
+    state, _ = train_step(state, frozen, batch, key, TINY, opt)
+
+    save_train_state(state, tmp_path / "ckpt")
+    template = init_train_state(unet_params, opt, ema=True)
+    restored = load_train_state(tmp_path / "ckpt", template)
+    assert int(restored.step) == 1
+
+    # one more step from each — must match exactly (same program, same data)
+    a, ma = train_step(state, frozen, batch, key, TINY, opt)
+    b, mb = train_step(restored, frozen, batch, key, TINY, opt)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=0)
+    la, lb = jax.tree.leaves(a.params)[0], jax.tree.leaves(b.params)[0]
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
