@@ -12,6 +12,7 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -166,6 +167,44 @@ def dense(p, x, dtype=None):
     return y.astype(dtype)
 
 
+def _conv_raw(x, w, stride, padding, preferred):
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred, precision=PRECISION,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_f32acc(x, w, stride, padding):
+    """Conv with float32 accumulation on low-precision inputs — and a
+    backward pass that works. jax's conv transpose rule feeds the float32
+    cotangent (from ``preferred_element_type=f32``) into a conv against the
+    bf16 weights, which `lax` rejects as a dtype mismatch; the custom
+    backward instead differentiates the dtype-homogeneous conv (cotangent
+    cast to the input dtype — the same single f32-accumulate-then-round
+    the forward does, i.e. standard mixed-precision training)."""
+    return _conv_raw(x, w, stride, padding, jnp.float32)
+
+
+def _conv_f32acc_fwd(x, w, stride, padding):
+    return _conv_f32acc(x, w, stride, padding), (x, w)
+
+
+def _conv_f32acc_bwd(stride, padding, res, dy):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda a, b: _conv_raw(a, b, stride, padding, None),
+        x, w.astype(x.dtype))
+    dx, dw = vjp(dy.astype(x.dtype))
+    return dx, dw.astype(w.dtype)
+
+
+_conv_f32acc.defvjp(_conv_f32acc_fwd, _conv_f32acc_bwd)
+
+
 def conv2d(p, x, stride=1, padding=1, dtype=None):
     """3x3/1x1 conv, NHWC x HWIO -> NHWC."""
     dtype = dtype or x.dtype
@@ -178,14 +217,7 @@ def conv2d(p, x, stride=1, padding=1, dtype=None):
         return matmul_int8w(
             x.astype(dtype), p["w8"].reshape(p["w8"].shape[2:]),
             p["w8_scale"], p.get("b"))
-    y = lax.conv_general_dilated(
-        x.astype(dtype),
-        _weight(p, dtype),
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32, precision=PRECISION,
-    )
+    y = _conv_f32acc(x.astype(dtype), _weight(p, dtype), stride, padding)
     return (y + p["b"].astype(jnp.float32)).astype(dtype)
 
 

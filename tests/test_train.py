@@ -144,3 +144,46 @@ def test_train_state_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=0)
     la, lb = jax.tree.leaves(a.params)[0], jax.tree.leaves(b.params)[0]
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_bf16_training_grads(setup):
+    """bf16 params + bf16 compute must differentiate (regression: jax's
+    conv transpose rule rejects the f32-accumulating conv's cotangent
+    against bf16 weights; layers._conv_f32acc carries a custom_vjp)."""
+    import dataclasses
+
+    unet_params, frozen, batch = setup
+    cfg = dataclasses.replace(TINY, dtype="bfloat16")
+    cast = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+    g = jax.grad(ldm_loss)(cast(unet_params), cast(frozen), batch,
+                           jax.random.PRNGKey(9), cfg)
+    leaves = jax.tree.leaves(g)
+    assert leaves[0].dtype == jnp.bfloat16
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
+
+
+def test_conv_custom_vjp_matches_autodiff_f32(setup):
+    """At f32 (where jax's own rule works) the custom conv backward must
+    reproduce autodiff gradients exactly."""
+    from sdtpu.models.layers import _conv_raw, conv2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16), dtype=np.float32))
+    p = {"w": jnp.asarray(rng.standard_normal((3, 3, 16, 24),
+                                              dtype=np.float32)) * 0.1,
+         "b": jnp.zeros((24,))}
+
+    def via_layer(x, w):
+        return jnp.sum(jnp.square(conv2d({"w": w, "b": p["b"]}, x)))
+
+    def via_raw(x, w):
+        return jnp.sum(jnp.square(
+            _conv_raw(x, w, 1, 1, jnp.float32) + p["b"]))
+
+    ga = jax.grad(via_layer, argnums=(0, 1))(x, p["w"])
+    gb = jax.grad(via_raw, argnums=(0, 1))(x, p["w"])
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
