@@ -194,6 +194,91 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_train(args) -> int:
+    """LDM fine-tune loop over precomputed latents+tokens (sdtpu.train).
+
+    The reference has no training story; this completes the lifecycle at
+    the CLI surface: data in, checkpoints (params + AdamW moments + EMA)
+    out, resumable bit-identically."""
+    _select_platform(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
+    from sdtpu.io.params import cast_params, init_pipeline_params
+    from sdtpu.train import (
+        init_train_state,
+        jit_train_step,
+        load_train_state,
+        make_optimizer,
+        save_train_state,
+    )
+
+    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
+           "tiny": TINY}[args.config]
+
+    t0 = time.time()
+    if args.model_dir is None:
+        print("no --model-dir: random-init demo weights")
+        pipeline = jax.jit(lambda k: init_pipeline_params(k, cfg))(
+            jax.random.PRNGKey(args.seed))
+    else:
+        from sdtpu.io.orbax_ckpt import is_orbax_checkpoint, load_checkpoint
+        from sdtpu.io.weights import load_pipeline_params
+
+        pipeline = (load_checkpoint(args.model_dir, cfg)
+                    if is_orbax_checkpoint(args.model_dir)
+                    else load_pipeline_params(args.model_dir, cfg))
+    pipeline = cast_params(pipeline, cfg.compute_dtype)
+    frozen = {"clip": pipeline["clip"], "temb": pipeline["temb"]}
+    unet_params = pipeline["unet"]
+    print(f"params ready in {time.time() - t0:.1f}s")
+
+    if args.data:
+        d = np.load(args.data)
+        latents = jnp.asarray(d["latents"], jnp.float32)
+        tokens = jnp.asarray(d["tokens"], jnp.int32)
+    else:
+        n = max(args.batch * 4, 8)
+        s = cfg.latent_size
+        latents = jax.random.normal(
+            jax.random.PRNGKey(1), (n, s, s, cfg.latent_channels))
+        tokens = jnp.tile(
+            jnp.arange(cfg.clip.context_len, dtype=jnp.int32)[None], (n, 1))
+        print(f"no --data: {n} synthetic demo examples")
+    n = latents.shape[0]
+    if n < args.batch:
+        print(f"error: {n} examples < batch {args.batch}", file=sys.stderr)
+        return 2
+
+    opt = make_optimizer(lr=args.lr)
+    state = init_train_state(unet_params, opt, ema=args.ema)
+    if args.resume:
+        state = load_train_state(args.resume, state)
+        print(f"resumed at step {int(state.step)} from {args.resume}")
+    kernels = args.kernels
+    if kernels == "auto":
+        kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
+    step = jit_train_step(cfg, opt, kernels=kernels, remat=args.remat)
+
+    key = jax.random.PRNGKey(args.seed + 17)
+    t0 = time.time()
+    for i in range(args.steps):
+        key, kb, ks = jax.random.split(key, 3)
+        idx = jax.random.choice(kb, n, (args.batch,), replace=False)
+        batch = {"latents": latents[idx], "tokens": tokens[idx]}
+        state, metrics = step(state, frozen, batch, ks)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            print(f"step {int(state.step):6d}  "
+                  f"loss {float(metrics['loss']):.4f}  "
+                  f"gnorm {float(metrics['grad_norm']):.3f}  "
+                  f"({(time.time() - t0):.1f}s)", flush=True)
+    save_train_state(state, args.out)
+    print(f"saved train state (step {int(state.step)}"
+          + (", ema" if args.ema else "") + f") to {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sdtpu",
                                 description="TPU-native SD txt2img engine")
@@ -218,8 +303,10 @@ def main(argv=None) -> int:
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
     g.add_argument("--kernels", default="auto",
-                   choices=["auto", "xla", "pallas", "pallas_gn"])
-    g.add_argument("--quantize", default="none", choices=["none", "int8"])
+                   choices=["auto", "xla", "pallas", "pallas_gn",
+                            "pallas_conv"])
+    g.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int8w", "int8w_dense"])
     g.add_argument("--size", type=int, default=None,
                    help="output resolution override (e.g. 768)")
     g.add_argument("--log-level", type=int, default=2,
@@ -301,6 +388,34 @@ def main(argv=None) -> int:
     sv.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     sv.set_defaults(fn=_cmd_serve)
+
+    t = sub.add_parser("train", help="LDM fine-tune the UNet (sdtpu.train)")
+    t.add_argument("--data", default=None,
+                   help=".npz with 'latents' [N,h,w,4] float and 'tokens' "
+                        "[N,77] int32 (omit for a synthetic demo batch)")
+    t.add_argument("--config", default="sd15",
+                   choices=["sd15", "sd21", "sd21base", "tiny"])
+    t.add_argument("--model-dir", default=None,
+                   help="frozen CLIP/temb + UNet init weights "
+                        "(omit for random-init demo)")
+    t.add_argument("--steps", type=int, default=100)
+    t.add_argument("--batch", type=int, default=2)
+    t.add_argument("--lr", type=float, default=1e-5)
+    t.add_argument("--ema", action="store_true",
+                   help="track EMA weights (decay 0.9999)")
+    t.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the UNet (memory for FLOPs)")
+    t.add_argument("--kernels", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    t.add_argument("--resume", default=None,
+                   help="orbax train-state checkpoint dir to resume from")
+    t.add_argument("--out", default="train_ckpt",
+                   help="orbax checkpoint dir to save the final state")
+    t.add_argument("--log-every", type=int, default=10)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    t.set_defaults(fn=_cmd_train)
 
     i = sub.add_parser("info", help="print version/backend/config info")
     i.set_defaults(fn=_cmd_info)

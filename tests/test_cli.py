@@ -60,3 +60,22 @@ def test_generate_img2img_and_inpaint_flags(tmp_path, init_png):
 def test_bad_sampler_rejected():
     with pytest.raises(SystemExit):
         main(["generate", "--config", "tiny", "--sampler", "nope"])
+
+
+def test_train_and_resume(tmp_path, capsys):
+    """`sdtpu train`: demo-data fine-tune writes a resumable orbax state;
+    `--resume` continues from the saved step counter."""
+    out1 = tmp_path / "ck1"
+    assert main(["train", "--config", "tiny", "--steps", "3", "--batch", "2",
+                 "--ema", "--log-every", "1", "--out", str(out1),
+                 "--platform", "cpu"]) == 0
+    captured = capsys.readouterr().out
+    assert "loss" in captured and "saved train state (step 3, ema)" in captured
+
+    out2 = tmp_path / "ck2"
+    assert main(["train", "--config", "tiny", "--steps", "2", "--batch", "2",
+                 "--ema", "--resume", str(out1), "--out", str(out2),
+                 "--platform", "cpu"]) == 0
+    captured = capsys.readouterr().out
+    assert "resumed at step 3" in captured
+    assert "saved train state (step 5, ema)" in captured
