@@ -150,6 +150,19 @@ def _int8w_gemm_ok(p, x):
 
 
 def dense(p, x, dtype=None):
+    y = _dense_base(p, x, dtype)
+    if "lora_a" in p:
+        # low-rank adapter delta (sdtpu.train.lora): y += (x A) B * s.
+        # Composes with every base path, including the quantized ones
+        # (QLoRA-style: frozen int8 base + trainable f32 adapters).
+        dt = y.dtype
+        delta = jnp.dot(jnp.dot(x.astype(dt), p["lora_a"].astype(dt)),
+                        p["lora_b"].astype(dt))
+        y = y + delta * p["lora_s"].astype(dt)
+    return y
+
+
+def _dense_base(p, x, dtype=None):
     dtype = dtype or x.dtype
     if "w_q" in p:
         return _dense_int8(p, x, dtype)

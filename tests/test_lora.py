@@ -1,0 +1,104 @@
+"""LoRA adapters: identity at init, masked training, merge/extract/apply.
+
+TPU-native extension beyond the reference (which has no fine-tuning
+story). CPU backend, TINY config.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdtpu.config import TINY
+from sdtpu.models import clip, temb, unet
+from sdtpu.train import init_train_state, jit_train_step
+from sdtpu.train.lora import (
+    apply_lora,
+    extract_lora,
+    inject_lora,
+    lora_mask,
+    make_lora_optimizer,
+    merge_lora,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    ku, kc, kt, kb = jax.random.split(key, 4)
+    unet_params = unet.init(ku, TINY.unet, zero_init_outs=False)
+    frozen = {"clip": clip.init(kc, TINY.clip),
+              "temb": temb.init(kt, TINY.unet)}
+    b, s = 2, TINY.latent_size
+    batch = {
+        "latents": jax.random.normal(kb, (b, s, s, TINY.unet.in_channels)),
+        "tokens": jnp.tile(
+            jnp.arange(TINY.clip.context_len, dtype=jnp.int32)[None], (b, 1)),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(5),
+                          (b, s, s, TINY.unet.in_channels))
+    te = jax.random.normal(jax.random.PRNGKey(6),
+                           (b, TINY.unet.time_embed_dim))
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (b, TINY.clip.context_len, TINY.unet.context_dim))
+    return unet_params, frozen, batch, (x, te, ctx)
+
+
+def _apply(params, io):
+    x, te, ctx = io
+    return np.asarray(unet.apply(params, x, te, ctx, TINY.unet))
+
+
+def test_injected_lora_is_identity_at_init(setup):
+    unet_params, _, _, io = setup
+    lp = inject_lora(unet_params, rank=4, key=jax.random.PRNGKey(1))
+    assert any(m for m in jax.tree.leaves(lora_mask(lp)))
+    np.testing.assert_array_equal(_apply(lp, io), _apply(unet_params, io))
+
+
+def test_masked_training_updates_only_adapters(setup):
+    unet_params, frozen, batch, io = setup
+    lp = inject_lora(unet_params, rank=4, key=jax.random.PRNGKey(1))
+    opt = make_lora_optimizer(lr=1e-2)
+    state = init_train_state(lp, opt)
+    step = jit_train_step(TINY, opt, donate=False)
+    key = jax.random.PRNGKey(2)
+    first = None
+    for _ in range(6):
+        state, metrics = step(state, frozen, batch, key)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    # base weights untouched, adapters moved
+    mask_tree = lora_mask(lp)
+    for leaf, m, orig in zip(jax.tree.leaves(state.params),
+                             jax.tree.leaves(mask_tree),
+                             jax.tree.leaves(lp)):
+        if m:
+            assert float(jnp.abs(leaf - orig).max()) > 0
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(orig))
+
+
+def test_merge_extract_apply_roundtrip(setup):
+    unet_params, frozen, batch, io = setup
+    lp = inject_lora(unet_params, rank=4, key=jax.random.PRNGKey(1))
+    opt = make_lora_optimizer(lr=1e-2)
+    state = init_train_state(lp, opt)
+    step = jit_train_step(TINY, opt, donate=False)
+    for _ in range(3):
+        state, _ = step(state, frozen, batch, jax.random.PRNGKey(3))
+    trained = state.params
+
+    # merged == adapter-applied, adapter leaves gone
+    merged = merge_lora(trained)
+    assert not any(jax.tree.leaves(lora_mask(merged)))
+    np.testing.assert_allclose(_apply(merged, io), _apply(trained, io),
+                               atol=2e-5, rtol=1e-5)
+    # extract -> apply onto the clean base reproduces the trained model
+    adapters = extract_lora(trained)
+    n_leaves = len(jax.tree.leaves(adapters))
+    assert n_leaves > 0
+    reapplied = apply_lora(unet_params, adapters)
+    np.testing.assert_array_equal(_apply(reapplied, io), _apply(trained, io))
