@@ -40,6 +40,7 @@ def _cmd_generate(args) -> int:
         quantize=args.quantize,
         seed=args.seed,
         size=args.size,
+        lora=args.lora,
     )
     t0 = time.perf_counter()
     if args.init_image:
@@ -309,6 +310,9 @@ def main(argv=None) -> int:
                    choices=["none", "int8", "int8w", "int8w_dense"])
     g.add_argument("--size", type=int, default=None,
                    help="output resolution override (e.g. 768)")
+    g.add_argument("--lora", default=None,
+                   help="LoRA adapter .npz (sdtpu.train.lora) applied to "
+                        "the UNet")
     g.add_argument("--log-level", type=int, default=2,
                    help="0=nothing .. 4=abusive")
     g.add_argument("--platform", default="auto",

@@ -72,8 +72,14 @@ class Context:
         fuse_qkv: bool = False,
         mesh: Optional[tuple[int, int]] = None,
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
+        lora: Optional[str] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
+        # LoRA adapter artifact (sdtpu.train.lora.save_lora_npz) applied to
+        # the UNet after load — serve a fine-tune without touching the base
+        # checkpoint. Adapter matmuls run unmerged (layers.dense); pass the
+        # merged tree through model_dir instead for zero-overhead serving.
+        self.lora = lora
         self.mesh = None
         if mesh is not None:
             # multi-chip serving: (data, model) mesh — DP over the prompt
@@ -225,6 +231,15 @@ class Context:
                 from sdtpu.io.params import fuse_attention_projections
 
                 params = fuse_attention_projections(params)
+            if self.lora is not None:
+                from sdtpu.train.lora import apply_lora, load_lora_npz
+
+                adapters = load_lora_npz(self.lora)
+                params = dict(params)
+                params["unet"] = apply_lora(params["unet"], adapters)
+                n = sum(1 for _ in jax.tree.leaves(adapters))
+                self.logger.info(f"LoRA adapters applied: {n} leaves "
+                                 f"from {self.lora}")
             if self.mesh is not None:
                 from sdtpu.parallel.sharding import shard_params
 

@@ -154,6 +154,51 @@ def extract_lora(params):
     return patch(params)
 
 
+def save_lora_npz(adapters, path) -> None:
+    """Write an extracted adapter tree as a single .npz (keys are
+    '/'-joined tree paths) — the few-MB shippable artifact."""
+    import numpy as np
+
+    from jax.tree_util import tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(adapters)
+
+    def name(p):
+        out = []
+        for k in p:
+            out.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        return "/".join(out)
+
+    np.savez(path, **{name(p): np.asarray(v) for p, v in leaves})
+
+
+def load_lora_npz(path):
+    """Rebuild the adapter tree from `save_lora_npz` output (integer path
+    components become list indices)."""
+    import numpy as np
+
+    flat = np.load(path)
+    root: dict = {}
+    for key in flat.files:
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                # sparse indices happen (adapter-free list slots flatten
+                # away): fill the gaps with empty overlays
+                n = max(int(k) for k in node) + 1
+                return [listify(node.get(str(i), {})) for i in range(n)]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
+
+
 def apply_lora(params, adapters):
     """Overlay an extracted adapter tree onto a (base) param tree."""
 

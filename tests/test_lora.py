@@ -102,3 +102,27 @@ def test_merge_extract_apply_roundtrip(setup):
     assert n_leaves > 0
     reapplied = apply_lora(unet_params, adapters)
     np.testing.assert_array_equal(_apply(reapplied, io), _apply(trained, io))
+
+
+def test_npz_roundtrip_and_context_lora(tmp_path, setup):
+    """save_lora_npz/load_lora_npz roundtrip + Context(lora=...) serving:
+    zero-init adapters must reproduce the base images exactly."""
+    import sdtpu
+    from sdtpu.train.lora import load_lora_npz, save_lora_npz
+
+    unet_params, _, _, io = setup
+    lp = inject_lora(unet_params, rank=4, key=jax.random.PRNGKey(1))
+    adapters = extract_lora(lp)
+    path = tmp_path / "adapters.npz"
+    save_lora_npz(adapters, path)
+    loaded = load_lora_npz(path)
+    reapplied = apply_lora(unet_params, loaded)
+    np.testing.assert_array_equal(_apply(reapplied, io), _apply(lp, io))
+
+    base = sdtpu.Context(config="tiny", steps=2)
+    with_lora = sdtpu.Context(config="tiny", steps=2, lora=str(path))
+    # TINY and the test fixture share shapes only by coincidence of config;
+    # the context re-inits its own params, so compare its own two variants
+    a = base.generate("adapter probe", seed=11)
+    b = with_lora.generate("adapter probe", seed=11)
+    np.testing.assert_array_equal(a, b)
