@@ -57,6 +57,19 @@ from jax.experimental.pallas import tpu as pltpu
 # set True (tests) to run kernels in the Pallas interpreter on CPU
 INTERPRET = False
 
+# kernel v2 levers (VERDICT r2 task 1 — the two residual-gap hypotheses
+# from round 2's loss analysis, PERF_NOTES:139-143). Both default ON; the
+# flags exist so on-chip A/B runs can attribute the delta:
+#  * STAGE_OVERLAP: double-buffer the variant-B stage DMA — chunk (s+1)'s
+#    HBM->VMEM copy is started BEFORE chunk s's normalize + tap dots, so
+#    the copy engine runs under the VPU/MXU instead of serializing with it.
+#  * MERGE_TAPS: at the latency-bound deep levels (M = H*W <= 256), build
+#    the im2col block in VMEM and issue ONE wide contraction (or 3 per-row
+#    ones when the 2^20 LHS cap binds) instead of 9 skinny dots whose MXU
+#    pipelines never fill.
+STAGE_OVERLAP = True
+MERGE_TAPS = True
+
 # VMEM budget for the planner's buffer model (bytes). The hard scoped-vmem
 # limit is 16 MiB/core on v5e; the model counts the explicit buffers only
 # (scratches, double-buffered windows), so leave ~2 MiB slack for the 8-row
@@ -181,7 +194,11 @@ def eligible(x, w, stride: int, padding: int) -> bool:
     if h % 8 or ww % 8:
         # Mosaic on this toolchain requires tile-aligned buffer dims
         return False
-    return _plan(h, ww, c_in, c_out, kh, 2, n) is not None
+    # plan with the ACTUAL activation itemsize — an f32 compute override
+    # doubles every VMEM buffer and must re-run the budget/dot-cap checks
+    # (a stale itemsize=2 plan admitted shapes whose f32 buffers overflow
+    # scoped VMEM at runtime)
+    return _plan(h, ww, c_in, c_out, kh, x.dtype.itemsize, n) is not None
 
 
 def _normalize_staged(xn_ref, idx, a_ref, d_ref, *, prologue, H, W, HP, WP,
@@ -283,7 +300,8 @@ def _conv_kernel(
 
 def _conv_kernel_b(
     x_hbm, w_ref, b_ref, *rest,
-    H, W, HP, WP, KH, TCI, N_CI, prologue, quantized, x_dtype,
+    H, W, HP, WP, KH, TCI, N_CI, N, prologue, quantized, x_dtype, merge,
+    overlap,
 ):
     """Weights-stationary variant: grid (j, k, n) — a weight block stays
     resident while every batch element is swept, so each weight byte is
@@ -293,6 +311,12 @@ def _conv_kernel_b(
     sweeps; the output is staged in VMEM and manually DMA'd to an HBM
     buffer laid out [N, n_co, H, W, TCo] (re-tiled to NHWC by XLA outside —
     automatic output windows would flush garbage on the k<last visits).
+
+    v2 levers (flags shown in the module header): with ``overlap`` the
+    stage sweep (j == 0, linear step s = k*N + n) double-buffers on a
+    2-element DMA semaphore — chunk s+1's copy runs under chunk s's
+    normalize and dots; with ``merge`` > 1 the KH*KH tap dots collapse to
+    KH*KH/merge wide contractions over an in-VMEM im2col block.
 
     rest = [a_ref, d_ref]? [s_ref]? o_hbm, xn_ref, acc_ref, outv_ref,
            sem_in, sem_out.
@@ -316,9 +340,33 @@ def _conv_kernel_b(
     # stage + normalize chunk (n, k) once, during the first weight sweep
     @pl.when(j == 0)
     def _stage():
-        cp = pltpu.make_async_copy(x_hbm.at[n, k], xn_ref.at[n, k], sem_in)
-        cp.start()
-        cp.wait()
+        if overlap:
+            # double-buffered staging: chunk s's copy was started at step
+            # s-1 (or right here for s == 0); start s+1's copy BEFORE the
+            # normalize/dots so it lands while the VPU/MXU work
+            s = k * N + n
+
+            @pl.when(s == 0)
+            def _first():
+                pltpu.make_async_copy(
+                    x_hbm.at[0, 0], xn_ref.at[0, 0], sem_in.at[0]).start()
+
+            @pl.when(s + 1 < N_CI * N)
+            def _next():
+                s1 = s + 1
+                k1 = s1 // N
+                n1 = s1 % N
+                pltpu.make_async_copy(
+                    x_hbm.at[n1, k1], xn_ref.at[n1, k1],
+                    sem_in.at[s1 % 2]).start()
+
+            pltpu.make_async_copy(
+                x_hbm.at[n, k], xn_ref.at[n, k], sem_in.at[s % 2]).wait()
+        else:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[n, k], xn_ref.at[n, k], sem_in.at[0])
+            cp.start()
+            cp.wait()
         if prologue:
             _normalize_staged(xn_ref, (n, k), a_ref, d_ref,
                               prologue=prologue,
@@ -332,14 +380,38 @@ def _conv_kernel_b(
     if quantized:
         wv = wv.astype(x_dtype)
     acc = acc_ref[n]
-    for kh in range(KH):
-        for kw in range(KH):
-            xs = xn_ref[n, k, pl.ds(kh, H), kw:kw + W, :]
-            acc = acc + jax.lax.dot_general(
-                xs, wv[kh, kw],
-                (((2,), (0,)), ((), ())),
+    if merge == KH * KH and KH > 1:
+        # one wide contraction: im2col block [H*W, KH*KH*TCI] built in VMEM
+        xcat = jnp.concatenate(
+            [xn_ref[n, k, pl.ds(kh, H), kw:kw + W, :].reshape(H * W, TCI)
+             for kh in range(KH) for kw in range(KH)], axis=-1)
+        y = jax.lax.dot_general(
+            xcat, wv.reshape(KH * KH * TCI, wv.shape[-1]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + y.reshape(acc.shape)
+    elif merge == KH and KH > 1:
+        # one contraction per tap row: [H*W, KH*TCI] x [KH*TCI, TCO]
+        for kh in range(KH):
+            xcat = jnp.concatenate(
+                [xn_ref[n, k, pl.ds(kh, H), kw:kw + W, :].reshape(
+                    H * W, TCI) for kw in range(KH)], axis=-1)
+            y = jax.lax.dot_general(
+                xcat, wv[kh].reshape(KH * TCI, wv.shape[-1]),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            acc = acc + y.reshape(acc.shape)
+    else:
+        for kh in range(KH):
+            for kw in range(KH):
+                xs = xn_ref[n, k, pl.ds(kh, H), kw:kw + W, :]
+                acc = acc + jax.lax.dot_general(
+                    xs, wv[kh, kw],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     acc_ref[n] = acc
 
     @pl.when(k == N_CI - 1)
@@ -362,8 +434,34 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
     n, h, ww, c_in = x.shape
     kh, _, _, c_out = w.shape
     plan = _plan(h, ww, c_in, c_out, kh, x.dtype.itemsize, n)
-    c_in_p, tci, th, variant = plan if plan else (c_in, c_in, h, "B")
     quantized = w_scale is not None
+    if plan is None:
+        # No validated plan for this shape/dtype (e.g. f32 compute doubling
+        # the VMEM footprint, or a direct call on an ineligible shape):
+        # running the kernel with an unchecked full-width plan is a runtime
+        # Mosaic crash/OOM, so compute the numerically-identical answer in
+        # XLA instead (prologue + conv + epilogue; padding zeros are applied
+        # by the conv itself, after normalization — same as the kernel's
+        # border mask).
+        xn = x
+        if prologue is not None:
+            xn = x.astype(jnp.float32) * a[:, None, None, :] \
+                + d[:, None, None, :]
+            if prologue == "silu":
+                xn = xn * jax.nn.sigmoid(xn)
+            xn = xn.astype(x.dtype)
+        wv = w.astype(x.dtype) if quantized else w
+        y = jax.lax.conv_general_dilated(
+            xn, wv, window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)] if kh == 3 else [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if quantized:
+            y = y * w_scale[None, None, None, :]
+        y = y + b[:, None, None, :]
+        return y.astype(x.dtype)
+    c_in_p, tci, th, variant = plan
     # pad channel dims to lane multiples (zero rows/cols contribute zero):
     # non-128-multiple lane dims crash this Mosaic toolchain, and lane-exact
     # Cout tiles let the Cout grid tile without re-fetching weights per row
@@ -417,10 +515,21 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
             in_specs.append(
                 pl.BlockSpec((1, 1, tco), lambda j, k, n_: (j, 0, 0)))
             operands.append(s3)
+        # v2 tap merge: at the latency-bound deep levels (M = H*W <= 256)
+        # collapse the 9 skinny dots into 1 (or 3) wide contractions,
+        # respecting the bisected 2^20 dot-LHS element cap
+        merge = 1
+        m_rows = h * ww
+        if MERGE_TAPS and kh == 3 and m_rows <= 256:
+            if m_rows * 9 * tci < (1 << 20):
+                merge = 9
+            elif m_rows * 3 * tci < (1 << 20):
+                merge = 3
         kernel = functools.partial(
             _conv_kernel_b,
-            H=h, W=ww, HP=hp, WP=wp, KH=kh, TCI=tci, N_CI=n_ci,
+            H=h, W=ww, HP=hp, WP=wp, KH=kh, TCI=tci, N_CI=n_ci, N=n,
             prologue=prologue, quantized=quantized, x_dtype=x.dtype,
+            merge=merge, overlap=STAGE_OVERLAP,
         )
         out = pl.pallas_call(
             kernel,
@@ -432,7 +541,7 @@ def _fused_conv(x, w, b, a, d, w_scale, *, prologue, interpret):
                 pltpu.VMEM((n, n_ci, hp, wp, tci), x.dtype),
                 pltpu.VMEM((n, h, ww, tco), jnp.float32),
                 pltpu.VMEM((h, ww, tco), x.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,

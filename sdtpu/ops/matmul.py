@@ -53,7 +53,11 @@ def eligible(m: int, k: int, n: int) -> bool:
     if jax.default_backend() != "tpu" and not INTERPRET:
         return False
     tm, tk, tn = _tiles(m, k, n)
-    if m < 8 or (tm % 8 and tm != m):
+    # TM must be a sublane (8) multiple unconditionally: a full-M tile with
+    # m % 8 != 0 (e.g. the [B*77, ctx] cross-attention k/v flatten) is the
+    # same non-tile-aligned shape the conv module documents as a Mosaic
+    # compiler crash on this toolchain.
+    if m < 8 or tm % 8:
         return False
     if tn % 128 and tn != n:
         return False
@@ -125,6 +129,90 @@ def matmul_int8w(x, w8, scale, bias=None, interpret=None):
     y = _mm(
         x.reshape(-1, k), w8, scale.astype(jnp.float32),
         bias.astype(jnp.float32),
+        interpret=INTERPRET if interpret is None else interpret,
+    )
+    return y.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# W8A8: int8 x int8 -> int32 on the MXU's native int8 path (2x bf16 peak)
+# ---------------------------------------------------------------------------
+
+def _mm_w8a8_kernel(xs_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                    n_k: int):
+    """Quantize the activation tile IN VMEM with the static per-tensor scale
+    (one VPU pass over a tile that is already resident), then feed the MXU's
+    int8 path with an int32 accumulator. This removes both costs that made
+    XLA-level W8A8 a wash (PERF_NOTES "Dead ends"): the quantized activation
+    never round-trips through HBM, and there is no per-call dynamic
+    range-reduction — the scale is a calibration constant (one scalar for
+    the whole call, quant/ptq.calibrate), not a per-row reduction."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    inv = 1.0 / xs_ref[0]
+    xq = jnp.clip(
+        jnp.round(x_ref[...].astype(jnp.float32) * inv),
+        -127, 127).astype(jnp.int8)
+    acc_ref[...] += jax.lax.dot(
+        xq, w_ref[...], preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        y = acc_ref[...].astype(jnp.float32)
+        y = y * (xs_ref[0] * s_ref[0, 0].astype(jnp.float32))
+        y = y + b_ref[0, 0].astype(jnp.float32)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _mm_w8a8(x, w8, w_scale, bias, x_scale, *, out_dtype, interpret):
+    m, k = x.shape
+    n = w8.shape[1]
+    tm, tk, tn = _tiles(m, k, n)
+    n_k = k // tk
+    return pl.pallas_call(
+        functools.partial(_mm_w8a8_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=(m // tm, n // tn, n_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # x_scale [1]
+            pl.BlockSpec((tm, tk), lambda i, j, k_: (i, k_)),
+            pl.BlockSpec((tk, tn), lambda i, j, k_: (k_, j)),
+            pl.BlockSpec((1, 1, tn), lambda i, j, k_: (j, 0, 0)),
+            pl.BlockSpec((1, 1, tn), lambda i, j, k_: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k_: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(x_scale.reshape(1).astype(jnp.float32), x, w8,
+      w_scale.reshape(n // tn, 1, tn), bias.reshape(n // tn, 1, tn))
+
+
+def matmul_w8a8(x, w8, w_scale, x_scale, bias=None, interpret=None):
+    """Static-scale W8A8 GEMM: ``y = (q(x) @ w8) * x_scale * w_scale + b``.
+
+    x: [..., K] activations; w8: int8 [K, N] (per-output-channel
+    ``w_scale`` f32 [N]); ``x_scale``: per-tensor activation scale (f32
+    scalar from quant/ptq.calibrate); bias: f32 [N] or None. Output in
+    x.dtype. The quantized activations exist only in VMEM; the MXU runs
+    int8 x int8 -> int32 (2x bf16 peak on v5e)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w8.shape[1]
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    y = _mm_w8a8(
+        x.reshape(-1, k), w8, w_scale.astype(jnp.float32),
+        bias.astype(jnp.float32), jnp.asarray(x_scale, jnp.float32),
+        out_dtype=x.dtype,
         interpret=INTERPRET if interpret is None else interpret,
     )
     return y.reshape(*lead, n)

@@ -39,18 +39,19 @@ def _walk(node, fn, path=()):
     return fn(path, node)
 
 
-def _site_dicts(node, path=()):
-    """Yield (path, site_dict) for every dense site dict with a 2D kernel."""
+def _site_dicts(node, path=(), targets=LORA_TARGETS):
+    """Yield (path, site_dict) for every dense site dict with a 2D kernel
+    whose name is in ``targets``."""
     if isinstance(node, dict):
         w = node.get("w")
         if w is not None and getattr(w, "ndim", 0) == 2 \
-                and path and path[-1] in LORA_TARGETS:
+                and path and path[-1] in targets:
             yield path, node
         for k, v in node.items():
-            yield from _site_dicts(v, path + (k,))
+            yield from _site_dicts(v, path + (k,), targets)
     elif isinstance(node, list):
         for i, v in enumerate(node):
-            yield from _site_dicts(v, path + (i,))
+            yield from _site_dicts(v, path + (i,), targets)
 
 
 def inject_lora(params, rank: int, key, alpha: float | None = None,
@@ -60,8 +61,9 @@ def inject_lora(params, rank: int, key, alpha: float | None = None,
     ``A`` is Kaiming-init, ``B`` zero-init, so the injected model is
     numerically IDENTICAL to the base until training moves ``B``."""
     alpha = float(rank) if alpha is None else float(alpha)
-    sites = list(_site_dicts(params)) if targets is LORA_TARGETS else [
-        (p, n) for p, n in _site_dicts(params) if p[-1] in targets]
+    # the caller's target set drives discovery directly, so custom targets
+    # outside LORA_TARGETS (e.g. time-embedding denses) do get adapters
+    sites = list(_site_dicts(params, targets=frozenset(targets)))
     keys = jax.random.split(key, max(len(sites), 1))
     lora_at = {}
     for (path, node), k in zip(sites, keys):

@@ -76,18 +76,41 @@ def init_train_state(unet_params, optimizer,
 
 def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
              kernels: str = "xla", remat: bool = False):
-    """batch: ``latents`` [B,h,w,4] clean UNSCALED VAE latents (the posterior
-    sample; scale-factor applied here) + ``tokens`` [B,T] int32."""
+    """batch: ``tokens`` [B,T] int32 plus either ``latents`` [B,h,w,4]
+    clean UNSCALED VAE latents (the posterior sample; scale-factor applied
+    here) or ``images`` [B,H,W,3] float in [-1,1] — the images path runs
+    the frozen VAE encoder ON DEVICE inside this (jitted) loss and samples
+    its posterior, so `sdtpu train --data <image folder>` needs no
+    preprocessing pass (requires ``vae_enc`` in `frozen`).
+
+    ``unet_params`` should be float32 MASTER weights: the forward/backward
+    runs in ``cfg.compute_dtype`` via the cast below (standard mixed
+    precision — grads flow back through the cast as float32), while the
+    optimizer update and EMA stay in float32. Training bf16 params directly
+    silently loses lr-scale updates (below the bf16 ulp of typical weights)
+    and freezes the EMA (0.9999 rounds to 1.0 in bf16)."""
+    from sdtpu.io.params import cast_params
     sched = NoiseSchedule.sd_v1()
     abar = jnp.asarray(sched.alphas_cumprod, jnp.float32)
     n_train = sched.num_train_steps
 
-    b = batch["latents"].shape[0]
-    kt, ke = jax.random.split(key)
-    t_idx = jax.random.randint(kt, (b,), 0, n_train)
-    eps = jax.random.normal(ke, batch["latents"].shape, jnp.float32)
+    b = batch["tokens"].shape[0]
+    kt, ke, kp = jax.random.split(key, 3)
+    if "latents" in batch:
+        latents = batch["latents"].astype(jnp.float32)
+    else:
+        from sdtpu.models import vae as vae_mod
 
-    x0 = batch["latents"].astype(jnp.float32) * cfg.vae.scale_factor
+        mean, logvar = vae_mod.apply_encoder(
+            frozen["vae_enc"], batch["images"].astype(cfg.compute_dtype),
+            cfg.vae, kernels)
+        latents = (mean.astype(jnp.float32)
+                   + jnp.exp(0.5 * logvar.astype(jnp.float32))
+                   * jax.random.normal(kp, mean.shape, jnp.float32))
+    t_idx = jax.random.randint(kt, (b,), 0, n_train)
+    eps = jax.random.normal(ke, latents.shape, jnp.float32)
+
+    x0 = latents * cfg.vae.scale_factor
     a = jnp.sqrt(abar[t_idx])[:, None, None, None]
     s = jnp.sqrt(1.0 - abar[t_idx])[:, None, None, None]
     x_t = a * x0 + s * eps
@@ -102,7 +125,8 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
         # trade FLOPs for memory on long batches: recompute UNet
         # activations in the backward pass
         apply = jax.checkpoint(unet.apply, static_argnums=(4, 5))
-    pred = apply(unet_params, x_t.astype(cfg.compute_dtype), te, ctx,
+    compute_params = cast_params(unet_params, cfg.compute_dtype)
+    pred = apply(compute_params, x_t.astype(cfg.compute_dtype), te, ctx,
                  cfg.unet, kernels)
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - eps))
 

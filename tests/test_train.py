@@ -187,3 +187,51 @@ def test_conv_custom_vjp_matches_autodiff_f32(setup):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_f32_masters_survive_small_lr_and_ema_in_bf16_compute(setup):
+    """ADVICE r2 #1 regression: with bf16 COMPUTE the trainable params must
+    stay float32 masters — training bf16 params directly loses lr-scale
+    updates (below the bf16 ulp of typical weights) and freezes the EMA
+    (0.9999 rounds to 1.0 in bf16). ldm_loss casts masters to the compute
+    dtype internally, so f32 state + bf16 forward is the supported mode."""
+    import dataclasses
+
+    from sdtpu.train import train_step
+
+    unet_params, frozen, batch = setup
+    cfg = dataclasses.replace(TINY, dtype="bfloat16")
+    bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+    frozen_bf16 = bf16(frozen)
+
+    opt = make_optimizer(lr=1e-5)
+    state = init_train_state(unet_params, opt, ema=True)
+    key = jax.random.PRNGKey(11)
+    s1, m1 = train_step(state, frozen_bf16, batch, key, cfg, opt)
+    assert np.isfinite(float(m1["loss"]))
+
+    # every updated param/EMA leaf is still float32
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(s1.params))
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(s1.ema))
+
+    # lr=1e-5 updates survive (bf16 params would round most to zero)
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))),
+        s1.params, state.params)
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+    # EMA accumulates at decay 0.9999 over a few larger steps (in bf16 the
+    # update e*0.9999 + p*1e-4 is exactly a no-op)
+    opt2 = make_optimizer(lr=1e-2)
+    st = init_train_state(unet_params, opt2, ema=True)
+    for i in range(3):
+        st, _ = train_step(st, frozen_bf16, batch,
+                           jax.random.PRNGKey(20 + i), cfg, opt2,
+                           ema_decay=0.9999)
+    ema_delta = jax.tree.map(
+        lambda e, p0: float(jnp.max(jnp.abs(e - p0))),
+        st.ema, unet_params)
+    assert max(jax.tree.leaves(ema_delta)) > 0.0
