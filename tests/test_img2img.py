@@ -168,3 +168,45 @@ def test_img2img_first_warm_step_is_first_order(ctx, init_image, monkeypatch):
     i2r = np.asarray(dpm_mod.plan(NoiseSchedule.sd_v1(), ctx.steps,
                                   start_step=ss).i2r)
     assert i2r[ss] == 0.0 and (ss + 1 >= ctx.steps or i2r[ss + 1] > 0.0)
+
+
+def test_img2img_batch_of_1_bit_identical_to_single(ctx, init_image):
+    """Cross-path determinism pin (VERDICT r2 weak #6): a request moved
+    between Context.img2img and Context.img2img_batch must keep its exact
+    latent stream — the per-sample fold_in streams (VAE posterior draw,
+    pipeline._POSTERIOR_FOLD) may only depend on the request key, never on
+    the batching path."""
+    single = ctx.img2img("the horse", init_image, strength=0.5, seed=7,
+                         guidance=7.5)
+    batched = ctx.img2img_batch(
+        [{"prompt": "the horse", "seed": 7, "guidance": 7.5,
+          "image": init_image}], strength=0.5)[0]
+    assert np.array_equal(single, batched)
+
+
+def test_inpaint_batched_key_stream_matches_single(ctx, init_image):
+    """Same pin for the inpaint pin-noise stream (pipeline.py denoise body
+    fold_in(key, i+1)): the batched per-sample-keys path (keys [B, 2]) at
+    B=1 must be bit-identical to the single-key path."""
+    from sdtpu.engine import pipeline as pl
+
+    cfg = ctx.cfg
+    size = cfg.image_size
+    tokens = jnp.asarray(
+        [ctx.tokenizer.tokenize("the horse", cfg.clip.context_len)],
+        jnp.int32)
+    uncond = ctx._uncond
+    key = jax.random.PRNGKey(11)
+    image = jnp.asarray(init_image[None], jnp.float32) / 127.5 - 1.0
+    mask = np.zeros((1, size, size, 1), np.float32)
+    mask[:, : size // 2] = 1.0
+    mask = jnp.asarray(mask)
+
+    kw = dict(cfg=cfg, sampler="dpm", steps=6, start_step=0, use_cfg=True,
+              kernels="xla")
+    single = np.asarray(pl.inpaint(
+        ctx.params, tokens, uncond, key, jnp.float32(7.5), image, mask, **kw))
+    batched = np.asarray(pl.inpaint(
+        ctx.params, tokens, uncond, key[None], jnp.asarray([7.5], jnp.float32),
+        image, mask, **kw))
+    assert np.array_equal(single, batched)

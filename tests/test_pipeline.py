@@ -55,7 +55,8 @@ def test_no_cfg_path(ctx):
     UNet launch, context.cpp:356-375)."""
     img = ctx.generate(PROMPT, guidance=1.0, seed=5)
     assert img.shape == (ctx.cfg.image_size, ctx.cfg.image_size, 3)
-    assert (1, ctx.steps, ctx.sampler, False) in ctx._gen_cache
+    assert any(k[:4] == (1, ctx.steps, ctx.sampler, False)
+               for k in ctx._gen_cache)
 
 
 def test_batched_prompts(ctx):
