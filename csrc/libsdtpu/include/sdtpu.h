@@ -90,6 +90,18 @@ SDTPU_API int sdtpu_release(void* context);
 SDTPU_API int sdtpu_generate_image(void* context, const char* prompt,
                                    float guidance, void** image_buffer,
                                    size_t* buffer_size);
+/* Register a LoRA adapter artifact (sdtpu.train.lora .npz) under `name`
+ * for per-request selection. Adapters share the base weights; loading N
+ * adapters costs N adapter trees, not N models. */
+SDTPU_API int sdtpu_load_lora(void* context, const char* name,
+                              const char* npz_path);
+/* Generate with a named adapter: `lora` = registered name, "" forces the
+ * base model, NULL uses the context default. Output protocol as
+ * sdtpu_generate_image. */
+SDTPU_API int sdtpu_generate_image_lora(void* context, const char* prompt,
+                                        float guidance, const char* lora,
+                                        void** image_buffer,
+                                        size_t* buffer_size);
 /* img2img / inpainting. `image`: uint8 RGB HWC at the context resolution
  * (image_size bytes = H*W*3). `mask`: optional uint8 grayscale [H, W]
  * (mask_size = H*W; nonzero = repaint) — NULL selects plain img2img.

@@ -338,6 +338,50 @@ int sdtpu_generate_image(void* context, const char* prompt, float guidance,
   });
 }
 
+int sdtpu_load_lora(void* context, const char* name, const char* npz_path) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!name || !npz_path)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null name/path");
+    Gil gil;
+    PyObject* r = PyObject_CallMethod(static_cast<PyObject*>(h->py_ctx),
+                                      "load_lora", "(ss)", name, npz_path);
+    if (!r) raise_py(h, "load_lora");
+    Py_DECREF(r);
+  });
+}
+
+int sdtpu_generate_image_lora(void* context, const char* prompt,
+                              float guidance, const char* lora,
+                              void** image_buffer, size_t* buffer_size) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!prompt || !image_buffer || !buffer_size)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null args");
+    Gil gil;
+    // keyword call: generate(prompt, guidance=..., lora=...) — lora NULL
+    // maps to Python None (context default), "" to the base model
+    PyObject* meth =
+        PyObject_GetAttrString(static_cast<PyObject*>(h->py_ctx), "generate");
+    if (!meth) raise_py(h, "generate");
+    PyObject* args = Py_BuildValue("(s)", prompt);
+    PyObject* kwargs = Py_BuildValue("{s:d}", "guidance", (double)guidance);
+    if (lora) {
+      PyObject* l = PyUnicode_FromString(lora);
+      PyDict_SetItemString(kwargs, "lora", l);
+      Py_DECREF(l);
+    }
+    PyObject* img = PyObject_Call(meth, args, kwargs);
+    Py_DECREF(meth);
+    Py_DECREF(args);
+    Py_DECREF(kwargs);
+    if (!img) raise_py(h, "generate(lora)");
+    deliver_image(h, img, image_buffer, buffer_size);
+  });
+}
+
 int sdtpu_img2img_image(void* context, const char* prompt, float guidance,
                         float strength, const uint8_t* image,
                         size_t image_size, const uint8_t* mask,
@@ -405,6 +449,13 @@ int sdtpu_setup(void** context, const char*, const char*, int32_t, int32_t,
 int sdtpu_set_steps(void*, int32_t) { return SDTPU_UNSUPPORTED; }
 int sdtpu_set_seed(void*, int64_t) { return SDTPU_UNSUPPORTED; }
 int sdtpu_generate_image(void*, const char*, float, void**, size_t*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_load_lora(void*, const char*, const char*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_generate_image_lora(void*, const char*, float, const char*, void**,
+                              size_t*) {
   return SDTPU_UNSUPPORTED;
 }
 int sdtpu_img2img_image(void*, const char*, float, float, const uint8_t*,

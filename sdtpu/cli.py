@@ -167,10 +167,20 @@ def _cmd_serve(args) -> int:
     from sdtpu.engine.server import serve
 
     mesh = tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
+    lora = None
+    if args.lora:
+        lora = {}
+        for spec in args.lora:
+            if "=" not in spec:
+                print(f"error: --lora expects name=path, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            name, path = spec.split("=", 1)
+            lora[name] = path
     ctx = sdtpu.Context(
         model_dir=args.model_dir, steps=args.steps, sampler=args.sampler,
         config=args.config, log_level=LogLevel(args.log_level),
-        kernels=args.kernels, mesh=mesh,
+        kernels=args.kernels, mesh=mesh, lora=lora,
     )
     serve(ctx, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
@@ -202,6 +212,8 @@ def _cmd_train(args) -> int:
     the CLI surface: data in, checkpoints (params + AdamW moments + EMA)
     out, resumable bit-identically."""
     _select_platform(args.platform)
+    from pathlib import Path
+
     import jax
     import jax.numpy as jnp
 
@@ -230,15 +242,54 @@ def _cmd_train(args) -> int:
         pipeline = (load_checkpoint(args.model_dir, cfg)
                     if is_orbax_checkpoint(args.model_dir)
                     else load_pipeline_params(args.model_dir, cfg))
-    pipeline = cast_params(pipeline, cfg.compute_dtype)
-    frozen = {"clip": pipeline["clip"], "temb": pipeline["temb"]}
-    unet_params = pipeline["unet"]
+    # frozen models run in the compute dtype; the trainable UNet keeps
+    # float32 MASTER params (ldm_loss casts to compute_dtype for the
+    # forward/backward) so lr-scale updates and the EMA don't round away
+    # in bf16
+    frozen = cast_params(
+        {"clip": pipeline["clip"], "temb": pipeline["temb"]},
+        cfg.compute_dtype)
+    unet_params = cast_params(pipeline["unet"], jnp.float32)
     print(f"params ready in {time.time() - t0:.1f}s")
 
+    opt = make_optimizer(lr=args.lr)
+    state = init_train_state(unet_params, opt, ema=args.ema)
+    if args.resume:
+        state = load_train_state(args.resume, state)
+        print(f"resumed at step {int(state.step)} from {args.resume}")
+
     if args.data:
-        d = np.load(args.data)
-        latents = jnp.asarray(d["latents"], jnp.float32)
-        tokens = jnp.asarray(d["tokens"], jnp.int32)
+        # streaming input pipeline: sharded .npz / image-folder source,
+        # epoch shuffle, background device prefetch (sdtpu.train.data) —
+        # datasets larger than host memory stream shard by shard
+        from sdtpu.tokenizer import Tokenizer
+        from sdtpu.train.data import make_dataset, stream
+
+        flat = (Path(args.model_dir) / "ctokenizer.txt"
+                if args.model_dir else None)
+        if flat is not None and flat.exists():
+            tok = Tokenizer.from_flat_file(flat)
+        else:
+            from sdtpu.engine.context import DEMO_MERGES
+
+            tok = Tokenizer.from_merges(DEMO_MERGES)
+        ds = make_dataset(args.data, tokenizer=tok,
+                          context_len=cfg.clip.context_len,
+                          image_size=cfg.image_size)
+        if len(ds) < args.batch:
+            print(f"error: {len(ds)} examples < batch {args.batch}",
+                  file=sys.stderr)
+            return 2
+        steps_per_epoch = len(ds) // args.batch
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        print(f"dataset: {len(ds)} examples ({ds.kind}), "
+              f"{steps_per_epoch} steps/epoch, resuming epoch {start_epoch}")
+        if ds.kind == "images":
+            frozen = dict(frozen)
+            frozen["vae_enc"] = cast_params(pipeline["vae_enc"],
+                                            cfg.compute_dtype)
+        batches = stream(ds, args.batch, seed=args.seed,
+                         prefetch=args.prefetch, start_epoch=start_epoch)
     else:
         n = max(args.batch * 4, 8)
         s = cfg.latent_size
@@ -247,16 +298,16 @@ def _cmd_train(args) -> int:
         tokens = jnp.tile(
             jnp.arange(cfg.clip.context_len, dtype=jnp.int32)[None], (n, 1))
         print(f"no --data: {n} synthetic demo examples")
-    n = latents.shape[0]
-    if n < args.batch:
-        print(f"error: {n} examples < batch {args.batch}", file=sys.stderr)
-        return 2
 
-    opt = make_optimizer(lr=args.lr)
-    state = init_train_state(unet_params, opt, ema=args.ema)
-    if args.resume:
-        state = load_train_state(args.resume, state)
-        print(f"resumed at step {int(state.step)} from {args.resume}")
+        def _demo_batches():
+            key = jax.random.PRNGKey(args.seed + 23)
+            while True:
+                key, kb = jax.random.split(key)
+                idx = jax.random.choice(kb, n, (args.batch,), replace=False)
+                yield {"latents": latents[idx], "tokens": tokens[idx]}
+
+        batches = _demo_batches()
+
     kernels = args.kernels
     if kernels == "auto":
         kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -265,9 +316,8 @@ def _cmd_train(args) -> int:
     key = jax.random.PRNGKey(args.seed + 17)
     t0 = time.time()
     for i in range(args.steps):
-        key, kb, ks = jax.random.split(key, 3)
-        idx = jax.random.choice(kb, n, (args.batch,), replace=False)
-        batch = {"latents": latents[idx], "tokens": tokens[idx]}
+        batch = next(batches)
+        key, ks = jax.random.split(key)
         state, metrics = step(state, frozen, batch, ks)
         if i % args.log_every == 0 or i == args.steps - 1:
             print(f"step {int(state.step):6d}  "
@@ -380,6 +430,11 @@ def main(argv=None) -> int:
     sv.add_argument("--model-dir", default=None)
     sv.add_argument("--mesh", default=None,
                     help="multi-chip serving mesh as 'data,model' (e.g. 2,4)")
+    sv.add_argument("--lora", action="append", default=None,
+                    metavar="NAME=PATH",
+                    help="register a LoRA adapter for per-request selection "
+                         "(repeatable; requests pick one via the 'lora' "
+                         "field)")
     sv.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     sv.add_argument("--log-level", type=int, default=2)
@@ -395,8 +450,15 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("train", help="LDM fine-tune the UNet (sdtpu.train)")
     t.add_argument("--data", default=None,
-                   help=".npz with 'latents' [N,h,w,4] float and 'tokens' "
-                        "[N,77] int32 (omit for a synthetic demo batch)")
+                   help="training data: a .npz (latents [N,h,w,4] + tokens "
+                        "[N,T]), a directory of such .npz shards, or an "
+                        "image folder with captions.txt — shards stream "
+                        "with epoch shuffle + device prefetch; image "
+                        "folders VAE-encode on device inside the step "
+                        "(omit for a synthetic demo batch)")
+    t.add_argument("--prefetch", type=int, default=2,
+                   help="device-staging prefetch depth (0 disables the "
+                        "background loader)")
     t.add_argument("--config", default="sd15",
                    choices=["sd15", "sd21", "sd21base", "tiny"])
     t.add_argument("--model-dir", default=None,

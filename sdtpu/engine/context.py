@@ -75,11 +75,18 @@ class Context:
         lora: Optional[str] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
-        # LoRA adapter artifact (sdtpu.train.lora.save_lora_npz) applied to
-        # the UNet after load — serve a fine-tune without touching the base
-        # checkpoint. Adapter matmuls run unmerged (layers.dense); pass the
-        # merged tree through model_dir instead for zero-overhead serving.
+        # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
+        # on the UNet — serve fine-tunes without touching the base
+        # checkpoint. Accepts one path (back-compat: becomes the "default"
+        # adapter, applied to every request) or a {name: path} registry for
+        # per-request selection (generate(..., lora=name) / the HTTP
+        # server's "lora" field). Adapter matmuls run unmerged
+        # (layers.dense); pass a merged tree through model_dir instead for
+        # zero-overhead single-adapter serving.
         self.lora = lora
+        self._adapters: dict[str, dict] = {}
+        self._lora_params: dict[str, dict] = {}   # adapter name -> overlay
+        self._lora_default: Optional[str] = None
         self.mesh = None
         if mesh is not None:
             # multi-chip serving: (data, model) mesh — DP over the prompt
@@ -231,20 +238,20 @@ class Context:
                 from sdtpu.io.params import fuse_attention_projections
 
                 params = fuse_attention_projections(params)
-            if self.lora is not None:
-                from sdtpu.train.lora import apply_lora, load_lora_npz
-
-                adapters = load_lora_npz(self.lora)
-                params = dict(params)
-                params["unet"] = apply_lora(params["unet"], adapters)
-                n = sum(1 for _ in jax.tree.leaves(adapters))
-                self.logger.info(f"LoRA adapters applied: {n} leaves "
-                                 f"from {self.lora}")
             if self.mesh is not None:
                 from sdtpu.parallel.sharding import shard_params
 
                 params = shard_params(params, self.mesh)
             self.params = params
+            if self.lora is not None:
+                spec = ({"default": self.lora} if isinstance(self.lora, str)
+                        else dict(self.lora))
+                if isinstance(self.lora, str):
+                    # single-path form: the adapter applies to EVERY request
+                    # unless a call selects another (or lora="") explicitly
+                    self._lora_default = "default"
+                for name, path in spec.items():
+                    self.load_lora(name, path)
         except SdtpuError:
             self._failed = True
             raise
@@ -302,11 +309,66 @@ class Context:
         self.seed = int(seed)
 
     # ------------------------------------------------------------------
+    # LoRA adapter registry (per-request style/subject serving)
+    # ------------------------------------------------------------------
+
+    def load_lora(self, name: str, path) -> None:
+        """Register (or replace) a LoRA adapter under `name`. The adapter
+        tree (a few MB) is loaded once; the param overlay is built lazily on
+        first use and SHARES every base weight array — N adapters cost N
+        adapter trees, not N models."""
+        from sdtpu.train.lora import load_lora_npz
+
+        self._adapters[name] = load_lora_npz(path)
+        self._lora_params.pop(name, None)
+        self.logger.info(f"LoRA adapter {name!r} loaded from {path}")
+
+    def lora_names(self) -> list[str]:
+        return sorted(self._adapters)
+
+    def _params_for(self, lora: Optional[str]):
+        """Resolve the param tree for a request's adapter selection.
+
+        ``None`` means the context default (the single-path ``lora=``
+        constructor form); ``""`` explicitly selects the base model."""
+        if lora is None:
+            lora = self._lora_default
+        if not lora:
+            return self.params
+        if lora not in self._adapters:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"unknown LoRA adapter {lora!r}; loaded: "
+                f"{sorted(self._adapters)}", self.errors,
+            )
+        p = self._lora_params.get(lora)
+        if p is None:
+            from sdtpu.train.lora import apply_lora
+
+            adapters = self._adapters[lora]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                adapters = jax.device_put(
+                    adapters, NamedSharding(self.mesh, P()))
+            p = dict(self.params)
+            p["unet"] = apply_lora(p["unet"], adapters)
+            self._lora_params[lora] = p
+        return p
+
+    # ------------------------------------------------------------------
     # generate
     # ------------------------------------------------------------------
 
-    def _compiled(self, batch: int, use_cfg: bool):
-        key = (batch, self.steps, self.sampler, use_cfg)
+    def _compiled(self, batch: int, use_cfg: bool, params=None):
+        """Compiled generate program for this batch/steps/sampler — and for
+        this param-tree STRUCTURE: a LoRA overlay adds adapter leaves, so the
+        cache keys on the pytree structure too (all adapters with the same
+        rank/targets share one compiled program; params are a traced
+        argument)."""
+        params = self.params if params is None else params
+        key = (batch, self.steps, self.sampler, use_cfg,
+               jax.tree_util.tree_structure(params))
         fn = self._gen_cache.get(key)
         if fn is None:
             if self.mesh is not None:
@@ -321,7 +383,7 @@ class Context:
                 fn = jit_generate_sharded(
                     self.cfg, self.mesh, self.sampler, self.steps, use_cfg,
                     self.kernels,
-                )(self.params)
+                )(params)
             else:
                 fn = jit_generate(
                     self.cfg, self.sampler, self.steps, use_cfg, self.kernels
@@ -336,6 +398,7 @@ class Context:
         seed: Optional[int] = None,
         negative_prompt: Optional[str] = None,
         out: Optional[np.ndarray] = None,
+        lora: Optional[str] = None,
     ) -> np.ndarray:
         """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
 
@@ -344,7 +407,9 @@ class Context:
         buffer to fill (the reference's caller-allocated output protocol,
         api/libsdod.h:91-114). `seed` overrides the context seed for this
         call; otherwise the context seed is used and incremented (fresh image
-        per call, reproducible stream).
+        per call, reproducible stream). `lora`: adapter name from the
+        registry (`load_lora`); "" forces the base model, None uses the
+        context default.
         """
         with slog.logger_scope(self.logger):
             if self._failed:
@@ -369,9 +434,10 @@ class Context:
             use_cfg = guidance != 1.0
             uncond = (self._embed_prompt(negative_prompt)
                       if negative_prompt else self._uncond)
-            fn = self._compiled(len(prompts), use_cfg)
+            params = self._params_for(lora)
+            fn = self._compiled(len(prompts), use_cfg, params)
             img = fn(
-                self.params, tokens, uncond,
+                params, tokens, uncond,
                 jax.random.PRNGKey(seed), jnp.float32(guidance),
             )
             img = np.asarray(img)
@@ -392,15 +458,27 @@ class Context:
                 return out
             return img
 
-    def generate_batch(self, requests: list[dict]) -> list[np.ndarray]:
-        """Serve one compiled call for several independent requests
-        (server-side micro-batching). Each request dict: ``prompt`` (str,
-        required) and optional ``guidance``/``seed``/``negative_prompt`` —
-        all PER-SAMPLE (vector guidance, one PRNG key per sample, stacked
-        negative embeddings). The batch is padded up to the next power of
-        two so only O(log max_batch) programs are ever compiled. A batch of
-        1 is bit-identical to `generate`; larger batches are numerically
-        equivalent but may differ by float-rounding of the batched tiling.
+    def generate_batch_async(self, requests: list[dict],
+                             lora: Optional[str] = None):
+        """Dispatch one compiled call for several independent requests
+        (server-side micro-batching) and return a ``finish()`` callable that
+        fetches the images — so a caller can DISPATCH batch k+1 before
+        fetching batch k, overlapping the host fetch + delivery of one batch
+        with the device compute of the next (JAX dispatch is async; the
+        device never idles while the host copies pixels out).
+
+        Each request dict: ``prompt`` (str, required) and optional
+        ``guidance``/``seed``/``negative_prompt`` — all PER-SAMPLE (vector
+        guidance, one PRNG key per sample, stacked negative embeddings). The
+        batch is padded up to the next power of two so only O(log max_batch)
+        programs are ever compiled. A batch of 1 is bit-identical to
+        `generate`; larger batches are numerically equivalent but may differ
+        by float-rounding of the batched tiling.
+
+        ``lora`` selects one adapter for the WHOLE batch (adapters change
+        the UNet weights, so the HTTP micro-batcher groups requests by
+        adapter, like img2img groups by strength); requests may carry a
+        uniform ``lora`` key instead.
         """
         import functools
 
@@ -421,6 +499,17 @@ class Context:
                         ErrorCode.INVALID_ARGUMENT,
                         "each request needs a string 'prompt'", self.errors,
                     )
+            req_loras = {r.get("lora") for r in requests if "lora" in r}
+            if len(req_loras) > 1 or (req_loras and lora is not None
+                                      and lora not in req_loras):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"mixed LoRA adapters in one batch: {sorted(map(str, req_loras))}"
+                    " — group requests by adapter", self.errors,
+                )
+            if lora is None and req_loras:
+                lora = next(iter(req_loras))
+            params = self._params_for(lora)
             n = len(requests)
             p = 1
             while p < n:
@@ -450,7 +539,8 @@ class Context:
                 if r.get("negative_prompt") else self._uncond
                 for r in pad
             ])
-            cache_key = ("batch", p, self.steps, self.sampler)
+            cache_key = ("batch", p, self.steps, self.sampler,
+                         jax.tree_util.tree_structure(params))
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 from sdtpu.engine.pipeline import generate as _generate
@@ -465,7 +555,7 @@ class Context:
                     from sdtpu.parallel.sharding import jit_pipeline_sharded
 
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, self.params,
+                        part, self.mesh, params,
                         arg_pspecs=(
                             P("data", None),        # tokens [B, T]
                             P("data", None, None),  # per-sample uncond [B,T,D]
@@ -483,22 +573,38 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            out = np.asarray(fn(self.params, tokens, uncond, keys, guidance))
-            self.logger.info(
-                f"batch of {n} (padded {p}) took "
-                f"{time.perf_counter() - t0:.3f}s"
-            )
-            return [out[i] for i in range(n)]
+            dev = fn(params, tokens, uncond, keys, guidance)
+            self.logger.debug(
+                f"batch of {n} (padded {p}) dispatched in "
+                f"{time.perf_counter() - t0:.3f}s")
 
-    def img2img_batch(self, requests: list[dict],
-                      strength: float = 0.6) -> list[np.ndarray]:
-        """Serve several independent img2img requests as ONE compiled call
-        (server-side micro-batching, like `generate_batch`). Each request
+            def finish():
+                out = np.asarray(dev)
+                self.logger.info(
+                    f"batch of {n} (padded {p}) took "
+                    f"{time.perf_counter() - t0:.3f}s"
+                )
+                return [out[i] for i in range(n)]
+
+            return finish
+
+    def generate_batch(self, requests: list[dict],
+                       lora: Optional[str] = None) -> list[np.ndarray]:
+        """Blocking `generate_batch_async` (one compiled call, fetched)."""
+        return self.generate_batch_async(requests, lora)()
+
+    def img2img_batch_async(self, requests: list[dict],
+                            strength: float = 0.6,
+                            lora: Optional[str] = None):
+        """Dispatch several independent img2img requests as ONE compiled
+        call and return a ``finish()`` fetch callable (see
+        `generate_batch_async` for the overlap rationale). Each request
         dict: ``prompt`` (str) and ``image`` (uint8 [H, W, 3]) required,
         optional per-sample ``guidance``/``seed``/``negative_prompt``.
         `strength` is shared across the batch — it selects the compiled
-        program's start step, so the HTTP batcher groups requests by it.
-        Padded to the next power of two (and to the mesh data axis)."""
+        program's start step, so the HTTP batcher groups requests by it
+        (and by LoRA adapter). Padded to the next power of two (and to the
+        mesh data axis)."""
         import functools
 
         from sdtpu.engine import pipeline as pl
@@ -533,6 +639,17 @@ class Context:
                         f"each request needs a uint8 [{size},{size},3] "
                         f"'image', got {im.shape}/{im.dtype}", self.errors,
                     )
+            req_loras = {r.get("lora") for r in requests if "lora" in r}
+            if len(req_loras) > 1 or (req_loras and lora is not None
+                                      and lora not in req_loras):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"mixed LoRA adapters in one batch: {sorted(map(str, req_loras))}"
+                    " — group requests by adapter", self.errors,
+                )
+            if lora is None and req_loras:
+                lora = next(iter(req_loras))
+            params = self._params_for(lora)
             n = len(requests)
             p = 1
             while p < n:
@@ -566,7 +683,8 @@ class Context:
             images = jnp.asarray(
                 np.stack([np.asarray(r["image"]) for r in pad]),
                 jnp.float32) / 127.5 - 1.0
-            cache_key = ("i2i_batch", p, self.steps, start_step, self.sampler)
+            cache_key = ("i2i_batch", p, self.steps, start_step, self.sampler,
+                         jax.tree_util.tree_structure(params))
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 part = functools.partial(
@@ -580,7 +698,7 @@ class Context:
                     from sdtpu.parallel.sharding import jit_pipeline_sharded
 
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, self.params,
+                        part, self.mesh, params,
                         arg_pspecs=(
                             P("data", None),              # tokens
                             P("data", None, None),        # per-sample uncond
@@ -597,13 +715,22 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            out = np.asarray(
-                fn(self.params, tokens, uncond, keys, guidance, images))
-            self.logger.info(
-                f"img2img batch of {n} (padded {p}) took "
-                f"{time.perf_counter() - t0:.3f}s"
-            )
-            return [out[i] for i in range(n)]
+            dev = fn(params, tokens, uncond, keys, guidance, images)
+
+            def finish():
+                out = np.asarray(dev)
+                self.logger.info(
+                    f"img2img batch of {n} (padded {p}) took "
+                    f"{time.perf_counter() - t0:.3f}s"
+                )
+                return [out[i] for i in range(n)]
+
+            return finish
+
+    def img2img_batch(self, requests: list[dict], strength: float = 0.6,
+                      lora: Optional[str] = None) -> list[np.ndarray]:
+        """Blocking `img2img_batch_async` (one compiled call, fetched)."""
+        return self.img2img_batch_async(requests, strength, lora)()
 
     def img2img(
         self,
@@ -613,6 +740,7 @@ class Context:
         guidance: float = 7.5,
         seed: Optional[int] = None,
         negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
     ) -> np.ndarray:
         """Image-to-image. `image`: uint8 [H, W, 3] (or [B, H, W, 3]) at the
         context's resolution. `strength` in (0, 1]: fraction of the denoise
@@ -620,7 +748,7 @@ class Context:
         close to it. Capability extension (the reference is txt2img-only)."""
         return self._image_conditioned(
             "img2img", prompt, image, None, strength, guidance, seed,
-            negative_prompt,
+            negative_prompt, lora,
         )
 
     def inpaint(
@@ -632,6 +760,7 @@ class Context:
         guidance: float = 7.5,
         seed: Optional[int] = None,
         negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
     ) -> np.ndarray:
         """Inpainting with the standard (non-inpaint) checkpoint. `image`:
         uint8 [H, W, 3] (or [B, H, W, 3]); `mask`: [H, W] (or [B, H, W])
@@ -640,12 +769,12 @@ class Context:
         soft blend). Capability extension (the reference is txt2img-only)."""
         return self._image_conditioned(
             "inpaint", prompt, image, mask, strength, guidance, seed,
-            negative_prompt,
+            negative_prompt, lora,
         )
 
     def _image_conditioned(
         self, mode, prompt, image, mask, strength, guidance, seed,
-        negative_prompt,
+        negative_prompt, lora=None,
     ) -> np.ndarray:
         """Shared img2img/inpaint path: validate, tokenize, build/reuse the
         compiled program, run."""
@@ -701,8 +830,10 @@ class Context:
             use_cfg = guidance != 1.0
             uncond = (self._embed_prompt(negative_prompt)
                       if negative_prompt else self._uncond)
+            params = self._params_for(lora)
             cache_key = (mode, len(prompts), self.steps, start_step,
-                         self.sampler, use_cfg)
+                         self.sampler, use_cfg,
+                         jax.tree_util.tree_structure(params))
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 part = functools.partial(
@@ -732,12 +863,12 @@ class Context:
                     if mode == "inpaint":
                         specs.append(P("data", None, None, None))  # mask
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, self.params, arg_pspecs=tuple(specs))
+                        part, self.mesh, params, arg_pspecs=tuple(specs))
                 else:
                     fn = jax.jit(part)
                 self._gen_cache[cache_key] = fn
             x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
-            args = (self.params, tokens, uncond, jax.random.PRNGKey(seed),
+            args = (params, tokens, uncond, jax.random.PRNGKey(seed),
                     jnp.float32(guidance), x)
             if mode == "inpaint":
                 args += (jnp.asarray(m),)
@@ -750,6 +881,7 @@ class Context:
         guidance: float = 7.5,
         seed: Optional[int] = None,
         negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
     ):
         """Dispatch generation without blocking; returns the device array
         (JAX dispatch is asynchronous — the analogue of the reference's
@@ -775,9 +907,10 @@ class Context:
             use_cfg = guidance != 1.0
             uncond = (self._embed_prompt(negative_prompt)
                       if negative_prompt else self._uncond)
-            fn = self._compiled(len(prompts), use_cfg)
+            params = self._params_for(lora)
+            fn = self._compiled(len(prompts), use_cfg, params)
             return fn(
-                self.params, tokens, uncond,
+                params, tokens, uncond,
                 jax.random.PRNGKey(seed), jnp.float32(guidance),
             )
 

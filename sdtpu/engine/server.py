@@ -5,19 +5,25 @@ The reference ships a C API intended for embedding in an app
 story is a service. This is a dependency-free (stdlib) HTTP front end:
 
     POST /generate  {"prompt": "...", "guidance": 7.5, "seed": 1,
-                     "negative_prompt": "...", "format": "png"|"raw"}
+                     "negative_prompt": "...", "lora": "<adapter name>",
+                     "format": "png"|"raw"}
       -> image/png bytes (or application/octet-stream raw uint8 HWC)
     POST /img2img   {..., "image_b64": <base64 png/jpg>, "strength": 0.6}
     POST /inpaint   {..., "image_b64": ..., "mask_b64": <base64 grayscale,
                      white = repaint>, "strength": 1.0}
-    GET /healthz    -> {"status": "ok", ...engine info}
+    GET /healthz    -> {"status": "ok", ...engine info, "lora_adapters": []}
+
+``lora`` selects a named adapter from the Context registry
+(Context.load_lora / Context(lora={name: path})) per request — style or
+subject fine-tunes hot-selected at serving time; "" forces the base model.
 
 Concurrent /generate AND /img2img requests are MICRO-BATCHED: a worker
 collects same-kind requests for up to ``max_wait_ms`` (or until
 ``max_batch``) and runs them as one compiled call with per-sample
 guidance/seed/negative-prompt (Context.generate_batch /
 Context.img2img_batch). img2img requests additionally group by strength,
-since strength selects the compiled program's start step. Batches are
+since strength selects the compiled program's start step; both kinds group
+by LoRA adapter, since the adapter changes the UNet weights. Batches are
 padded to power-of-two sizes so at most log2(max_batch)+1 programs are
 ever compiled per group — XLA needs static shapes, so unpadded dynamic
 batches would recompile per size. inpaint stays serialized through the
@@ -64,7 +70,7 @@ class MicroBatcher:
                                         name="sdtpu-batcher")
         self._worker.start()
 
-    def submit(self, req: dict, group=("gen",)) -> np.ndarray:
+    def submit(self, req: dict, group=("gen", None)) -> np.ndarray:
         item = {"req": req, "group": group, "done": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
@@ -75,13 +81,21 @@ class MicroBatcher:
             raise item["error"]
         return item["result"]
 
-    def _run(self):
-        while True:
-            with self._cv:
+    def _collect(self, wait: bool):
+        """Take the oldest group's items off the queue. With ``wait`` the
+        caller has nothing in flight: block for work, then linger up to
+        ``max_wait`` for batch-mates. Without it (a batch is already in
+        flight and must be fetched soon) take whatever is queued NOW —
+        the in-flight fetch, not a timer, is the batching window."""
+        with self._cv:
+            if wait:
                 while not self._queue:
                     self._cv.wait()
+            if not self._queue:
+                return []
+            group = self._queue[0]["group"]
+            if wait:
                 deadline = time.monotonic() + self.max_wait
-                group = self._queue[0]["group"]
 
                 def _ready():
                     return sum(
@@ -92,25 +106,54 @@ class MicroBatcher:
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
-                batch = [i for i in self._queue if i["group"] == group]
-                batch = batch[: self.max_batch]
-                for i in batch:
-                    self._queue.remove(i)
-            try:
-                reqs = [b["req"] for b in batch]
-                with self.device_lock:
-                    if group[0] == "gen":
-                        outs = self.ctx.generate_batch(reqs)
-                    else:  # ("i2i", strength)
-                        outs = self.ctx.img2img_batch(reqs,
-                                                      strength=group[1])
-                for b, o in zip(batch, outs):
-                    b["result"] = o
-            except Exception as e:  # noqa: BLE001 — delivered to the waiter
-                for b in batch:
-                    b["error"] = e
-            for b in batch:
-                b["done"].set()
+            batch = [i for i in self._queue if i["group"] == group]
+            batch = batch[: self.max_batch]
+            for i in batch:
+                self._queue.remove(i)
+            return batch
+
+    def _dispatch(self, batch):
+        """Launch one compiled call; returns a fetch callable (the device
+        runs on; the host copy happens at fetch time)."""
+        group = batch[0]["group"]
+        reqs = [b["req"] for b in batch]
+        with self.device_lock:
+            if group[0] == "gen":    # ("gen", lora)
+                return self.ctx.generate_batch_async(reqs, lora=group[1])
+            # ("i2i", strength, lora)
+            return self.ctx.img2img_batch_async(
+                reqs, strength=group[1], lora=group[2])
+
+    def _run(self):
+        """Double-buffered serve loop: DISPATCH batch k+1 before FETCHING
+        batch k, so the host-side fetch/PNG-encode/delivery of one batch
+        overlaps the device compute of the next — the device never idles
+        while pixels cross the host boundary (VERDICT r2 task 5)."""
+        pending = None  # (batch_items, fetch_callable) in flight
+        while True:
+            batch = self._collect(wait=pending is None)
+            if batch:
+                try:
+                    fetch = self._dispatch(batch)
+                except Exception as e:  # noqa: BLE001 — to the waiters
+                    for b in batch:
+                        b["error"] = e
+                        b["done"].set()
+                    batch = None
+            if pending is not None:
+                pbatch, pfetch = pending
+                try:
+                    outs = pfetch()
+                    for b, o in zip(pbatch, outs):
+                        b["result"] = o
+                except Exception as e:  # noqa: BLE001
+                    for b in pbatch:
+                        b["error"] = e
+                for b in pbatch:
+                    b["done"].set()
+                pending = None
+            if batch:
+                pending = (batch, fetch)
 
 
 def _decode_image(b64: str) -> np.ndarray:
@@ -165,6 +208,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 "steps": ctx.steps,
                 "sampler": ctx.sampler,
                 "max_batch": batcher.max_batch,
+                "lora_adapters": ctx.lora_names(),
             })
 
         def do_POST(self):
@@ -187,25 +231,31 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 seed = req.get("seed")
                 seed = int(seed) if seed is not None else None
                 neg = req.get("negative_prompt")
+                lora = req.get("lora")
+                if lora is not None and not isinstance(lora, str):
+                    return self._json(400, {"error": "'lora' must be a "
+                                                     "string adapter name"})
                 if self.path == "/generate":
+                    # grouped by adapter: same-adapter requests share one
+                    # compiled call (the adapter changes the UNet weights)
                     img = batcher.submit({
                         "prompt": prompt, "guidance": guidance,
                         "seed": seed, "negative_prompt": neg,
-                    })
+                    }, group=("gen", lora))
                     return self._image(img, fmt)
                 if "image_b64" not in req:
                     return self._json(400, {"error": "missing 'image_b64'"})
                 init = _decode_image(req["image_b64"])
                 if self.path == "/img2img":
-                    # micro-batched: same-strength requests share one
-                    # compiled call (strength selects the start step, so it
-                    # is part of the group key)
+                    # micro-batched: same-strength same-adapter requests
+                    # share one compiled call (strength selects the start
+                    # step, so it is part of the group key)
                     strength = float(req.get("strength", 0.6))
                     img = batcher.submit(
                         {"prompt": prompt, "image": init,
                          "guidance": guidance, "seed": seed,
                          "negative_prompt": neg},
-                        group=("i2i", strength),
+                        group=("i2i", strength, lora),
                     )
                 else:
                     if "mask_b64" not in req:
@@ -217,7 +267,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                             prompt, init, mask,
                             strength=float(req.get("strength", 1.0)),
                             guidance=guidance, seed=seed,
-                            negative_prompt=neg)
+                            negative_prompt=neg, lora=lora)
                 return self._image(img, fmt)
             except Exception as e:  # noqa: BLE001
                 ctx.logger.error(f"{self.path} failed: {e}")

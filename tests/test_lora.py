@@ -126,3 +126,104 @@ def test_npz_roundtrip_and_context_lora(tmp_path, setup):
     a = base.generate("adapter probe", seed=11)
     b = with_lora.generate("adapter probe", seed=11)
     np.testing.assert_array_equal(a, b)
+
+
+def test_inject_lora_custom_targets(setup):
+    """ADVICE r2 #4 regression: a caller-supplied target set outside
+    LORA_TARGETS (e.g. proj_out) must actually receive adapters."""
+    unet_params, _, _, io = setup
+
+    def count_adapters(tree):
+        n = 0
+
+        def walk(node):
+            nonlocal n
+            if isinstance(node, dict):
+                if "lora_a" in node:
+                    n += 1
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(tree)
+        return n
+
+    # 'q' is a standard target; restricting to it adapts only q sites
+    lp_q = inject_lora(unet_params, rank=2, key=jax.random.PRNGKey(2),
+                       targets={"q"})
+    n_q = count_adapters(lp_q)
+    assert n_q > 0
+
+    # a NON-standard 2D dense target (the ResBlock time-embedding dense)
+    # must also get adapters
+    lp_emb = inject_lora(unet_params, rank=2, key=jax.random.PRNGKey(3),
+                         targets={"emb"})
+    assert count_adapters(lp_emb) > 0
+    lp_all = inject_lora(unet_params, rank=2, key=jax.random.PRNGKey(4))
+    n_all = count_adapters(lp_all)
+    assert n_q < n_all
+    # custom targets are still identity at init
+    np.testing.assert_allclose(_apply(lp_q, io), _apply(unet_params, io),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_context_multi_adapter_registry(tmp_path):
+    """Multi-adapter registry: load N adapters once, select per request;
+    overlays share the base weights; mixed-adapter batches are rejected."""
+    import sdtpu
+    from sdtpu.engine.errors import SdtpuError
+    from jax.tree_util import tree_map_with_path
+    from sdtpu.train.lora import extract_lora, save_lora_npz
+
+    ctx = sdtpu.Context(config="tiny", steps=2)
+
+    def make(path, seed):
+        lp = inject_lora(ctx.params["unet"], rank=2,
+                         key=jax.random.PRNGKey(seed))
+        i = [0]
+
+        def bump(p, leaf):
+            if getattr(p[-1], "key", None) == "lora_b":
+                i[0] += 1
+                return 0.1 * jax.random.normal(
+                    jax.random.PRNGKey(seed * 1000 + i[0]),
+                    leaf.shape, leaf.dtype)
+            return leaf
+
+        save_lora_npz(extract_lora(tree_map_with_path(bump, lp)), path)
+
+    make(tmp_path / "a.npz", 1)
+    make(tmp_path / "b.npz", 2)
+    ctx.load_lora("a", tmp_path / "a.npz")
+    ctx.load_lora("b", tmp_path / "b.npz")
+    assert ctx.lora_names() == ["a", "b"]
+
+    base = ctx.generate("the horse", seed=5)
+    ia = ctx.generate("the horse", seed=5, lora="a")
+    ib = ctx.generate("the horse", seed=5, lora="b")
+    assert not np.array_equal(base, ia)
+    assert not np.array_equal(ia, ib)
+    # overlays share base arrays (N adapters != N models resident)
+    pa = ctx._params_for("a")
+    assert pa["clip"] is ctx.params["clip"]
+    assert pa["vae"] is ctx.params["vae"]
+
+    # batch path: uniform request 'lora' keys work, mixed ones are rejected
+    outs = ctx.generate_batch(
+        [{"prompt": "the horse", "seed": 5, "lora": "a"}])
+    assert np.array_equal(outs[0], ia)
+    with pytest.raises(SdtpuError):
+        ctx.generate_batch([
+            {"prompt": "x", "lora": "a"}, {"prompt": "y", "lora": "b"}])
+    with pytest.raises(SdtpuError):
+        ctx.generate("the horse", lora="missing")
+
+    # dict constructor form + per-request selection via img2img
+    ctx2 = sdtpu.Context(config="tiny", steps=2,
+                         lora={"a": tmp_path / "a.npz"})
+    assert ctx2.lora_names() == ["a"]
+    # dict form sets NO default: plain generate uses the base model
+    assert np.array_equal(ctx2.generate("the horse", seed=5), base)
+    assert np.array_equal(ctx2.generate("the horse", seed=5, lora="a"), ia)

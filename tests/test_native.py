@@ -185,3 +185,82 @@ def test_capi_refcount_semantics(lib):
     lib.sdtpu_set_steps.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     bogus = ctypes.c_void_p(0)
     assert lib.sdtpu_set_steps(bogus, 20) in (4, 6)  # INVALID_CONTEXT | UNSUPPORTED
+
+
+def test_capi_lora_routing(lib, tmp_path):
+    """C-ABI LoRA knob: sdtpu_load_lora + sdtpu_generate_image_lora route a
+    named adapter per request, matching the Python Context outputs (both
+    sides random-init tiny params from PRNGKey(0), so they agree exactly)."""
+    import ctypes
+
+    import jax
+    from jax.tree_util import tree_map_with_path
+
+    import sdtpu
+    from sdtpu.train.lora import extract_lora, inject_lora, save_lora_npz
+
+    c_void_p, c_char_p = ctypes.c_void_p, ctypes.c_char_p
+    lib.sdtpu_setup.argtypes = [
+        ctypes.POINTER(c_void_p), c_char_p, c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.sdtpu_load_lora.argtypes = [c_void_p, c_char_p, c_char_p]
+    lib.sdtpu_generate_image_lora.argtypes = [
+        c_void_p, c_char_p, ctypes.c_float, c_char_p,
+        ctypes.POINTER(c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+    lib.sdtpu_release.argtypes = [c_void_p]
+    lib.sdtpu_free_buffer.argtypes = [c_void_p]
+
+    py = sdtpu.Context(config="tiny", steps=2)
+    lp = inject_lora(py.params["unet"], rank=2, key=jax.random.PRNGKey(3))
+    i = [0]
+
+    def bump(p, leaf):
+        if getattr(p[-1], "key", None) == "lora_b":
+            i[0] += 1
+            return 0.1 * jax.random.normal(
+                jax.random.PRNGKey(3000 + i[0]), leaf.shape, leaf.dtype)
+        return leaf
+
+    npz = tmp_path / "style.npz"
+    save_lora_npz(extract_lora(tree_map_with_path(bump, lp)), npz)
+    py.load_lora("style", npz)
+    want_lora = py.generate("the horse", seed=0, lora="style")
+    want_base = py.generate("the horse", seed=0)
+
+    handle = c_void_p()
+    rc = lib.sdtpu_setup(ctypes.byref(handle), None, b"tiny", 2, 0, 0)
+    if rc == 6:  # SDTPU_UNSUPPORTED: built without embedded python
+        pytest.skip("libsdtpu built without SDTPU_EMBED_PYTHON")
+    assert rc == 0
+    try:
+        assert lib.sdtpu_load_lora(handle, b"style", str(npz).encode()) == 0
+
+        def gen(lora):
+            buf, n = c_void_p(), ctypes.c_size_t()
+            rc = lib.sdtpu_generate_image_lora(
+                handle, b"the horse", 7.5, lora, ctypes.byref(buf),
+                ctypes.byref(n))
+            assert rc == 0, rc
+            size = py.cfg.image_size
+            out = np.ctypeslib.as_array(
+                ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+                (n.value,)).copy().reshape(size, size, 3)
+            lib.sdtpu_free_buffer(buf)
+            return out
+
+        # embedded context seed starts at 0, increments per call — pass
+        # the adapter first so both calls see their expected seed
+        got_lora = gen(b"style")     # seed 0
+        assert np.array_equal(got_lora, want_lora)
+        got_base = gen(b"")          # seed 1
+        assert np.array_equal(got_base, py.generate("the horse", seed=1))
+        assert not np.array_equal(got_lora, got_base)
+        assert want_base.shape == got_base.shape
+        # unknown adapter -> clean error, context still live
+        buf, n = c_void_p(), ctypes.c_size_t()
+        rc = lib.sdtpu_generate_image_lora(
+            handle, b"the horse", 7.5, b"nope", ctypes.byref(buf),
+            ctypes.byref(n))
+        assert rc != 0
+    finally:
+        lib.sdtpu_release(handle)

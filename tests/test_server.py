@@ -256,3 +256,74 @@ def test_body_size_cap(server):
             f"Content-Length: {64 << 20}\r\n\r\n".encode())
         head = s.recv(4096).decode(errors="replace")
     assert " 413 " in head.splitlines()[0], head
+
+
+def _make_adapter_npz(ctx, path, seed):
+    """Build a small NONZERO LoRA adapter artifact for the ctx's UNet."""
+    import jax
+    from jax.tree_util import tree_map_with_path
+
+    from sdtpu.train.lora import extract_lora, inject_lora, save_lora_npz
+
+    lp = inject_lora(ctx.params["unet"], rank=2, key=jax.random.PRNGKey(seed))
+    i = [0]
+
+    def bump(p, leaf):
+        if getattr(p[-1], "key", None) == "lora_b":
+            i[0] += 1
+            return 0.1 * jax.random.normal(
+                jax.random.PRNGKey(seed * 1000 + i[0]), leaf.shape, leaf.dtype)
+        return leaf
+
+    save_lora_npz(extract_lora(tree_map_with_path(bump, lp)), path)
+
+
+def test_lora_per_request_routing(server, tmp_path):
+    """VERDICT r2 task 4: two adapters served concurrently with per-request
+    routing; every HTTP result must match the Context-level output for its
+    adapter (batch-of-1 through the batcher is bit-identical)."""
+    ctx, base = server
+    pa, pb = tmp_path / "styleA.npz", tmp_path / "styleB.npz"
+    _make_adapter_npz(ctx, pa, seed=1)
+    _make_adapter_npz(ctx, pb, seed=2)
+    ctx.load_lora("styleA", pa)
+    ctx.load_lora("styleB", pb)
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["lora_adapters"] == ["styleA", "styleB"]
+
+    ref = {
+        "styleA": ctx.generate("the horse", seed=42, lora="styleA"),
+        "styleB": ctx.generate("the horse", seed=42, lora="styleB"),
+        None: ctx.generate("the horse", seed=42),
+    }
+    # the adapters genuinely change the output, and differ from each other
+    assert not np.array_equal(ref["styleA"], ref[None])
+    assert not np.array_equal(ref["styleA"], ref["styleB"])
+
+    size = ctx.cfg.image_size
+    results = {}
+
+    def one(lora):
+        req = {"prompt": "the horse", "seed": 42, "format": "raw"}
+        if lora is not None:
+            req["lora"] = lora
+        status, _, body = _post(base + "/generate", req)
+        results[lora] = (status, body)
+
+    threads = [threading.Thread(target=one, args=(k,)) for k in ref]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for k, want in ref.items():
+        status, body = results[k]
+        assert status == 200, (k, body)
+        got = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        assert np.array_equal(got, want), f"adapter routing broke for {k!r}"
+
+    # unknown adapter -> clean 500 with the registry in the message
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "x", "lora": "nope"})
+    assert status == 500 and b"nope" in body
