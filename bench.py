@@ -68,9 +68,45 @@ def main() -> int:
     # SDTPU_BENCH_BATCH=N switches to the serving path (Context.generate_batch
     # with per-sample seeds, the program the HTTP micro-batcher drives) and
     # reports per-IMAGE time at that batch size; default N=1 is the headline
-    # single-request latency.
+    # single-request latency. SDTPU_BENCH_OVERLAP=1 additionally
+    # double-buffers the serving loop (dispatch batch k+1 before fetching
+    # batch k — the HTTP batcher's production schedule), reporting
+    # steady-state inter-completion time per image.
     batch = int(os.environ.get("SDTPU_BENCH_BATCH", "1"))
+    overlap = os.environ.get("SDTPU_BENCH_OVERLAP", "0") == "1"
     seed = [0]
+
+    if overlap and batch >= 1:
+        def reqs():
+            r = [{"prompt": prompt, "guidance": 7.5, "seed": seed[0] + i}
+                 for i in range(batch)]
+            seed[0] += batch
+            return r
+
+        times = []
+        pending = None
+        last = None
+        for i in range(WARMUP + ITERS):
+            fetch = ctx.generate_batch_async(reqs())
+            if pending is not None:
+                pending()
+                now = time.perf_counter()
+                if last is not None and i > WARMUP:
+                    times.append((now - last) / batch)
+                last = now
+            pending = fetch
+        pending()
+        value = statistics.median(times)
+        print(f"# overlap n={len(times)} batch={batch} median "
+              f"{value:.3f}s/image min {min(times):.3f}s max "
+              f"{max(times):.3f}s", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"txt2img_512_20step_s_per_image_batch{batch}_overlap",
+            "value": round(value, 4),
+            "unit": "s",
+            "vs_baseline": round(TARGET_S / value, 4),
+        }))
+        return 0
 
     def one_call():
         if batch == 1:

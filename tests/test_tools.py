@@ -209,3 +209,64 @@ def test_convert_weights_int8w_roundtrip(tmp_path):
     ctx = sdtpu.Context(model_dir=out_dir, config="tiny", steps=2)
     img = ctx.generate("the horse", seed=0)
     assert img.shape == (TINY.image_size, TINY.image_size, 3)
+
+
+def test_validate_real_packet(tmp_path):
+    """tools/validate_real.py end to end on the synthetic LDM fixture
+    (VERDICT r2 task 8): convert -> fixed-seed image -> determinism gate ->
+    PSNR gate vs a reference image -> JSON verdict. Only the real-weights
+    artifact is missing in this environment, not the code path."""
+    import json
+
+    import safetensors.numpy
+
+    params = init_pipeline_params(jax.random.PRNGKey(4), TINY)
+    from sdtpu.io.weights import params_to_ldm as _to_ldm
+
+    sd = _to_ldm(jax.tree.map(np.asarray, params), TINY)
+    ckpt = tmp_path / "sd.safetensors"
+    safetensors.numpy.save_file(sd, str(ckpt))
+
+    work = tmp_path / "val"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "validate_real.py"), str(ckpt),
+         "--config", "tiny", "--steps", "2", "--work-dir", str(work),
+         "--platform", "cpu", "--json-out", str(tmp_path / "verdict.json")],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    verdict = json.loads((tmp_path / "verdict.json").read_text())
+    assert verdict["pass"] is True
+    assert verdict["gates"]["deterministic"]["pass"] is True
+    assert verdict["gates"]["psnr"]["pass"] is None      # skipped, no ref
+    assert verdict["gates"]["clip_score"]["pass"] is None
+    img_png = work / "astronaut_seed0.png"
+    assert img_png.exists() and (work / "astronaut_seed0.bin").exists()
+
+    # PSNR gate: the image itself as reference passes; an unrelated
+    # reference fails and flips the exit code
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "validate_real.py"),
+         str(work / "model"), "--config", "tiny", "--steps", "2",
+         "--work-dir", str(work), "--platform", "cpu",
+         "--ref-image", str(img_png)],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    v2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert v2["gates"]["psnr"]["pass"] is True
+    assert v2["gates"]["psnr"]["psnr_db"] == float("inf")
+
+    from PIL import Image
+
+    bad = tmp_path / "bad_ref.png"
+    Image.fromarray(
+        np.zeros((TINY.image_size, TINY.image_size, 3), np.uint8)).save(bad)
+    r3 = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "validate_real.py"),
+         str(work / "model"), "--config", "tiny", "--steps", "2",
+         "--work-dir", str(work), "--platform", "cpu",
+         "--ref-image", str(bad), "--min-psnr", "25"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r3.returncode == 1, r3.stdout + r3.stderr
