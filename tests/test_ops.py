@@ -369,3 +369,153 @@ def test_flash_attention_gradients_match_xla(rng):
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_matmul_eligible_rejects_unaligned_m():
+    """ADVICE r2 #3 regression: m not a multiple of 8 (e.g. the [B*77, ctx]
+    cross-attention k/v flatten, m=154) must fall back to the XLA dequant
+    path — a full-M tile with m % 8 != 0 is the non-tile-aligned shape that
+    crashes this Mosaic toolchain."""
+    mm_ops.INTERPRET, saved = True, mm_ops.INTERPRET
+    try:
+        assert not mm_ops.eligible(154, 768, 320)
+        assert not mm_ops.eligible(77, 1024, 320)
+        assert mm_ops.eligible(256, 768, 320)
+    finally:
+        mm_ops.INTERPRET = saved
+
+
+def test_fused_conv_unplannable_shape_falls_back_to_xla(rng):
+    """ADVICE r2 #2 regression: a direct fused_conv call on a shape with no
+    validated plan (non-power-of-two W) must produce the XLA answer instead
+    of running the kernel with an unchecked full-width plan."""
+    n, h, w_, cin, cout, g = 1, 8, 24, 32, 32, 8
+    assert conv_ops._plan(h, w_, cin, cout, 3, 4, n) is None
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout),
+                                        dtype=np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal((n, cout), dtype=np.float32))
+    p = {"scale": jnp.ones(cin), "bias": jnp.zeros(cin)}
+    ref = _ref_conv(L.silu(L.group_norm(p, x, g)), w, 1) + b[:, None, None, :]
+    a, d = conv_ops.gn_affine(p, x, g)
+    got = conv_ops.fused_conv(x, w, b, a=a, d=d, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    # quantized leg of the fallback
+    ws = jnp.abs(w).max(axis=(0, 1, 2)) / 127.0
+    wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    ref_q = _ref_conv(x, wq.astype(jnp.float32) * ws, 1)
+    got_q = conv_ops.fused_conv(x, wq, jnp.zeros(cout), w_scale=ws)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_eligible_uses_actual_itemsize():
+    """f32 activations double every VMEM buffer: a shape the bf16 planner
+    admits can overflow at f32 — eligible() must re-plan with the real
+    itemsize rather than hardcoding 2."""
+    # find a shape where the budgets differ
+    x16 = jnp.zeros((2, 64, 64, 640), jnp.bfloat16)
+    x32 = jnp.zeros((2, 64, 64, 640), jnp.float32)
+    w = jnp.zeros((3, 3, 640, 320), jnp.bfloat16)
+    conv_ops.INTERPRET, saved = True, conv_ops.INTERPRET
+    try:
+        e16 = conv_ops.eligible(x16, w, 1, 1)
+        e32 = conv_ops.eligible(x32, w.astype(jnp.float32), 1, 1)
+    finally:
+        conv_ops.INTERPRET = saved
+    assert e16
+    # the f32 answer must agree with the f32 plan, whatever it is
+    assert e32 == (conv_ops._plan(64, 64, 640, 320, 3, 4, 2) is not None)
+
+
+@pytest.mark.parametrize("m,k,n", [(256, 320, 320), (512, 1280, 640)])
+def test_matmul_w8a8_matches_xla_int8_dot(rng, m, k, n):
+    """Static-scale W8A8 Pallas GEMM == the XLA int8 reference path
+    (layers._dense_int8's in-graph formula) to f32-rounding tolerance."""
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32))
+    w = rng.standard_normal((k, n), dtype=np.float32) * 0.05
+    absmax = np.abs(w).max(axis=0)
+    w_scale = jnp.asarray(absmax / 127.0)
+    w_q = jnp.asarray(
+        np.clip(np.round(w / (absmax / 127.0)), -127, 127).astype(np.int8))
+    b = jnp.asarray(rng.standard_normal(n, dtype=np.float32))
+    xs = jnp.float32(float(np.abs(np.asarray(x)).max()) / 127.0)
+
+    inv = 1.0 / xs
+    xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    ref = (jax.lax.dot(xq, w_q, preferred_element_type=jnp.int32)
+           .astype(jnp.float32) * xs * w_scale + b)
+
+    got = mm_ops.matmul_w8a8(x, w_q, w_scale, xs, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_dense_routes_calibrated_site_through_w8a8_kernel(rng, monkeypatch):
+    """A calibrated int8 site (w_q + x_scale) with eligible shapes must take
+    the Pallas W8A8 kernel and agree with the XLA dequant formula."""
+    monkeypatch.setattr(mm_ops, "INTERPRET", True)
+    x = jnp.asarray(rng.standard_normal((256, 320), dtype=np.float32))
+    w = rng.standard_normal((320, 320), dtype=np.float32) * 0.05
+    absmax = np.abs(w).max(axis=0)
+    p = {
+        "w_q": jnp.asarray(np.clip(np.round(w / (absmax / 127.0)),
+                                   -127, 127).astype(np.int8)),
+        "w_scale": jnp.asarray(absmax / 127.0),
+        "x_scale": jnp.float32(float(np.abs(np.asarray(x)).max()) / 127.0),
+        "b": jnp.asarray(rng.standard_normal(320, dtype=np.float32)),
+    }
+    got = L.dense(p, x)
+
+    called = []
+    real = mm_ops.matmul_w8a8
+    monkeypatch.setattr(
+        mm_ops, "matmul_w8a8",
+        lambda *a, **kw: (called.append(1), real(*a, **kw))[1])
+    import sdtpu.models.layers as layers_mod
+
+    got2 = layers_mod.dense(p, x)
+    assert called, "calibrated site did not route through the W8A8 kernel"
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+    # the XLA formula agrees
+    monkeypatch.setattr(mm_ops, "DISABLE", True)
+    ref = layers_mod.dense(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("cin", [256, 512])
+def test_fused_conv_v2_merged_taps_deep_levels(rng, cin):
+    """16x16 planes hit the v2 merged-tap path (merge=9 at Cin 256,
+    merge=3 at Cin 512 where the 2^20 dot-LHS cap binds); numerics must
+    match the XLA conv exactly as for the unmerged kernel."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin),
+                                        dtype=np.float32)) * 0.5
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, 256),
+                                        dtype=np.float32)) * 0.02
+    b = jnp.asarray(rng.standard_normal((2, 256), dtype=np.float32))
+    p = {"scale": jnp.ones(cin) * 1.1, "bias": jnp.zeros(cin) + 0.05}
+    ref = _ref_conv(L.silu(L.group_norm(p, x, 8)), w, 1) + b[:, None, None, :]
+    a, d = conv_ops.gn_affine(p, x, 8)
+    got = conv_ops.fused_conv(x, w, b, a=a, d=d, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_fused_conv_v2_flags_equal_v1(rng, monkeypatch):
+    """Overlap + merged taps are pure scheduling: output must be
+    bit-identical with the levers disabled."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128),
+                                        dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128),
+                                        dtype=np.float32)) * 0.05
+    b = jnp.zeros((128,), jnp.float32)
+    v2 = np.asarray(conv_ops.fused_conv(x, w, b))
+    conv_ops._fused_conv.clear_cache()
+    monkeypatch.setattr(conv_ops, "STAGE_OVERLAP", False)
+    monkeypatch.setattr(conv_ops, "MERGE_TAPS", False)
+    v1 = np.asarray(conv_ops.fused_conv(x, w, b))
+    conv_ops._fused_conv.clear_cache()
+    # merged contraction reassociates float adds; allow only tiny drift
+    np.testing.assert_allclose(v2, v1, atol=2e-5, rtol=1e-6)
