@@ -101,7 +101,15 @@ def _w8a8_kernel_ok(p, x) -> bool:
     """Route a calibrated (static x_scale) int8 site through the Pallas
     W8A8 GEMM? The kernel quantizes the activation tile in VMEM and feeds
     the MXU's native int8 path (2x bf16 peak); shape-ineligible sites fall
-    back to the XLA int8 dot below."""
+    back to the XLA int8 dot below.
+
+    Per-shape keep/reject is measured, not assumed (tools/smoke_w8a8.py,
+    PERF_NOTES "W8A8 Pallas GEMM"): the kernel wins only where the WEIGHT
+    matrix is the dominant HBM stream (n >= m — int8 halves the dominant
+    bytes and the deep reduction amortizes the in-VMEM activation-quantize
+    pass); where activations dominate (tall-m shallow-k level-0/1 sites)
+    the VPU quantize pass costs more than the int8 MXU rate saves, so
+    those sites keep the XLA int8 dot."""
     if "x_scale" not in p:
         return False
     from sdtpu.ops import matmul as mm
@@ -111,7 +119,10 @@ def _w8a8_kernel_ok(p, x) -> bool:
     m = 1
     for s in x.shape[:-1]:
         m *= s
-    return mm.eligible(m, p["w_q"].shape[0], p["w_q"].shape[1])
+    n = p["w_q"].shape[1]
+    if n < m:
+        return False
+    return mm.eligible(m, p["w_q"].shape[0], n)
 
 
 def _dense_int8(p, x, dtype):

@@ -46,7 +46,11 @@ def chain_xla(x, w, b, gp, iters):
         # keep channel count stable for chaining
         return y[..., :x.shape[-1]] if y.shape[-1] != x.shape[-1] else y
 
-    return jax.lax.fori_loop(0, iters, body, x)
+    # only a scalar leaves the device: fetching the full plane over the
+    # tunnel (~5 MB) would dominate the chain (PERF_NOTES "Measurement
+    # discipline")
+    return jnp.sum(jax.lax.fori_loop(0, iters, body, x)
+                   .astype(jnp.float32))
 
 
 def chain_pallas(x, w, b, gp, iters, w_scale=None):
@@ -55,19 +59,30 @@ def chain_pallas(x, w, b, gp, iters, w_scale=None):
         y = C.fused_conv(h, w, b, a=a, d=d, silu=True, w_scale=w_scale)
         return y[..., :x.shape[-1]] if y.shape[-1] != x.shape[-1] else y
 
-    return jax.lax.fori_loop(0, iters, body, x)
+    return jnp.sum(jax.lax.fori_loop(0, iters, body, x)
+                   .astype(jnp.float32))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--int8", action="store_true")
+    # kernel v2 lever A/B (VERDICT r2 #1): both default ON in the module
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the double-buffered stage DMA")
+    ap.add_argument("--no-merge", action="store_true",
+                    help="disable merged tap contractions at deep levels")
     args = ap.parse_args()
+    if args.no_overlap:
+        C.STAGE_OVERLAP = False
+    if args.no_merge:
+        C.MERGE_TAPS = False
 
     key = jax.random.PRNGKey(0)
     print(f"# backend={jax.default_backend()} iters={args.iters} "
-          f"int8={args.int8}")
+          f"int8={args.int8} overlap={C.STAGE_OVERLAP} "
+          f"merge={C.MERGE_TAPS}")
     for (n, h, wdim, cin, cout) in SHAPES:
         if cin != cout and cout != cin:  # chain needs cin==body-out slice
             pass
