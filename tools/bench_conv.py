@@ -92,10 +92,12 @@ def main():
         gp = {"scale": jnp.ones((cin,)), "bias": jnp.zeros((cin,))}
         b = jnp.zeros((cout,), jnp.float32)
         if cout < cin:
-            # chain by slicing output back to cin channels: pad weights so
-            # out >= cin for a valid chain
-            w = jnp.concatenate([w] * (cin // cout), axis=-1)
-            b = jnp.concatenate([b] * (cin // cout))
+            # chain by slicing output back to cin channels: replicate
+            # weight columns so out >= cin (ceil — 960->640 needs 2x),
+            # then truncate to exactly cin for a shape-stable carry
+            rep = -(-cin // cout)
+            w = jnp.concatenate([w] * rep, axis=-1)[..., :cin]
+            b = jnp.concatenate([b] * rep)[:cin]
             cout = cin
         wq = sq = None
         if args.int8:
