@@ -109,12 +109,18 @@ def _w8a8_kernel_ok(p, x) -> bool:
     bytes and the deep reduction amortizes the in-VMEM activation-quantize
     pass); where activations dominate (tall-m shallow-k level-0/1 sites)
     the VPU quantize pass costs more than the int8 MXU rate saves, so
-    those sites keep the XLA int8 dot."""
+    those sites keep the XLA int8 dot.
+
+    DEFAULT OFF (``ops.matmul.KERNEL_W8A8``): even the winning sites lose
+    end-to-end — XLA inserts ~36 ms/step of extra slice/copy traffic
+    around the opaque custom-calls (tools/attr_w8a8.py, PERF_NOTES
+    "W8A8 e2e closure") — so production int8 keeps the fully-fused XLA
+    int8 dot, which measures at or slightly below bf16 latency."""
     if "x_scale" not in p:
         return False
     from sdtpu.ops import matmul as mm
 
-    if mm.DISABLE:
+    if mm.DISABLE or not mm.KERNEL_W8A8:
         return False
     m = 1
     for s in x.shape[:-1]:

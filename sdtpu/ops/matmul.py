@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 # escape hatch: route w8 dense sites through the XLA dequant fallback
 DISABLE = False
+# Opt-in for routing calibrated int8 dense sites through matmul_w8a8.
+# Default OFF — measured keep/reject (round 3): the kernel wins its sites
+# in isolation (PERF_NOTES "W8A8 Pallas GEMM", up to 1.90x) but LOSES
+# ~78 ms/image e2e; per-op attribution (tools/attr_w8a8.py) shows the
+# sink is not the kernel's compute but +21 ms of shaping (slice-starts)
+# and +15 ms of copies per step that XLA's layout/alternate-memory
+# scheduler inserts around the opaque custom-calls. The XLA int8 dot
+# keeps full fusion and measured slightly FASTER than bf16.
+KERNEL_W8A8 = False
 
 
 def _tile(v: int, prefs: tuple[int, ...]) -> int:

@@ -451,10 +451,36 @@ def test_matmul_w8a8_matches_xla_int8_dot(rng, m, k, n):
                                rtol=1e-5, atol=1e-3)
 
 
-def test_dense_routes_calibrated_site_through_w8a8_kernel(rng, monkeypatch):
-    """A calibrated int8 site (w_q + x_scale) with eligible shapes must take
-    the Pallas W8A8 kernel and agree with the XLA dequant formula."""
+def test_dense_w8a8_kernel_default_off(rng, monkeypatch):
+    """By default a calibrated site must NOT take the Pallas W8A8 kernel:
+    the e2e measurement rejected it (+78 ms/image from boundary slice/copy
+    traffic — tools/attr_w8a8.py). Regression-pin the default."""
     monkeypatch.setattr(mm_ops, "INTERPRET", True)
+    x = jnp.asarray(rng.standard_normal((256, 320), dtype=np.float32))
+    w = rng.standard_normal((320, 320), dtype=np.float32) * 0.05
+    absmax = np.abs(w).max(axis=0)
+    p = {
+        "w_q": jnp.asarray(np.clip(np.round(w / (absmax / 127.0)),
+                                   -127, 127).astype(np.int8)),
+        "w_scale": jnp.asarray(absmax / 127.0),
+        "x_scale": jnp.float32(float(np.abs(np.asarray(x)).max()) / 127.0),
+    }
+    called = []
+    real = mm_ops.matmul_w8a8
+    monkeypatch.setattr(
+        mm_ops, "matmul_w8a8",
+        lambda *a, **kw: (called.append(1), real(*a, **kw))[1])
+    L.dense(p, x)
+    assert not called, "W8A8 kernel routed despite KERNEL_W8A8=False default"
+
+
+def test_dense_routes_calibrated_site_through_w8a8_kernel(rng, monkeypatch):
+    """With the opt-in flag on, a calibrated int8 site (w_q + x_scale) with
+    eligible shapes must take the Pallas W8A8 kernel and agree with the XLA
+    dequant formula. (KERNEL_W8A8 defaults OFF — the kernel loses e2e to
+    boundary slice/copy traffic, PERF_NOTES 'W8A8 e2e closure'.)"""
+    monkeypatch.setattr(mm_ops, "INTERPRET", True)
+    monkeypatch.setattr(mm_ops, "KERNEL_W8A8", True)
     x = jnp.asarray(rng.standard_normal((256, 320), dtype=np.float32))
     w = rng.standard_normal((320, 320), dtype=np.float32) * 0.05
     absmax = np.abs(w).max(axis=0)

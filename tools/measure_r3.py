@@ -133,23 +133,37 @@ def main() -> int:
     args = ap.parse_args()
 
     meds = {}
-    for leg in args.legs.split(","):
+    for raw in args.legs.split(","):
+        # a trailing "#N" permits repeated legs (e.g. bf16,int8,bf16#2 —
+        # the end control that detects in-process leg-order drift)
+        leg = raw.split("#")[0]
         if leg == "bf16":
-            meds[leg] = run_leg("bf16 control", args.iters)
+            meds[raw] = run_leg(f"bf16 control {raw}", args.iters)
         elif leg == "int8":
-            meds[leg] = run_leg("int8 routed", args.iters, quantize="int8")
+            meds[raw] = run_leg("int8 static", args.iters, quantize="int8")
+        elif leg == "int8_kernel":
+            # A/B: force the Pallas W8A8 kernel on the weights-dominant
+            # sites (the path the round-3 closure rejected)
+            from sdtpu.ops import matmul as mm
+
+            mm.KERNEL_W8A8 = True
+            try:
+                meds[raw] = run_leg("int8 w8a8-routed", args.iters,
+                                    quantize="int8")
+            finally:
+                mm.KERNEL_W8A8 = False
         elif leg == "int8w":
-            meds[leg] = run_leg("int8w", args.iters, quantize="int8w")
+            meds[raw] = run_leg("int8w", args.iters, quantize="int8w")
         elif leg == "pallas_conv":
-            meds[leg] = run_leg("pallas_conv", args.iters,
+            meds[raw] = run_leg("pallas_conv", args.iters,
                                 kernels="pallas_conv")
         elif leg == "combo":
-            meds[leg] = run_leg("int8 + pallas_conv", args.iters,
+            meds[raw] = run_leg("int8 + pallas_conv", args.iters,
                                 quantize="int8", kernels="pallas_conv")
         elif leg == "batch4":
-            meds[leg] = run_batch_leg("batch4 sync", args.iters)
+            meds[raw] = run_batch_leg("batch4 sync", args.iters)
         elif leg == "batch4_overlap":
-            meds[leg] = run_batch_leg("batch4 overlap", args.iters,
+            meds[raw] = run_batch_leg("batch4 overlap", args.iters,
                                       overlap=True)
         else:
             raise SystemExit(f"unknown leg {leg}")
