@@ -39,8 +39,9 @@ def main() -> int:
     import os
 
     quant = os.environ.get("SDTPU_BENCH_QUANT", "none")
+    config = os.environ.get("SDTPU_BENCH_CONFIG", "sd15")
     ctx = sdtpu.Context(
-        model_dir=None, steps=20, sampler="dpm", config="sd15",
+        model_dir=None, steps=20, sampler="dpm", config=config,
         log_level=LogLevel.INFO,
         quantize="int8" if quant == "int8_static" else quant,
         kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
@@ -136,8 +137,9 @@ def main() -> int:
         f"p90 {p90:.3f}s min {min(times):.3f}s max {max(times):.3f}s",
         file=sys.stderr,
     )
-    metric = ("txt2img_512_20step_s_per_image" if batch == 1
-              else f"txt2img_512_20step_s_per_image_batch{batch}")
+    size = ctx.cfg.image_size
+    metric = (f"txt2img_{size}_20step_s_per_image" if batch == 1
+              else f"txt2img_{size}_20step_s_per_image_batch{batch}")
     print(json.dumps({
         "metric": metric,
         "value": round(value, 4),

@@ -90,10 +90,9 @@ def _cmd_bench(args) -> int:
     _select_platform(args.platform)
     from sdtpu.bench.analyze import analyze
     from sdtpu.bench.runner import benchmark_parts
-    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
+    from sdtpu.config import CONFIGS
 
-    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
-           "tiny": TINY}[args.config]
+    cfg = CONFIGS[args.config]
     parts = args.parts.split(",") if args.parts else None
     summary = benchmark_parts(
         cfg, warmup=args.warmup, iters=args.iters, parts=parts,
@@ -118,11 +117,10 @@ def _cmd_profile(args) -> int:
 
     from sdtpu.bench.runner import _part_specs
     from sdtpu.bench.xprof import profile_ops, summarize
-    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
+    from sdtpu.config import CONFIGS
     from sdtpu.io.params import cast_params, init_pipeline_params
 
-    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
-           "tiny": TINY}[args.config]
+    cfg = CONFIGS[args.config]
     kernels = args.kernels
     if kernels == "auto":
         kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -191,14 +189,12 @@ def _cmd_info(args) -> int:
     import jax
 
     import sdtpu
-    from sdtpu.config import SD15, TINY
 
     print(f"sdtpu {sdtpu.__version__}")
     print(f"backend: {jax.default_backend()}, devices: {jax.device_count()}")
-    from sdtpu.config import SD21, SD21_BASE
+    from sdtpu.config import CONFIGS
 
-    for name, cfg in [("sd15", SD15), ("sd21", SD21),
-                      ("sd21base", SD21_BASE), ("tiny", TINY)]:
+    for name, cfg in CONFIGS.items():
         print(f"config {name}: {cfg.image_size}x{cfg.image_size}, "
               f"latent {cfg.latent_size}, unet ch {cfg.unet.model_channels}, "
               f"dtype {cfg.dtype}")
@@ -217,7 +213,6 @@ def _cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from sdtpu.config import SD15, SD21, SD21_BASE, TINY
     from sdtpu.io.params import cast_params, init_pipeline_params
     from sdtpu.train import (
         init_train_state,
@@ -227,8 +222,9 @@ def _cmd_train(args) -> int:
         save_train_state,
     )
 
-    cfg = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
-           "tiny": TINY}[args.config]
+    from sdtpu.config import CONFIGS
+
+    cfg = CONFIGS[args.config]
 
     t0 = time.time()
     if args.model_dir is None:
@@ -331,6 +327,8 @@ def _cmd_train(args) -> int:
 
 
 def main(argv=None) -> int:
+    from sdtpu.config import CONFIGS
+
     p = argparse.ArgumentParser(prog="sdtpu",
                                 description="TPU-native SD txt2img engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -350,7 +348,7 @@ def main(argv=None) -> int:
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
-    g.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
+    g.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
     g.add_argument("--kernels", default="auto",
@@ -372,7 +370,7 @@ def main(argv=None) -> int:
     g.set_defaults(fn=_cmd_generate)
 
     b = sub.add_parser("bench", help="per-part steady-state benchmark")
-    b.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
+    b.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     b.add_argument("--warmup", type=int, default=20)
     b.add_argument("--iters", type=int, default=100)
     b.add_argument("--steps", type=int, default=20)
@@ -390,7 +388,7 @@ def main(argv=None) -> int:
     pr = sub.add_parser("profile", help="per-op device profile of one part")
     pr.add_argument("--part", default="unet",
                     choices=["temb", "text_encoder", "unet", "vae_decoder"])
-    pr.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
+    pr.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     pr.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     pr.add_argument("--top", type=int, default=15)
@@ -401,7 +399,7 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=_cmd_profile)
 
     w = sub.add_parser("sweep", help="sampler/steps/CFG/size config sweep")
-    w.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
+    w.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     w.add_argument("--iters", type=int, default=3)
     w.add_argument("--sizes", default="512,768")
     w.add_argument("--steps-list", default="10,20,50")
@@ -424,7 +422,7 @@ def main(argv=None) -> int:
     sv = sub.add_parser("serve", help="HTTP txt2img service")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
-    sv.add_argument("--config", default="sd15", choices=["sd15", "sd21", "sd21base", "tiny"])
+    sv.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     sv.add_argument("--steps", type=int, default=20)
     sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
     sv.add_argument("--model-dir", default=None)
@@ -460,7 +458,7 @@ def main(argv=None) -> int:
                    help="device-staging prefetch depth (0 disables the "
                         "background loader)")
     t.add_argument("--config", default="sd15",
-                   choices=["sd15", "sd21", "sd21base", "tiny"])
+                   choices=sorted(CONFIGS))
     t.add_argument("--model-dir", default=None,
                    help="frozen CLIP/temb + UNet init weights "
                         "(omit for random-init demo)")

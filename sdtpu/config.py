@@ -11,7 +11,7 @@ Stable Diffusion v1.x graph set the reference converts: 4-ch 64x64 latents,
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -28,6 +28,9 @@ class CLIPConfig:
     eps: float = 1e-5
     act: str = "quick_gelu"      # SD2 (OpenCLIP ViT-H) uses "gelu"
     penultimate: bool = False    # SD2: skip the last block, then final LN
+    # text-projection dim for the pooled embedding (SDXL's OpenCLIP bigG
+    # tower projects the eot hidden state to 1280); 0 = no projection leaf
+    projection: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +46,18 @@ class UNetConfig:
     context_dim: int = 768
     time_embed_dim: int = 1280                 # = 4 * model_channels
     groups: int = 32
+    # transformer blocks per spatial-transformer, per level (SDXL: (0,2,10));
+    # empty tuple = depth 1 at every attn level (SD1.x/2.x). The mid block
+    # uses the LAST level's depth.
+    transformer_depth: Tuple[int, ...] = ()
+    # input dim of the additive conditioning MLP (SDXL: 2816 = 1280 pooled
+    # bigG + 6 x 256 fourier microconds); 0 = no additive conditioning
+    adm_in_channels: int = 0
+
+    def depth_at(self, lvl: int) -> int:
+        if not self.transformer_depth:
+            return 1
+        return self.transformer_depth[lvl]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +74,10 @@ class VAEConfig:
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     clip: CLIPConfig = CLIPConfig()
+    # second text tower (SDXL: OpenCLIP bigG) — hidden states of both towers
+    # concatenate to the cross-attention context; tower 2 also provides the
+    # pooled embedding for the UNet's additive conditioning
+    clip2: Optional[CLIPConfig] = None
     unet: UNetConfig = UNetConfig()
     vae: VAEConfig = VAEConfig()
     latent_channels: int = 4
@@ -92,6 +111,42 @@ SD21 = PipelineConfig(
 # SD 2.1-base (512, eps-prediction), same towers
 SD21_BASE = dataclasses.replace(SD21, latent_size=64, prediction="eps")
 
+# Stable Diffusion XL base (1024x1024): dual text towers (CLIP-L penultimate
+# hidden + OpenCLIP bigG penultimate hidden, concat -> 2048-dim context),
+# bigG pooled + size/crop microcond fourier vector through an additive
+# conditioning MLP (adm 2816 -> 1280), 3-level UNet with NO attention at
+# level 0 and transformer depth (–, 2, 10), head_dim-64 attention.
+# Beyond the reference's SD1.x/2.x scope (ROADMAP "SDXL-family config").
+SDXL = PipelineConfig(
+    clip=CLIPConfig(),  # CLIP-L tower; XL taps its penultimate hidden state
+    clip2=CLIPConfig(hidden=1280, layers=32, heads=20, act="gelu",
+                     projection=1280),
+    unet=UNetConfig(channel_mult=(1, 2, 4), attn_levels=(1, 2),
+                    transformer_depth=(0, 2, 10), num_heads=0, head_dim=64,
+                    context_dim=2048, adm_in_channels=2816),
+    vae=VAEConfig(scale_factor=0.13025),
+    latent_size=128,
+)
+
+# Tiny SDXL-topology config for CPU-backend tests: dual towers, depth-2
+# transformers, additive conditioning — every XL code path, ~1000x fewer
+# FLOPs. adm_in = projection 16 + 6 fourier dims x 8 = 64.
+TINY_XL = PipelineConfig(
+    clip=CLIPConfig(vocab_size=512 + 22 + 2, hidden=32, layers=2, heads=2,
+                    context_len=16),
+    clip2=CLIPConfig(vocab_size=512 + 22 + 2, hidden=48, layers=3, heads=2,
+                     context_len=16, act="gelu", projection=16),
+    unet=UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                    attn_levels=(1,), transformer_depth=(0, 2), num_heads=2,
+                    context_dim=80, time_embed_dim=64, groups=4,
+                    adm_in_channels=64),
+    vae=VAEConfig(base_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                  groups=4),
+    latent_size=8,
+    upscale=2,
+    dtype="float32",
+)
+
 # Tiny config for CPU-backend tests: same topology, ~1000x fewer FLOPs.
 TINY = PipelineConfig(
     clip=CLIPConfig(vocab_size=512 + 22 + 2, hidden=32, layers=2, heads=2,
@@ -105,3 +160,14 @@ TINY = PipelineConfig(
     upscale=2,
     dtype="float32",
 )
+
+
+#: name -> config registry (Context(config=...), CLI --config, tests)
+CONFIGS = {
+    "sd15": SD15,
+    "sd21": SD21,
+    "sd21base": SD21_BASE,
+    "sdxl": SDXL,
+    "tiny": TINY,
+    "tiny_xl": TINY_XL,
+}

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdtpu.config import SD15, SD21, SD21_BASE, TINY, PipelineConfig
+from sdtpu.config import CONFIGS, PipelineConfig
 from sdtpu.engine import logging as slog
 from sdtpu.engine.errors import ErrorCode, ErrorTable, SdtpuError
 from sdtpu.engine.pipeline import encode_text, jit_generate
@@ -95,8 +95,7 @@ class Context:
 
             self.mesh = make_mesh(data=mesh[0], model=mesh[1])
         if isinstance(config, str):
-            config = {"sd15": SD15, "sd21": SD21, "sd21base": SD21_BASE,
-                      "tiny": TINY}[config.lower()]
+            config = CONFIGS[config.lower()]
         if size is not None:
             # resolution override (e.g. 768x768 high-res config,
             # BASELINE.md stretch config) — the UNet/VAE are fully

@@ -37,8 +37,50 @@ from sdtpu.samplers import get_sampler
 
 
 def encode_text(params, tokens, cfg: PipelineConfig):
-    """tokens [B, T] -> prompt embeddings [B, T, context_dim]."""
-    return clip.apply(params["clip"], tokens, cfg.clip, dtype=cfg.compute_dtype)
+    """tokens [B, T] -> prompt embeddings.
+
+    SD1.x/2.x: [B, T, context_dim] final(-ish)-layer hidden states.
+
+    SDXL (cfg.clip2 set): the two towers' penultimate hidden states
+    concatenate to [B, T, 2048], and tower 2's pooled+projected embedding
+    is PACKED as one extra trailing row (zero-padded to the context
+    width) -> [B, T+1, 2048]. One array therefore carries the complete
+    text conditioning through every serving path (batch stacking,
+    per-sample negative prompts, data-axis sharding) unchanged;
+    `_unpack_context` splits it again at the UNet boundary. The eot id
+    for pooling is vocab_size-1 (the CLIP BPE endoftext convention)."""
+    if cfg.clip2 is None:
+        return clip.apply(params["clip"], tokens, cfg.clip,
+                          dtype=cfg.compute_dtype)
+    dt = cfg.compute_dtype
+    h1, _ = clip.apply_xl(params["clip"], tokens, cfg.clip,
+                          cfg.clip.vocab_size - 1, dtype=dt)
+    h2, pooled = clip.apply_xl(params["clip2"], tokens, cfg.clip2,
+                               cfg.clip2.vocab_size - 1, dtype=dt)
+    ctx = jnp.concatenate([h1, h2], axis=-1)
+    row = jnp.zeros((ctx.shape[0], 1, ctx.shape[-1]), dt)
+    row = row.at[:, 0, : pooled.shape[-1]].set(pooled.astype(dt))
+    return jnp.concatenate([ctx, row], axis=1)
+
+
+def _unpack_context(context, cfg: PipelineConfig):
+    """Packed text conditioning -> (cross-attn context, pooled or None)."""
+    if cfg.clip2 is None:
+        return context, None
+    return (context[:, :-1, :],
+            context[:, -1, : cfg.clip2.projection])
+
+
+def _add_embedding(params, pooled, cfg: PipelineConfig):
+    """SDXL additive conditioning: pooled [CB, P] + static txt2img
+    microcond fourier block -> [CB, time_embed_dim] (added to every
+    step's time embedding)."""
+    fdim = (cfg.unet.adm_in_channels - cfg.clip2.projection) // 6
+    micro = temb.micro_features(cfg, fdim).astype(pooled.dtype)
+    y = jnp.concatenate(
+        [pooled, jnp.broadcast_to(micro[None], (pooled.shape[0],
+                                                micro.shape[0]))], axis=-1)
+    return temb.apply_vec(params["add_mlp"], y, dtype=cfg.compute_dtype)
 
 
 def decode_latents(params, x, cfg: PipelineConfig, kernels: str = "xla"):
@@ -82,6 +124,9 @@ def denoise(
     scan the kept region is replaced with the clean latents exactly."""
     from sdtpu.samplers import NoiseSchedule
 
+    context, pooled = _unpack_context(context, cfg)
+    add_emb = (None if pooled is None
+               else _add_embedding(params, pooled, cfg))
     mod = get_sampler(sampler)
     # start_step > 0 truncates the trajectory: multistep solver history
     # restarts at the first executed step (plan() zeroes the higher-order
@@ -116,6 +161,8 @@ def denoise(
     def predict_eps(x, i):
         """One guided UNet eval at step index `i` (traced or static)."""
         te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
+        if add_emb is not None:  # SDXL pooled/microcond conditioning
+            te = te + add_emb.astype(te.dtype)
         if use_cfg:
             x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
         else:

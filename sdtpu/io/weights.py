@@ -36,26 +36,33 @@ class Rule(NamedTuple):
 # rule generation (mirrors models/*.init loops)
 # ---------------------------------------------------------------------------
 
-def _st_rules(ldm_prefix: str, path: tuple) -> list[Rule]:
-    tb = ldm_prefix + "transformer_blocks.0."
-    return [
+def _st_rules(ldm_prefix: str, path: tuple, depth: int = 1) -> list[Rule]:
+    rules = [
         Rule(ldm_prefix + "norm", path + ("norm",), "norm"),
         Rule(ldm_prefix + "proj_in", path + ("proj_in",), "conv"),
-        Rule(tb + "norm1", path + ("ln1",), "norm"),
-        Rule(tb + "attn1.to_q", path + ("attn1", "q"), "linear"),
-        Rule(tb + "attn1.to_k", path + ("attn1", "k"), "linear"),
-        Rule(tb + "attn1.to_v", path + ("attn1", "v"), "linear"),
-        Rule(tb + "attn1.to_out.0", path + ("attn1", "out"), "linear"),
-        Rule(tb + "norm2", path + ("ln2",), "norm"),
-        Rule(tb + "attn2.to_q", path + ("attn2", "q"), "linear"),
-        Rule(tb + "attn2.to_k", path + ("attn2", "k"), "linear"),
-        Rule(tb + "attn2.to_v", path + ("attn2", "v"), "linear"),
-        Rule(tb + "attn2.to_out.0", path + ("attn2", "out"), "linear"),
-        Rule(tb + "norm3", path + ("ln3",), "norm"),
-        Rule(tb + "ff.net.0.proj", path + ("ff1",), "linear"),
-        Rule(tb + "ff.net.2", path + ("ff2",), "linear"),
-        Rule(ldm_prefix + "proj_out", path + ("proj_out",), "conv"),
     ]
+    for d in range(depth):
+        tb = ldm_prefix + f"transformer_blocks.{d}."
+        # depth 1 keeps the basic-block leaves flat (SD1.x/2.x layout);
+        # depth > 1 nests them (SDXL — models/unet._init_transformer)
+        bp = path if depth == 1 else path + ("blocks", d)
+        rules += [
+            Rule(tb + "norm1", bp + ("ln1",), "norm"),
+            Rule(tb + "attn1.to_q", bp + ("attn1", "q"), "linear"),
+            Rule(tb + "attn1.to_k", bp + ("attn1", "k"), "linear"),
+            Rule(tb + "attn1.to_v", bp + ("attn1", "v"), "linear"),
+            Rule(tb + "attn1.to_out.0", bp + ("attn1", "out"), "linear"),
+            Rule(tb + "norm2", bp + ("ln2",), "norm"),
+            Rule(tb + "attn2.to_q", bp + ("attn2", "q"), "linear"),
+            Rule(tb + "attn2.to_k", bp + ("attn2", "k"), "linear"),
+            Rule(tb + "attn2.to_v", bp + ("attn2", "v"), "linear"),
+            Rule(tb + "attn2.to_out.0", bp + ("attn2", "out"), "linear"),
+            Rule(tb + "norm3", bp + ("ln3",), "norm"),
+            Rule(tb + "ff.net.0.proj", bp + ("ff1",), "linear"),
+            Rule(tb + "ff.net.2", bp + ("ff2",), "linear"),
+        ]
+    rules.append(Rule(ldm_prefix + "proj_out", path + ("proj_out",), "conv"))
+    return rules
 
 
 def _res_rules(ldm_prefix: str, path: tuple, has_skip: bool) -> list[Rule]:
@@ -91,7 +98,8 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
                                 has_skip=cur != out_ch)
             cur = out_ch
             if lvl in u.attn_levels:
-                rules += _st_rules(f"{pre}input_blocks.{idx}.1.", p + ("st",))
+                rules += _st_rules(f"{pre}input_blocks.{idx}.1.", p + ("st",),
+                                   depth=u.depth_at(lvl))
             skip_chs.append(cur)
             idx += 1
         if lvl != len(u.channel_mult) - 1:
@@ -101,7 +109,8 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
             idx += 1
 
     rules += _res_rules(pre + "middle_block.0.", ("unet", "mid", "res1"), False)
-    rules += _st_rules(pre + "middle_block.1.", ("unet", "mid", "st"))
+    rules += _st_rules(pre + "middle_block.1.", ("unet", "mid", "st"),
+                       depth=u.depth_at(len(u.channel_mult) - 1))
     rules += _res_rules(pre + "middle_block.2.", ("unet", "mid", "res2"), False)
 
     idx = 0
@@ -115,7 +124,8 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
             cur = out_ch
             comp = 1
             if lvl in u.attn_levels:
-                rules += _st_rules(f"{pre}output_blocks.{idx}.{comp}.", p + ("st",))
+                rules += _st_rules(f"{pre}output_blocks.{idx}.{comp}.",
+                                   p + ("st",), depth=u.depth_at(lvl))
                 comp += 1
             if b == u.num_res_blocks and lvl != 0:
                 rules.append(Rule(
@@ -128,11 +138,18 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
         Rule(pre + "out.0", ("unet", "out_norm"), "norm"),
         Rule(pre + "out.2", ("unet", "conv_out"), "conv"),
     ]
+    if u.adm_in_channels:
+        # SDXL pooled/microcond MLP (sgm names it label_emb)
+        rules += [
+            Rule(pre + "label_emb.0.0", ("add_mlp", "fc0"), "linear"),
+            Rule(pre + "label_emb.0.2", ("add_mlp", "fc1"), "linear"),
+        ]
     return rules
 
 
-def clip_rules(cfg: PipelineConfig) -> list[Rule]:
-    pre = "cond_stage_model.transformer.text_model."
+def clip_rules(cfg: PipelineConfig,
+               pre: str = "cond_stage_model.transformer.text_model.",
+               ) -> list[Rule]:
     rules = [
         Rule(pre + "embeddings.token_embedding", ("clip", "token_embedding"),
              "embed"),
@@ -254,15 +271,23 @@ def all_rules(cfg: PipelineConfig, include_clip: bool = True) -> list[Rule]:
 # ---------------------------------------------------------------------------
 
 OPENCLIP_PREFIX = "cond_stage_model.model."
+#: SDXL checkpoint tower prefixes (sgm conditioner layout)
+XL_CLIP_PREFIX = "conditioner.embedders.0.transformer.text_model."
+XL_CLIP2_PREFIX = "conditioner.embedders.1.model."
 
 
-def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig) -> dict:
-    """SD 2.x LDM keys (OpenCLIP naming, fused in_proj qkv) -> our clip tree.
+def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig,
+                          pre: str = OPENCLIP_PREFIX, ccfg=None) -> dict:
+    """SD 2.x / SDXL LDM keys (OpenCLIP naming, fused in_proj qkv) -> our
+    clip tree. ``ccfg`` selects which tower config to read (default
+    cfg.clip; SDXL passes cfg.clip2 with the embedders.1 prefix — its
+    ``text_projection`` maps to our pooled-projection leaf ``text_proj``).
 
-    Checkpoints carry the full 24-block tower; cfg.clip.layers selects how
-    many to load (SD2 consumes the penultimate layer, so SD21 uses 23)."""
-    pre = OPENCLIP_PREFIX
-    d = cfg.clip.hidden
+    Checkpoints carry the full tower; ccfg.layers selects how many blocks
+    to load (SD2 consumes the penultimate layer, so SD21 uses 23; SDXL
+    loads all 32 bigG blocks — apply_xl taps the penultimate itself)."""
+    ccfg = ccfg or cfg.clip
+    d = ccfg.hidden
 
     def t(name):
         return np.asarray(tensors[pre + name], np.float32)
@@ -273,7 +298,10 @@ def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig) -> dict:
         "final_ln": {"scale": t("ln_final.weight"), "bias": t("ln_final.bias")},
         "blocks": [],
     }
-    for i in range(cfg.clip.layers):
+    if ccfg.projection and pre + "text_projection" in tensors:
+        # OpenCLIP stores text_projection as [d, proj], used as x @ W
+        params["text_proj"] = t("text_projection")
+    for i in range(ccfg.layers):
         b = f"transformer.resblocks.{i}."
         in_w = t(b + "attn.in_proj_weight")   # [3d, d] torch layout
         in_b = t(b + "attn.in_proj_bias")     # [3d]
@@ -295,9 +323,9 @@ def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig) -> dict:
     return params
 
 
-def tree_to_openclip_text(clip_params, cfg: PipelineConfig) -> dict:
+def tree_to_openclip_text(clip_params, cfg: PipelineConfig,
+                          pre: str = OPENCLIP_PREFIX) -> dict:
     """Inverse of openclip_text_to_tree (round-trip tests / export)."""
-    pre = OPENCLIP_PREFIX
     out = {
         pre + "token_embedding.weight": np.asarray(
             clip_params["token_embedding"], np.float32),
@@ -308,6 +336,9 @@ def tree_to_openclip_text(clip_params, cfg: PipelineConfig) -> dict:
         pre + "ln_final.bias": np.asarray(
             clip_params["final_ln"]["bias"], np.float32),
     }
+    if "text_proj" in clip_params:
+        out[pre + "text_projection"] = np.asarray(
+            clip_params["text_proj"], np.float32)
     for i, blk in enumerate(clip_params["blocks"]):
         b = f"{pre}transformer.resblocks.{i}."
         qw = np.asarray(blk["q"]["w"], np.float32).T
@@ -395,12 +426,23 @@ def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True)
     Auto-detects the text-tower format: SD 1.x checkpoints use HF-CLIP naming
     (``cond_stage_model.transformer.*``), SD 2.x use OpenCLIP naming
     (``cond_stage_model.model.*`` with fused in_proj qkv)."""
-    openclip = any(k.startswith(OPENCLIP_PREFIX) for k in tensors)
     params: dict = {}
-    if openclip:
-        params["clip"] = openclip_text_to_tree(tensors, cfg)
+    rules = None
+    if cfg.clip2 is not None:
+        # SDXL checkpoint layout: tower 1 is HF-CLIP naming under
+        # conditioner.embedders.0, tower 2 OpenCLIP naming (fused qkv +
+        # text_projection) under conditioner.embedders.1
+        params["clip2"] = openclip_text_to_tree(
+            tensors, cfg, pre=XL_CLIP2_PREFIX, ccfg=cfg.clip2)
+        rules = (unet_rules(cfg) + vae_rules(cfg)
+                 + clip_rules(cfg, pre=XL_CLIP_PREFIX))
+    else:
+        openclip = any(k.startswith(OPENCLIP_PREFIX) for k in tensors)
+        if openclip:
+            params["clip"] = openclip_text_to_tree(tensors, cfg)
+        rules = all_rules(cfg, include_clip=not openclip)
     missing = []
-    for rule in all_rules(cfg, include_clip=not openclip):
+    for rule in rules:
         for ldm_suffix, ours in _SUFFIX[rule.kind]:
             key = f"{rule.ldm}.{ldm_suffix}"
             if key not in tensors:
@@ -424,7 +466,14 @@ def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True)
 def params_to_ldm(params, cfg: PipelineConfig) -> dict:
     """Inverse mapping (export / round-trip tests)."""
     out = {}
-    for rule in all_rules(cfg):
+    if cfg.clip2 is not None:
+        out.update(tree_to_openclip_text(params["clip2"], cfg,
+                                         pre=XL_CLIP2_PREFIX))
+        rules = (unet_rules(cfg) + vae_rules(cfg)
+                 + clip_rules(cfg, pre=XL_CLIP_PREFIX))
+    else:
+        rules = all_rules(cfg)
+    for rule in rules:
         node = _tree_get(params, rule.path)
         for ldm_suffix, ours in _SUFFIX[rule.kind]:
             if ours is not None and ours not in node:

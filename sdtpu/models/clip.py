@@ -25,7 +25,7 @@ from sdtpu.models.layers import (
 
 
 def init(key, cfg: CLIPConfig):
-    keys = jax.random.split(key, 2 + cfg.layers)
+    keys = jax.random.split(key, 3 + cfg.layers)
     d = cfg.hidden
     params = {
         "token_embedding": jax.random.normal(keys[0], (cfg.vocab_size, d)) * 0.02,
@@ -33,6 +33,10 @@ def init(key, cfg: CLIPConfig):
         "final_ln": init_norm(d),
         "blocks": [],
     }
+    if cfg.projection:
+        # pooled-embedding projection (SDXL bigG: eot hidden -> 1280)
+        params["text_proj"] = jax.random.normal(
+            keys[2], (d, cfg.projection)) * (d ** -0.5)
     for i in range(cfg.layers):
         ks = jax.random.split(keys[2 + i], 6)
         params["blocks"].append(
@@ -81,6 +85,40 @@ def apply(params, tokens, cfg: CLIPConfig, dtype=jnp.float32):
     for blk in blocks:
         x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True, act=act)
     return layer_norm(params["final_ln"], x, cfg.eps)
+
+
+def apply_xl(params, tokens, cfg: CLIPConfig, eot_id: int,
+             dtype=jnp.float32):
+    """SDXL text-tower tap: ``(hidden, pooled)``.
+
+    ``hidden`` is the PENULTIMATE block's output WITHOUT the final layer
+    norm (the sgm ``layer="hidden"/"penultimate"`` convention both SDXL
+    towers use for the cross-attention context — unlike SD2.1, which norms
+    its penultimate tap). ``pooled`` runs the full stack + final LN, takes
+    the first-eot hidden state and projects it with ``text_proj``
+    (OpenCLIP's contrastive pooling); None when the config has no
+    projection (the CLIP-L tower — only bigG's pooled output conditions
+    the XL UNet)."""
+    import jax.nn
+
+    act = quick_gelu if cfg.act == "quick_gelu" else (
+        lambda h: jax.nn.gelu(h, approximate=False))
+    x = params["token_embedding"][tokens].astype(dtype)
+    x = x + params["position_embedding"][: tokens.shape[-1]].astype(dtype)
+    for blk in params["blocks"][:-1]:
+        x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True, act=act)
+    hidden = x
+    if "text_proj" not in params:
+        return hidden, None
+    x = _encoder_block(params["blocks"][-1], x, cfg.heads, cfg.eps,
+                       causal=True, act=act)
+    x = layer_norm(params["final_ln"], x, cfg.eps)
+    eot_pos = jnp.argmax((tokens == eot_id).astype(jnp.int32), axis=-1)
+    pooled = jnp.take_along_axis(
+        x, eot_pos[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    pooled = jnp.dot(pooled, params["text_proj"].astype(pooled.dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return hidden, pooled
 
 
 # ---------------------------------------------------------------------------

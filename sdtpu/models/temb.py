@@ -33,3 +33,34 @@ def apply(params, t, cfg: UNetConfig, dtype=None):
         feats = feats.astype(dtype)
     h = dense(params["fc0"], feats)
     return dense(params["fc1"], silu(h))
+
+
+def init_add(key, cfg: UNetConfig):
+    """SDXL additive-conditioning MLP (``add_embedding``): the pooled text
+    embedding + size/crop microcond fourier vector (adm_in_channels wide)
+    through the same Linear -> SiLU -> Linear shape as the time MLP; its
+    output ADDS to the per-step time embedding."""
+    k0, k1 = jax.random.split(key)
+    return {
+        "fc0": init_dense(k0, cfg.adm_in_channels, cfg.time_embed_dim),
+        "fc1": init_dense(k1, cfg.time_embed_dim, cfg.time_embed_dim),
+    }
+
+
+def apply_vec(params, y, dtype=None):
+    """y: [..., adm_in_channels] conditioning vector -> [..., temb_dim]."""
+    if dtype is not None:
+        y = y.astype(dtype)
+    return dense(params["fc1"], silu(dense(params["fc0"], y)))
+
+
+def micro_features(cfg, fourier_dim: int):
+    """The static txt2img microcond fourier block: sinusoidal features of
+    (original_h, original_w, crop_top, crop_left, target_h, target_w) =
+    (H, W, 0, 0, H, W), flattened — constant per pipeline config, computed
+    once at trace time and concatenated after the pooled embedding."""
+    import jax.numpy as jnp
+
+    s = float(cfg.image_size)
+    vals = jnp.asarray([s, s, 0.0, 0.0, s, s], jnp.float32)
+    return timestep_features(vals, fourier_dim).reshape(-1)

@@ -58,30 +58,49 @@ def _init_resblock(key, c_in, c_out, temb_dim, zero_init_outs=True):
     return p
 
 
-def _init_transformer(key, c, ctx_dim, zero_init_outs=True):
-    ks = jax.random.split(key, 12)
+def _init_basic(key, c, ctx_dim):
+    """One attn1/attn2/GEGLU-ff transformer block (the depth unit)."""
+    ks = jax.random.split(key, 11)
     return {
-        "norm": init_norm(c),
-        "proj_in": init_conv(ks[0], 1, c, c),
         "ln1": init_norm(c),
         "attn1": {
-            "q": init_dense(ks[1], c, c, bias=False),
-            "k": init_dense(ks[2], c, c, bias=False),
-            "v": init_dense(ks[3], c, c, bias=False),
-            "out": init_dense(ks[4], c, c),
+            "q": init_dense(ks[0], c, c, bias=False),
+            "k": init_dense(ks[1], c, c, bias=False),
+            "v": init_dense(ks[2], c, c, bias=False),
+            "out": init_dense(ks[3], c, c),
         },
         "ln2": init_norm(c),
         "attn2": {
-            "q": init_dense(ks[5], c, c, bias=False),
-            "k": init_dense(ks[6], ctx_dim, c, bias=False),
-            "v": init_dense(ks[7], ctx_dim, c, bias=False),
-            "out": init_dense(ks[8], c, c),
+            "q": init_dense(ks[4], c, c, bias=False),
+            "k": init_dense(ks[5], ctx_dim, c, bias=False),
+            "v": init_dense(ks[6], ctx_dim, c, bias=False),
+            "out": init_dense(ks[7], c, c),
         },
         "ln3": init_norm(c),
-        "ff1": init_dense(ks[9], c, c * 8),       # GEGLU: produces 2 x 4c
-        "ff2": init_dense(ks[10], c * 4, c),
-        "proj_out": init_conv(ks[11], 1, c, c, zero_init=zero_init_outs),
+        "ff1": init_dense(ks[8], c, c * 8),       # GEGLU: produces 2 x 4c
+        "ff2": init_dense(ks[9], c * 4, c),
     }
+
+
+def _init_transformer(key, c, ctx_dim, zero_init_outs=True, depth=1):
+    """Spatial transformer: GN + proj_in, ``depth`` basic blocks, proj_out.
+
+    depth == 1 keeps the historical FLAT layout (basic-block leaves live
+    directly in this dict) so SD1.x/2.x checkpoints, LoRA site paths, and
+    PTQ walks are unchanged; depth > 1 (SDXL) nests them under
+    ``blocks``."""
+    ks = jax.random.split(key, depth + 3)
+    p = {
+        "norm": init_norm(c),
+        "proj_in": init_conv(ks[0], 1, c, c),
+        "proj_out": init_conv(ks[1], 1, c, c, zero_init=zero_init_outs),
+    }
+    if depth == 1:
+        p.update(_init_basic(ks[2], c, ctx_dim))
+    else:
+        p["blocks"] = [_init_basic(ks[2 + i], c, ctx_dim)
+                       for i in range(depth)]
+    return p
 
 
 def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
@@ -108,7 +127,8 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
             cur = out_ch
             if lvl in cfg.attn_levels:
                 blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
-                                              zero_init_outs)
+                                              zero_init_outs,
+                                              depth=cfg.depth_at(lvl))
             blocks.append(blk)
             skip_chs.append(cur)
         level = {"blocks": blocks}
@@ -122,7 +142,8 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
         "res1": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim,
                                zero_init_outs),
         "st": _init_transformer(next(keys), cur, cfg.context_dim,
-                                zero_init_outs),
+                                zero_init_outs,
+                                depth=cfg.depth_at(len(cfg.channel_mult) - 1)),
         "res2": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim,
                                zero_init_outs),
     }
@@ -142,7 +163,8 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
             cur = out_ch
             if lvl in cfg.attn_levels:
                 blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
-                                              zero_init_outs)
+                                              zero_init_outs,
+                                              depth=cfg.depth_at(lvl))
             blocks.append(blk)
         level = {"blocks": blocks}
         if lvl != 0:
@@ -235,6 +257,17 @@ def _transformer(p, x, context, heads, groups, kernels):
         h = conv2d(p["proj_in"], h, padding=0)
     h = h.reshape(b, hh * ww, c)
 
+    # depth > 1 (SDXL) nests the basic blocks under "blocks"; depth 1 keeps
+    # them flat in p (SD1.x/2.x checkpoint layout)
+    for blk in p.get("blocks", (p,)):
+        h = _basic_block(blk, h, context, heads, attn_kernel)
+
+    h = h.reshape(b, hh, ww, c)
+    return x + conv2d(p["proj_out"], h, padding=0)
+
+
+def _basic_block(p, h, context, heads, attn_kernel):
+    """attn1 (self) -> attn2 (cross) -> GEGLU ff, each with a residual."""
     a = p["attn1"]
     hn = _ln(p["ln1"], h)
     if "qkv" in a:  # fused projection (io.params.fuse_attention_projections)
@@ -250,10 +283,7 @@ def _transformer(p, x, context, heads, groups, kernels):
         k, v = dense(a["k"], context), dense(a["v"], context)
     h = h + dense(a["out"], sdpa(dense(a["q"], hn), k, v, heads, attn_kernel))
     hn = _ln(p["ln3"], h)
-    h = h + dense(p["ff2"], geglu(p["ff1"], hn))
-
-    h = h.reshape(b, hh, ww, c)
-    return x + conv2d(p["proj_out"], h, padding=0)
+    return h + dense(p["ff2"], geglu(p["ff1"], hn))
 
 
 def _ln(p, x):

@@ -115,10 +115,22 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     s = jnp.sqrt(1.0 - abar[t_idx])[:, None, None, None]
     x_t = a * x0 + s * eps
 
-    ctx = clip.apply(frozen["clip"], batch["tokens"], cfg.clip,
-                     dtype=cfg.compute_dtype)
+    if cfg.clip2 is None:
+        ctx = clip.apply(frozen["clip"], batch["tokens"], cfg.clip,
+                         dtype=cfg.compute_dtype)
+        pooled = None
+    else:
+        # SDXL: dual-tower packed conditioning (engine.pipeline convention)
+        from sdtpu.engine import pipeline as pl
+
+        packed = pl.encode_text(frozen, batch["tokens"], cfg)
+        ctx, pooled = pl._unpack_context(packed, cfg)
     te = temb.apply(frozen["temb"], t_idx.astype(jnp.float32), cfg.unet,
                     dtype=cfg.compute_dtype)
+    if pooled is not None:
+        from sdtpu.engine import pipeline as pl
+
+        te = te + pl._add_embedding(frozen, pooled, cfg).astype(te.dtype)
 
     apply = unet.apply
     if remat:

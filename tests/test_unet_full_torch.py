@@ -59,13 +59,12 @@ class ResBlockT(torch.nn.Module):
         return (self.skip(x) if self.skip else x) + h
 
 
-class STBlockT(torch.nn.Module):
-    def __init__(self, p, heads, groups):
+class BasicT(torch.nn.Module):
+    """One attn1/attn2/GEGLU block (the depth unit; SDXL stacks several)."""
+
+    def __init__(self, p, heads):
         super().__init__()
         self.h = heads
-        self.g = groups
-        self.ns, self.nb = j2t(p["norm"]["scale"]), j2t(p["norm"]["bias"])
-        self.proj_in = conv_t(p["proj_in"])
         self.ln1 = (j2t(p["ln1"]["scale"]), j2t(p["ln1"]["bias"]))
         self.q1, self.k1, self.v1 = (lin_t(p["attn1"][k]) for k in "qkv")
         self.o1 = lin_t(p["attn1"]["out"])
@@ -75,7 +74,6 @@ class STBlockT(torch.nn.Module):
         self.ln3 = (j2t(p["ln3"]["scale"]), j2t(p["ln3"]["bias"]))
         self.ff1 = lin_t(p["ff1"])
         self.ff2 = lin_t(p["ff2"])
-        self.proj_out = conv_t(p["proj_out"])
 
     def _attn(self, q, k, v):
         F = torch.nn.functional
@@ -87,18 +85,37 @@ class STBlockT(torch.nn.Module):
         return (F.scaled_dot_product_attention(q, k, v)
                 .transpose(1, 2).reshape(b, tq, c))
 
-    def forward(self, x, ctx):
+    def forward(self, h, ctx):
         F = torch.nn.functional
-        b, c, hh, ww = x.shape
-        h = self.proj_in(F.group_norm(x, self.g, self.ns, self.nb, eps=1e-6))
-        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        c = h.shape[-1]
         hn = F.layer_norm(h, (c,), *self.ln1)
         h = h + self.o1(self._attn(self.q1(hn), self.k1(hn), self.v1(hn)))
         hn = F.layer_norm(h, (c,), *self.ln2)
         h = h + self.o2(self._attn(self.q2(hn), self.k2(ctx), self.v2(ctx)))
         hn = F.layer_norm(h, (c,), *self.ln3)
         a, g = self.ff1(hn).chunk(2, dim=-1)
-        h = h + self.ff2(a * F.gelu(g))
+        return h + self.ff2(a * F.gelu(g))
+
+
+class STBlockT(torch.nn.Module):
+    def __init__(self, p, heads, groups):
+        super().__init__()
+        self.g = groups
+        self.ns, self.nb = j2t(p["norm"]["scale"]), j2t(p["norm"]["bias"])
+        self.proj_in = conv_t(p["proj_in"])
+        # depth > 1 (SDXL layout) nests basic blocks; depth 1 is flat
+        self.blocks = torch.nn.ModuleList(
+            [BasicT(b, heads) for b in p["blocks"]] if "blocks" in p
+            else [BasicT(p, heads)])
+        self.proj_out = conv_t(p["proj_out"])
+
+    def forward(self, x, ctx):
+        F = torch.nn.functional
+        b, c, hh, ww = x.shape
+        h = self.proj_in(F.group_norm(x, self.g, self.ns, self.nb, eps=1e-6))
+        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        for blk in self.blocks:
+            h = blk(h, ctx)
         h = h.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
         return x + self.proj_out(h)
 
@@ -113,7 +130,7 @@ class UNetT(torch.nn.Module):
         for level in params["down"]:
             blocks = [
                 (ResBlockT(b["res"], cfg.groups),
-                 STBlockT(b["st"], _heads(cfg, b["st"]["ln1"]["scale"].shape[0]),
+                 STBlockT(b["st"], _heads(cfg, b["st"]["norm"]["scale"].shape[0]),
                           cfg.groups)
                  if "st" in b else None)
                 for b in level["blocks"]
@@ -122,14 +139,14 @@ class UNetT(torch.nn.Module):
                 (blocks, conv_t(level["down"]) if "down" in level else None))
         m = params["mid"]
         self.mid = (ResBlockT(m["res1"], cfg.groups),
-                    STBlockT(m["st"], _heads(cfg, m["st"]["ln1"]["scale"].shape[0]),
+                    STBlockT(m["st"], _heads(cfg, m["st"]["norm"]["scale"].shape[0]),
                              cfg.groups),
                     ResBlockT(m["res2"], cfg.groups))
         self.up = []
         for level in params["up"]:
             blocks = [
                 (ResBlockT(b["res"], cfg.groups),
-                 STBlockT(b["st"], _heads(cfg, b["st"]["ln1"]["scale"].shape[0]),
+                 STBlockT(b["st"], _heads(cfg, b["st"]["norm"]["scale"].shape[0]),
                           cfg.groups)
                  if "st" in b else None)
                 for b in level["blocks"]
