@@ -190,9 +190,14 @@ class Context:
             if self.model_dir is None:
                 self.logger.info("no model_dir: random-init demo weights")
                 # one jitted program: a single device dispatch instead of
-                # hundreds of tiny init ops (matters over remote backends)
+                # hundreds of tiny init ops (matters over remote backends).
+                # The compute-dtype cast happens INSIDE the program so the
+                # f32 intermediates die per-leaf — casting the whole tree
+                # afterwards would hold f32 + bf16 copies simultaneously
+                # (~15.6 GB at SDXL scale, an OOM on one 16 GB chip)
                 params = jax.jit(
-                    lambda k: init_pipeline_params(k, self.cfg)
+                    lambda k: cast_params(init_pipeline_params(k, self.cfg),
+                                          self.cfg.compute_dtype)
                 )(jax.random.PRNGKey(0))
             else:
                 from sdtpu.io.orbax_ckpt import is_orbax_checkpoint, load_checkpoint

@@ -177,3 +177,28 @@ def test_spatial_sharding_matches_single_device(params):
     a = np.asarray(single, np.int32)
     b = np.asarray(sharded, np.int32)
     assert np.abs(a - b).max() <= 1, f"max LSB diff {np.abs(a-b).max()}"
+
+
+def test_xl_context_with_mesh_matches_single_device():
+    """SDXL topology on the (2,4) virtual mesh: the packed-conditioning
+    row (pooled embedding as a trailing context row) must ride the
+    data-sharded token axis untouched, and the name-based TP rules must
+    shard the depth-nested XL transformer blocks — images match the
+    single-device context to 1 uint8 LSB."""
+    import sdtpu
+
+    ctx1 = sdtpu.Context(config="tiny_xl", steps=3)
+    ctx8 = sdtpu.Context(config="tiny_xl", steps=3, mesh=(2, 4))
+    prompts = ["the horse", "a photograph"]
+    a = ctx1.generate(prompts, guidance=7.5, seed=4)
+    b = ctx8.generate(prompts, guidance=7.5, seed=4)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # the XL nested-block kernels actually got a TP spec (not replicated)
+    from sdtpu.parallel.sharding import param_pspecs
+
+    specs = param_pspecs(ctx8.params, 4)
+    l1 = specs["unet"]["down"][1]["blocks"][0]["st"]["blocks"][0]
+    from jax.sharding import PartitionSpec as P
+
+    assert l1["attn1"]["q"]["w"] == P(None, "model")
+    assert l1["attn1"]["out"]["w"] == P("model", None)
