@@ -16,6 +16,11 @@ import numpy as np
 
 DEFAULT_PROMPT = "a photograph of an astronaut riding a horse"
 
+# literal copy of sorted(sdtpu.samplers.SAMPLERS): argparse must not force
+# the jax import at --help time (tests pin the two lists equal)
+SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "euler", "euler_a", "plms",
+                   "plms_exact", "unipc"]
+
 
 def _select_platform(name: str) -> None:
     if name == "auto":
@@ -42,6 +47,11 @@ def _cmd_generate(args) -> int:
         size=args.size,
         lora=args.lora,
     )
+    if args.controlnet:
+        # --controlnet [name=]path (or "random" for demo weights)
+        for spec in args.controlnet:
+            name, _, src = spec.rpartition("=")
+            ctx.load_controlnet(name or "default", src or spec)
     t0 = time.perf_counter()
     if args.init_image:
         from PIL import Image
@@ -58,6 +68,15 @@ def _cmd_generate(args) -> int:
                               strength=args.strength or 0.6,
                               guidance=args.guidance, seed=args.seed,
                               negative_prompt=args.negative_prompt)
+    elif args.control_image:
+        from PIL import Image
+
+        hint = np.asarray(Image.open(args.control_image).convert("RGB"))
+        img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
+                           negative_prompt=args.negative_prompt,
+                           control_image=hint,
+                           control=args.control or None,
+                           control_scale=args.control_scale)
     else:
         img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
                            negative_prompt=args.negative_prompt)
@@ -347,7 +366,7 @@ def main(argv=None) -> int:
                         "requires --init-image")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
-    g.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
+    g.add_argument("--sampler", default="dpm", choices=SAMPLER_CHOICES)
     g.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     g.add_argument("--model-dir", default=None,
                    help="weights dir (omit for random-init demo)")
@@ -361,6 +380,18 @@ def main(argv=None) -> int:
     g.add_argument("--lora", default=None,
                    help="LoRA adapter .npz (sdtpu.train.lora) applied to "
                         "the UNet")
+    g.add_argument("--controlnet", action="append", default=None,
+                   metavar="[NAME=]PATH",
+                   help="register a ControlNet (LDM control_model.* "
+                        "safetensors, or 'random' for demo weights); "
+                        "repeatable")
+    g.add_argument("--control-image", default=None,
+                   help="ControlNet conditioning image (png/jpg at the "
+                        "output size); requires --controlnet")
+    g.add_argument("--control", default=None,
+                   help="ControlNet name to use (default: the only one "
+                        "loaded)")
+    g.add_argument("--control-scale", type=float, default=1.0)
     g.add_argument("--log-level", type=int, default=2,
                    help="0=nothing .. 4=abusive")
     g.add_argument("--platform", default="auto",
@@ -424,7 +455,7 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--config", default="sd15", choices=sorted(CONFIGS))
     sv.add_argument("--steps", type=int, default=20)
-    sv.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms", "plms_exact"])
+    sv.add_argument("--sampler", default="dpm", choices=SAMPLER_CHOICES)
     sv.add_argument("--model-dir", default=None)
     sv.add_argument("--mesh", default=None,
                     help="multi-chip serving mesh as 'data,model' (e.g. 2,4)")

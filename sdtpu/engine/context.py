@@ -87,6 +87,7 @@ class Context:
         self._adapters: dict[str, dict] = {}
         self._lora_params: dict[str, dict] = {}   # adapter name -> overlay
         self._lora_default: Optional[str] = None
+        self._controlnets: dict[str, dict] = {}   # name -> controlnet tree
         self.mesh = None
         if mesh is not None:
             # multi-chip serving: (data, model) mesh — DP over the prompt
@@ -330,6 +331,83 @@ class Context:
     def lora_names(self) -> list[str]:
         return sorted(self._adapters)
 
+    # ------------------------------------------------------------------
+    # ControlNet registry (spatially-conditioned generation)
+    # ------------------------------------------------------------------
+
+    def load_controlnet(self, name: str, source) -> None:
+        """Register a ControlNet under ``name``. ``source``: a param tree
+        (dict), an LDM ``control_model.*`` safetensors checkpoint path, a
+        native flat-tree safetensors, or the string "random" (demo weights —
+        random zero-convs so the control path visibly acts without trained
+        weights). Select per request via ``generate(control=name,
+        control_image=...)``."""
+        from sdtpu.models import controlnet as cn_mod
+
+        if isinstance(source, dict):
+            cn = source
+        elif source == "random":
+            cn = jax.jit(lambda k: cn_mod.init(
+                k, self.cfg.unet, zero_init_outs=False)
+            )(jax.random.PRNGKey(len(self._controlnets) + 1))
+        else:
+            import safetensors.numpy as st
+
+            from sdtpu.io.weights import (
+                _unflatten_tree,
+                load_controlnet_state_dict,
+            )
+
+            tensors = st.load_file(str(source))
+            if any(k.startswith("control_model.") for k in tensors):
+                cn = load_controlnet_state_dict(tensors, self.cfg)
+            else:
+                cn = _unflatten_tree(tensors)
+        cn = cast_params(cn, self.cfg.compute_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            cn = jax.device_put(cn, NamedSharding(self.mesh, P()))
+        self._controlnets[name] = cn
+        self.logger.info(f"ControlNet {name!r} loaded")
+
+    def controlnet_names(self) -> list[str]:
+        return sorted(self._controlnets)
+
+    def _resolve_control(self, control: Optional[str], control_image):
+        """-> (params-with-controlnet or None, hint array or None)."""
+        if control_image is None:
+            if control:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "control= given without control_image", self.errors)
+            return None, None
+        if control is None:
+            if len(self._controlnets) != 1:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"control adapter name required (loaded: "
+                    f"{sorted(self._controlnets)})", self.errors)
+            control = next(iter(self._controlnets))
+        if control not in self._controlnets:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"unknown ControlNet {control!r}; loaded: "
+                f"{sorted(self._controlnets)}", self.errors)
+        img = np.asarray(control_image)
+        if img.ndim == 3:
+            img = img[None]
+        size = self.cfg.image_size
+        if img.shape[1:3] != (size, size):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"control_image must be {size}x{size}, got "
+                f"{img.shape[1:3]}", self.errors)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        return self._controlnets[control], jnp.asarray(img, jnp.float32)
+
     def _params_for(self, lora: Optional[str]):
         """Resolve the param tree for a request's adapter selection.
 
@@ -403,6 +481,9 @@ class Context:
         negative_prompt: Optional[str] = None,
         out: Optional[np.ndarray] = None,
         lora: Optional[str] = None,
+        control_image=None,
+        control: Optional[str] = None,
+        control_scale: float = 1.0,
     ) -> np.ndarray:
         """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
 
@@ -414,6 +495,12 @@ class Context:
         per call, reproducible stream). `lora`: adapter name from the
         registry (`load_lora`); "" forces the base model, None uses the
         context default.
+
+        ControlNet: `control_image` ([H, W, C] or [B, H, W, C], uint8 or
+        [0, 1] float at the output resolution) conditions generation through
+        the adapter named by `control` (`load_controlnet`; optional when
+        exactly one is loaded), weighted by `control_scale` (traced — no
+        recompile across values).
         """
         with slog.logger_scope(self.logger):
             if self._failed:
@@ -439,11 +526,35 @@ class Context:
             uncond = (self._embed_prompt(negative_prompt)
                       if negative_prompt else self._uncond)
             params = self._params_for(lora)
+            cn, hint = self._resolve_control(control, control_image)
+            if cn is not None:
+                if self.mesh is not None:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        "ControlNet over a mesh is not supported yet",
+                        self.errors)
+                params = dict(params)
+                params["controlnet"] = cn
+                if hint.shape[0] not in (1, len(prompts)):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"control_image batch {hint.shape[0]} != prompt "
+                        f"batch {len(prompts)}", self.errors)
+                if hint.shape[0] == 1 and len(prompts) > 1:
+                    hint = jnp.broadcast_to(
+                        hint, (len(prompts),) + hint.shape[1:])
             fn = self._compiled(len(prompts), use_cfg, params)
-            img = fn(
-                params, tokens, uncond,
-                jax.random.PRNGKey(seed), jnp.float32(guidance),
-            )
+            if cn is not None:
+                img = fn(
+                    params, tokens, uncond,
+                    jax.random.PRNGKey(seed), jnp.float32(guidance),
+                    hint=hint, control_scale=jnp.float32(control_scale),
+                )
+            else:
+                img = fn(
+                    params, tokens, uncond,
+                    jax.random.PRNGKey(seed), jnp.float32(guidance),
+                )
             img = np.asarray(img)
             if isinstance(prompt, str):
                 img = img[0]

@@ -109,9 +109,17 @@ def denoise(
     init_latents=None,
     start_step: int = 0,
     mask=None,
+    hint=None,
+    control_scale=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    ControlNet: pass `hint` [B, H, W, C] (control image, [0, 1] floats) with
+    `params["controlnet"]` present; the hint embedding runs once outside the
+    scan, the encoder copy once per step, and its residuals (scaled by
+    `control_scale`) are added to the UNet skips/mid
+    (sdtpu.models.controlnet).
 
     img2img: pass `init_latents` (clean, scale-factored latents) and
     `start_step` > 0 — they are noised to the start step's marginal and the
@@ -158,6 +166,23 @@ def denoise(
 
     dtype = cfg.compute_dtype
 
+    hint_feat = t_embs_cn = None
+    if hint is not None:
+        from sdtpu.models import controlnet as cn_mod
+
+        cn = params.get("controlnet")
+        if cn is None:
+            raise ValueError("hint given but params has no 'controlnet' tree")
+        factor = hint.shape[1] // cfg.latent_size
+        h_in = hint.astype(dtype)
+        if use_cfg:
+            h_in = jnp.concatenate([h_in, h_in], axis=0)
+        # timestep-independent: embed the control image once, outside the scan
+        hint_feat = cn_mod.embed_hint(cn, h_in, factor)
+        # the ControlNet trains its own time MLP — embed all steps through it
+        t_embs_cn = temb.apply(cn["temb"], plan.model_t, cfg.unet,
+                               dtype=dtype)
+
     def predict_eps(x, i):
         """One guided UNet eval at step index `i` (traced or static)."""
         te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
@@ -167,8 +192,24 @@ def denoise(
             x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
         else:
             x_in = x.astype(dtype)
+        ctrl = None
+        if hint_feat is not None:
+            from sdtpu.models import controlnet as cn_mod
+
+            te_cn = jnp.broadcast_to(
+                t_embs_cn[i], (context.shape[0], t_embs_cn.shape[-1]))
+            if add_emb is not None:
+                te_cn = te_cn + add_emb.astype(te_cn.dtype)
+            dres, mres = cn_mod.apply(
+                params["controlnet"], x_in, hint_feat, te_cn, context,
+                cfg.unet, kernels)
+            s = jnp.asarray(1.0 if control_scale is None else control_scale,
+                            jnp.float32)
+            ctrl = (tuple(r * s.astype(r.dtype) for r in dres),
+                    mres * s.astype(mres.dtype))
         eps = unet.apply(
-            params["unet"], x_in, te, context, cfg.unet, kernels
+            params["unet"], x_in, te, context, cfg.unet, kernels,
+            control=ctrl,
         ).astype(jnp.float32)
         if cfg.prediction == "v":
             # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
@@ -196,21 +237,35 @@ def denoise(
         _, state = mod.step(plan, 0, x_mid, e_t, state)
         start_step = 1
 
+    def _step_noise(i, tag_base):
+        """Per-step standard-normal draw from the request key; per-sample in
+        batched serving so the stream is independent of batch composition."""
+        if key.ndim == 2:
+            return jax.vmap(lambda k: jax.random.normal(
+                jax.random.fold_in(k, tag_base + i), shape[1:],
+                jnp.float32))(key)
+        return jax.random.normal(
+            jax.random.fold_in(key, tag_base + i), shape, jnp.float32)
+
+    needs_noise = getattr(mod, "NEEDS_NOISE", False)
+
     def body(carry, i):
         x, st = carry
         if mask is not None:
             # re-pin the kept region to the init latents at this step's
             # marginal (fresh noise per step keeps its statistics honest)
-            if key.ndim == 2:
-                n_i = jax.vmap(lambda k: jax.random.normal(
-                    jax.random.fold_in(k, i + 1), shape[1:], jnp.float32))(key)
-            else:
-                n_i = jax.random.normal(
-                    jax.random.fold_in(key, i + 1), shape, jnp.float32)
+            n_i = _step_noise(i, 1)
             pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
                       + plan.sigma_s[i] * n_i)
             x = mask * x + (1.0 - mask) * pinned
-        x, st = mod.step(plan, i, x, predict_eps(x, i), st)
+        if needs_noise:
+            # ancestral samplers: a dedicated fold_in tag range, disjoint
+            # from the inpaint pin-noise tags (1..steps) and the VAE
+            # posterior tag (_POSTERIOR_FOLD)
+            x, st = mod.step(plan, i, x, predict_eps(x, i), st,
+                             noise=_step_noise(i, _ANCESTRAL_FOLD))
+        else:
+            x, st = mod.step(plan, i, x, predict_eps(x, i), st)
         return (x, st), None
 
     # unroll=2: exposes cross-step overlap to the latency-hiding scheduler
@@ -237,17 +292,21 @@ def generate(
     steps: int = 20,
     use_cfg: bool = True,
     kernels: str = "xla",
+    hint=None,
+    control_scale=None,
 ):
     """The full prompt->image program (jit this whole function).
 
     tokens: [B, T] int32; uncond_embedding: [T, D] (precomputed once at
     setup); key: PRNG key; guidance: scalar (traced — changing it does not
-    recompile). Returns uint8 [B, H, W, 3].
+    recompile). Optional ControlNet conditioning: `hint` [B, H, W, C] control
+    image + `control_scale` (both traced; params must carry a "controlnet"
+    tree). Returns uint8 [B, H, W, 3].
     """
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
-        kernels,
+        kernels, hint=hint, control_scale=control_scale,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -270,6 +329,10 @@ def _build_context(params, tokens, uncond_embedding, cfg, use_cfg):
 # fold_in tag for the VAE-posterior draw: far outside the per-step inpaint
 # pin-noise tags (fold_in(key, i+1), i < steps), so the streams never collide
 _POSTERIOR_FOLD = 1 << 20
+
+# base tag for ancestral-sampler per-step noise (fold_in(key, base + i)):
+# its own bank above the posterior tag, so none of the three streams collide
+_ANCESTRAL_FOLD = 1 << 21
 
 
 def _encode_init_latents(params, image, cfg, kernels, key=None):

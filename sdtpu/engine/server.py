@@ -6,6 +6,8 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
 
     POST /generate  {"prompt": "...", "guidance": 7.5, "seed": 1,
                      "negative_prompt": "...", "lora": "<adapter name>",
+                     "control_image_b64": <base64 png/jpg>,  # ControlNet
+                     "control": "<controlnet name>", "control_scale": 1.0,
                      "format": "png"|"raw"}
       -> image/png bytes (or application/octet-stream raw uint8 HWC)
     POST /img2img   {..., "image_b64": <base64 png/jpg>, "strength": 0.6}
@@ -209,6 +211,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 "sampler": ctx.sampler,
                 "max_batch": batcher.max_batch,
                 "lora_adapters": ctx.lora_names(),
+                "controlnets": ctx.controlnet_names(),
             })
 
         def do_POST(self):
@@ -236,6 +239,20 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     return self._json(400, {"error": "'lora' must be a "
                                                      "string adapter name"})
                 if self.path == "/generate":
+                    if "control_image_b64" in req:
+                        # ControlNet conditioning: serialized through the
+                        # device lock (like inpaint — per-request hint
+                        # tensors don't batch across requests)
+                        hint = _decode_image(req["control_image_b64"])
+                        with lock:
+                            img = ctx.generate(
+                                prompt, guidance=guidance, seed=seed,
+                                negative_prompt=neg, lora=lora,
+                                control_image=hint,
+                                control=req.get("control"),
+                                control_scale=float(
+                                    req.get("control_scale", 1.0)))
+                        return self._image(img, fmt)
                     # grouped by adapter: same-adapter requests share one
                     # compiled call (the adapter changes the UNet weights)
                     img = batcher.submit({

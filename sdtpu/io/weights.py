@@ -266,6 +266,94 @@ def all_rules(cfg: PipelineConfig, include_clip: bool = True) -> list[Rule]:
     return rules
 
 
+def controlnet_rules(cfg: PipelineConfig,
+                     pre: str = "control_model.") -> list[Rule]:
+    """LDM ControlNet checkpoint keys (``control_model.*``) -> the
+    sdtpu.models.controlnet param tree (paths relative to the CN tree root).
+    The encoder section mirrors unet_rules' input/middle loops; on top:
+    ``input_hint_block`` (convs at even submodule indices — odd are SiLUs),
+    ``zero_convs.N.0`` (one per skip, push order) and ``middle_block_out.0``."""
+    u = cfg.unet
+    rules = [
+        Rule(pre + "time_embed.0", ("temb", "fc0"), "linear"),
+        Rule(pre + "time_embed.2", ("temb", "fc1"), "linear"),
+        Rule(pre + "input_blocks.0.0", ("conv_in",), "conv"),
+    ]
+    for k in range(8):  # 7 body convs + the zero projection
+        rules.append(Rule(f"{pre}input_hint_block.{2 * k}",
+                          ("hint", k), "conv"))
+    ch = u.model_channels
+    cur = ch
+    idx = 1
+    z = 0
+    rules.append(Rule(f"{pre}zero_convs.{z}.0", ("zero", z), "conv"))
+    z += 1
+    for lvl, mult in enumerate(u.channel_mult):
+        out_ch = ch * mult
+        for b in range(u.num_res_blocks):
+            p = ("down", lvl, "blocks", b)
+            rules += _res_rules(f"{pre}input_blocks.{idx}.0.", p + ("res",),
+                                has_skip=cur != out_ch)
+            cur = out_ch
+            if lvl in u.attn_levels:
+                rules += _st_rules(f"{pre}input_blocks.{idx}.1.", p + ("st",),
+                                   depth=u.depth_at(lvl))
+            rules.append(Rule(f"{pre}zero_convs.{z}.0", ("zero", z), "conv"))
+            z += 1
+            idx += 1
+        if lvl != len(u.channel_mult) - 1:
+            rules.append(Rule(f"{pre}input_blocks.{idx}.0.op",
+                              ("down", lvl, "down"), "conv"))
+            rules.append(Rule(f"{pre}zero_convs.{z}.0", ("zero", z), "conv"))
+            z += 1
+            idx += 1
+    rules += _res_rules(pre + "middle_block.0.", ("mid", "res1"), False)
+    rules += _st_rules(pre + "middle_block.1.", ("mid", "st"),
+                       depth=u.depth_at(len(u.channel_mult) - 1))
+    rules += _res_rules(pre + "middle_block.2.", ("mid", "res2"), False)
+    rules.append(Rule(pre + "middle_block_out.0", ("zero_mid",), "conv"))
+    return rules
+
+
+def load_controlnet_state_dict(tensors: dict, cfg: PipelineConfig,
+                               strict: bool = True):
+    """LDM-named ControlNet {key: array} -> controlnet param pytree."""
+    params: dict = {}
+    missing = []
+    for rule in controlnet_rules(cfg):
+        for ldm_suffix, ours in _SUFFIX[rule.kind]:
+            key = f"{rule.ldm}.{ldm_suffix}"
+            if key not in tensors:
+                if ldm_suffix == "bias":
+                    continue
+                missing.append(key)
+                continue
+            arr = np.asarray(tensors[key], np.float32)
+            name = ours if ours is not None else None
+            val = _from_ldm(rule.kind, name or "w", arr) if name else arr
+            path = rule.path + ((name,) if name else ())
+            _tree_set(params, path, val)
+    if strict and missing:
+        raise KeyError(
+            f"{len(missing)} ControlNet keys missing, first: {missing[:5]}"
+        )
+    return params
+
+
+def controlnet_to_ldm(params, cfg: PipelineConfig,
+                      pre: str = "control_model.") -> dict:
+    """Inverse mapping (export / round-trip tests)."""
+    out = {}
+    for rule in controlnet_rules(cfg, pre):
+        node = _tree_get(params, rule.path)
+        for ldm_suffix, ours in _SUFFIX[rule.kind]:
+            if ours is not None and ours not in node:
+                continue
+            arr = np.asarray(node[ours] if ours else node, np.float32)
+            out[f"{rule.ldm}.{ldm_suffix}"] = _to_ldm(rule.kind, ours or "w", arr)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # OpenCLIP text tower (SD 2.x checkpoints: cond_stage_model.model.*)
 # ---------------------------------------------------------------------------

@@ -311,12 +311,18 @@ def apply(
     context,
     cfg: UNetConfig,
     kernels: str = "xla",
+    control=None,
 ):
     """x: [B,H,W,C_in]; t_emb: [B, time_embed_dim] (already MLP-embedded by
     sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out].
 
     kernels: 'pallas' uses the fused flash-attention + GroupNorm(+SiLU) TPU
-    kernels (sdtpu.ops); 'xla' is the portable fallback."""
+    kernels (sdtpu.ops); 'xla' is the portable fallback.
+
+    control: optional ``(down_residuals, mid_residual)`` from
+    sdtpu.models.controlnet.apply (already scaled): one residual per skip
+    tensor in push order, added to the skips as the up path consumes them,
+    plus one added to the mid output."""
     # optional W-axis activation sharding of the conv stack (no-op unless a
     # sharded jit was built with spatial=True — see parallel/spatial.py)
     from sdtpu.parallel.spatial import constrain
@@ -335,15 +341,29 @@ def apply(
             h = constrain(conv2d(level["down"], h, stride=2))
             skips.append(h)
 
+    ctrl_down = None
+    if control is not None:
+        ctrl_down, ctrl_mid = control
+        if len(ctrl_down) != len(skips):
+            raise ValueError(
+                f"control residual count {len(ctrl_down)} != skip count "
+                f"{len(skips)}")
+        ctrl_down = list(ctrl_down)
+
     mid = params["mid"]
     h = _resblock(mid["res1"], h, t_emb, g, kernels)
     h = _transformer(mid["st"], h, context, _heads(cfg, h.shape[-1]), g,
                      kernels)
     h = _resblock(mid["res2"], h, t_emb, g, kernels)
+    if control is not None:
+        h = h + ctrl_mid.astype(h.dtype)
 
     for level in params["up"]:
         for blk in level["blocks"]:
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            s = skips.pop()
+            if ctrl_down is not None:
+                s = s + ctrl_down.pop().astype(s.dtype)
+            h = jnp.concatenate([h, s], axis=-1)
             h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,

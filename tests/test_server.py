@@ -327,3 +327,45 @@ def test_lora_per_request_routing(server, tmp_path):
     status, _, body = _post(base + "/generate",
                             {"prompt": "x", "lora": "nope"})
     assert status == 500 and b"nope" in body
+
+
+def test_controlnet_endpoint(server):
+    """/generate with control_image_b64 routes through the ControlNet and
+    matches the direct Context call; healthz advertises the registry."""
+    import base64
+    import io as _io
+
+    import jax
+    from PIL import Image
+
+    from sdtpu.models import controlnet as cn_mod
+
+    ctx, base = server
+    cn = cn_mod.init(jax.random.PRNGKey(9), ctx.cfg.unet,
+                     zero_init_outs=False)
+    ctx.load_controlnet("edges", cn)
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert "edges" in info["controlnets"]
+
+    size = ctx.cfg.image_size
+    rng = np.random.default_rng(0)
+    hint = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(hint).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    want = ctx.generate("the horse", seed=5, control_image=hint,
+                        control="edges", control_scale=0.7)
+    status, ctype, body = _post(base + "/generate", {
+        "prompt": "the horse", "seed": 5, "format": "raw",
+        "control_image_b64": b64, "control": "edges", "control_scale": 0.7,
+    })
+    assert status == 200, body
+    got = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+    assert np.array_equal(got, want)
+
+    # and it differs from the uncontrolled output
+    plain = ctx.generate("the horse", seed=5)
+    assert not np.array_equal(got, plain)
