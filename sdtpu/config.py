@@ -59,6 +59,16 @@ class UNetConfig:
             return 1
         return self.transformer_depth[lvl]
 
+    def mid_depth(self) -> int:
+        """Transformer depth of the mid block: the deepest ATTENTION level's
+        depth (SDXL-refiner's last channel level has no attention but its
+        mid block is depth-4, so len(channel_mult)-1 would be wrong)."""
+        if not self.transformer_depth:
+            return 1
+        lvl = max(self.attn_levels) if self.attn_levels else (
+            len(self.channel_mult) - 1)
+        return self.transformer_depth[lvl]
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -86,6 +96,15 @@ class PipelineConfig:
     dtype: str = "bfloat16"   # activation/compute dtype on TPU
     param_dtype: str = "float32"
     prediction: str = "eps"   # "eps" (SD1.x/2.0-base) | "v" (SD2.x 768-v)
+    # SDXL-refiner mode: text conditioning comes from tower 2 ONLY (no
+    # CLIP-L tree in the params), and the additive microcond vector is
+    # (orig_h, orig_w, crop_top, crop_left, aesthetic_score) — 5 fourier
+    # blocks instead of txt2img's 6. `clip` stays set (to the tower-2
+    # config) so context_len/vocab plumbing is uniform.
+    refiner: bool = False
+    # static aesthetic-score conditioning value for the refiner microcond
+    # (the sgm default for "high quality" guidance)
+    aesthetic_score: float = 6.0
 
     @property
     def image_size(self) -> int:
@@ -128,6 +147,46 @@ SDXL = PipelineConfig(
     latent_size=128,
 )
 
+# SDXL refiner (1024x1024, the second stage of the XL two-stage pipeline):
+# ONE text tower (OpenCLIP bigG penultimate hidden -> 1280-dim context),
+# pooled bigG + (size, crop, aesthetic-score) microconds through the
+# additive MLP (adm 2560 -> 1536), 384-channel 4-level UNet with depth-4
+# transformers at levels 1/2 only. Consumes the base model's latents at a
+# chosen noise level (Context.refine / generate(denoising_end=...)).
+_XL_BIGG = CLIPConfig(hidden=1280, layers=32, heads=20, act="gelu",
+                      projection=1280)
+SDXL_REFINER = PipelineConfig(
+    clip=_XL_BIGG,   # context_len/vocab plumbing; no tower-1 params exist
+    clip2=_XL_BIGG,
+    unet=UNetConfig(model_channels=384, channel_mult=(1, 2, 4, 4),
+                    attn_levels=(1, 2), transformer_depth=(0, 4, 4, 0),
+                    num_heads=0, head_dim=64, context_dim=1280,
+                    time_embed_dim=1536, adm_in_channels=2560),
+    vae=VAEConfig(scale_factor=0.13025),
+    latent_size=128,
+    refiner=True,
+)
+
+# Tiny refiner-topology config for CPU-backend tests: single tower,
+# aesthetic microcond, no level-0 attention. adm_in = projection 16 +
+# 5 fourier dims x 8 = 56.
+TINY_XL_REF = PipelineConfig(
+    clip=CLIPConfig(vocab_size=512 + 22 + 2, hidden=48, layers=3, heads=2,
+                    context_len=16, act="gelu", projection=16),
+    clip2=CLIPConfig(vocab_size=512 + 22 + 2, hidden=48, layers=3, heads=2,
+                     context_len=16, act="gelu", projection=16),
+    unet=UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                    attn_levels=(1,), transformer_depth=(0, 2), num_heads=2,
+                    context_dim=48, time_embed_dim=64, groups=4,
+                    adm_in_channels=56),
+    vae=VAEConfig(base_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                  groups=4),
+    latent_size=8,
+    upscale=2,
+    dtype="float32",
+    refiner=True,
+)
+
 # Tiny SDXL-topology config for CPU-backend tests: dual towers, depth-2
 # transformers, additive conditioning — every XL code path, ~1000x fewer
 # FLOPs. adm_in = projection 16 + 6 fourier dims x 8 = 64.
@@ -168,6 +227,8 @@ CONFIGS = {
     "sd21": SD21,
     "sd21base": SD21_BASE,
     "sdxl": SDXL,
+    "sdxl_refiner": SDXL_REFINER,
     "tiny": TINY,
     "tiny_xl": TINY_XL,
+    "tiny_xl_ref": TINY_XL_REF,
 }

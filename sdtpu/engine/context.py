@@ -442,20 +442,28 @@ class Context:
     # generate
     # ------------------------------------------------------------------
 
-    def _compiled(self, batch: int, use_cfg: bool, params=None):
+    def _compiled(self, batch: int, use_cfg: bool, params=None,
+                  end_step=None, output: str = "image"):
         """Compiled generate program for this batch/steps/sampler — and for
         this param-tree STRUCTURE: a LoRA overlay adds adapter leaves, so the
         cache keys on the pytree structure too (all adapters with the same
         rank/targets share one compiled program; params are a traced
-        argument)."""
+        argument). `end_step`/`output`: the base half of a two-stage
+        pipeline (truncated scan, latent output)."""
         params = self.params if params is None else params
         key = (batch, self.steps, self.sampler, use_cfg,
-               jax.tree_util.tree_structure(params))
+               jax.tree_util.tree_structure(params), end_step, output)
         fn = self._gen_cache.get(key)
         if fn is None:
             if self.mesh is not None:
                 from sdtpu.parallel.sharding import jit_generate_sharded
 
+                if end_step is not None or output != "image":
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        "denoising_end/latent output over a mesh is not "
+                        "supported yet", self.errors,
+                    )
                 if batch % self.mesh.shape["data"]:
                     raise SdtpuError(
                         ErrorCode.INVALID_ARGUMENT,
@@ -468,7 +476,8 @@ class Context:
                 )(params)
             else:
                 fn = jit_generate(
-                    self.cfg, self.sampler, self.steps, use_cfg, self.kernels
+                    self.cfg, self.sampler, self.steps, use_cfg,
+                    self.kernels, end_step=end_step, output=output,
                 )
             self._gen_cache[key] = fn
         return fn
@@ -484,6 +493,8 @@ class Context:
         control_image=None,
         control: Optional[str] = None,
         control_scale: float = 1.0,
+        denoising_end: Optional[float] = None,
+        output: str = "image",
     ) -> np.ndarray:
         """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
 
@@ -501,6 +512,12 @@ class Context:
         the adapter named by `control` (`load_controlnet`; optional when
         exactly one is loaded), weighted by `control_scale` (traced — no
         recompile across values).
+
+        Two-stage pipelines (SDXL base+refiner): `denoising_end` in (0, 1]
+        truncates the scan at round(steps * denoising_end) steps and
+        `output="latent"` returns the f32 latents instead of decoding —
+        feed them to a refiner Context's `refine(latents,
+        denoising_start=...)` on the same `steps` timeline.
         """
         with slog.logger_scope(self.logger):
             if self._failed:
@@ -543,7 +560,23 @@ class Context:
                 if hint.shape[0] == 1 and len(prompts) > 1:
                     hint = jnp.broadcast_to(
                         hint, (len(prompts),) + hint.shape[1:])
-            fn = self._compiled(len(prompts), use_cfg, params)
+            end_step = None
+            if denoising_end is not None:
+                if not 0.0 < denoising_end <= 1.0:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"denoising_end must be in (0, 1], got "
+                        f"{denoising_end}", self.errors)
+                end_step = max(1, round(self.steps * denoising_end))
+                if end_step == self.steps:
+                    end_step = None  # full trajectory: the standard program
+            if output not in ("image", "latent"):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"output must be image|latent, got {output!r}",
+                    self.errors)
+            fn = self._compiled(len(prompts), use_cfg, params,
+                                end_step=end_step, output=output)
             if cn is not None:
                 img = fn(
                     params, tokens, uncond,
@@ -562,6 +595,8 @@ class Context:
                 f"image generation took {time.perf_counter() - t0:.3f}s "
                 f"(steps={self.steps}, sampler={self.sampler}, seed={seed})"
             )
+            if output == "latent":
+                return img  # f32 scale-factored latents; `out` n/a
             if out is not None:
                 if out.shape != img.shape or out.dtype != np.uint8:
                     raise SdtpuError(
@@ -571,6 +606,90 @@ class Context:
                     )
                 np.copyto(out, img)
                 return out
+            return img
+
+    def refine(
+        self,
+        latents,
+        prompt: str | list[str],
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        denoising_start: float = 0.0,
+        negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
+    ) -> np.ndarray:
+        """Continue denoising already-noisy latents, then decode — the
+        second stage of a two-stage pipeline (SDXL base + refiner):
+
+            base = sdtpu.Context(config="sdxl")
+            ref  = sdtpu.Context(config="sdxl_refiner")
+            lat  = base.generate(p, denoising_end=0.8, output="latent")
+            img  = ref.refine(lat, p, denoising_start=0.8)
+
+        `latents`: the base stage's `output="latent"` array ([h, w, C] or
+        [B, h, w, C] f32), carrying the marginal at
+        round(steps * denoising_start) on THIS context's steps timeline
+        (use equal `steps` on both contexts). `denoising_start=0.0` with
+        pure-noise latents reproduces `generate` exactly (pinned by test).
+        Also works on any single-model config (refiner-less two-phase
+        splits, latent-space editing)."""
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            if not 0.0 <= denoising_start < 1.0:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"denoising_start must be in [0, 1), got "
+                    f"{denoising_start}", self.errors)
+            start_step = round(self.steps * denoising_start)
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            lat = jnp.asarray(latents, jnp.float32)
+            if lat.ndim == 3:
+                lat = lat[None]
+            want = (len(prompts), self.cfg.latent_size, self.cfg.latent_size,
+                    self.cfg.latent_channels)
+            if lat.shape != want:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"latents shape {lat.shape} != {want}", self.errors)
+            t0 = time.perf_counter()
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
+                 for p in prompts], jnp.int32)
+            if seed is None:
+                seed = self.seed
+                self.seed += 1
+            use_cfg = guidance != 1.0
+            uncond = (self._embed_prompt(negative_prompt)
+                      if negative_prompt else self._uncond)
+            params = self._params_for(lora)
+            if self.mesh is not None:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "refine over a mesh is not supported yet", self.errors)
+            key = ("refine", len(prompts), self.steps, self.sampler,
+                   use_cfg, start_step,
+                   jax.tree_util.tree_structure(params))
+            fn = self._gen_cache.get(key)
+            if fn is None:
+                from sdtpu.engine.pipeline import jit_refine
+
+                fn = jit_refine(self.cfg, self.sampler, self.steps,
+                                start_step, use_cfg, self.kernels)
+                self._gen_cache[key] = fn
+            img = np.asarray(fn(
+                params, tokens, uncond, jax.random.PRNGKey(seed),
+                jnp.float32(guidance), lat,
+            ))
+            if isinstance(prompt, str):
+                img = img[0]
+            self.logger.info(
+                f"refine took {time.perf_counter() - t0:.3f}s "
+                f"(steps={start_step}->{self.steps}, sampler={self.sampler})"
+            )
             return img
 
     def generate_batch_async(self, requests: list[dict],

@@ -53,11 +53,15 @@ def encode_text(params, tokens, cfg: PipelineConfig):
         return clip.apply(params["clip"], tokens, cfg.clip,
                           dtype=cfg.compute_dtype)
     dt = cfg.compute_dtype
-    h1, _ = clip.apply_xl(params["clip"], tokens, cfg.clip,
-                          cfg.clip.vocab_size - 1, dtype=dt)
     h2, pooled = clip.apply_xl(params["clip2"], tokens, cfg.clip2,
                                cfg.clip2.vocab_size - 1, dtype=dt)
-    ctx = jnp.concatenate([h1, h2], axis=-1)
+    if cfg.refiner:
+        # SDXL refiner: tower 2 alone IS the cross-attention context
+        ctx = h2
+    else:
+        h1, _ = clip.apply_xl(params["clip"], tokens, cfg.clip,
+                              cfg.clip.vocab_size - 1, dtype=dt)
+        ctx = jnp.concatenate([h1, h2], axis=-1)
     row = jnp.zeros((ctx.shape[0], 1, ctx.shape[-1]), dt)
     row = row.at[:, 0, : pooled.shape[-1]].set(pooled.astype(dt))
     return jnp.concatenate([ctx, row], axis=1)
@@ -72,10 +76,12 @@ def _unpack_context(context, cfg: PipelineConfig):
 
 
 def _add_embedding(params, pooled, cfg: PipelineConfig):
-    """SDXL additive conditioning: pooled [CB, P] + static txt2img
-    microcond fourier block -> [CB, time_embed_dim] (added to every
-    step's time embedding)."""
-    fdim = (cfg.unet.adm_in_channels - cfg.clip2.projection) // 6
+    """SDXL additive conditioning: pooled [CB, P] + static microcond fourier
+    block -> [CB, time_embed_dim] (added to every step's time embedding).
+    txt2img packs 6 microconds (orig/crop/target size); the refiner packs 5
+    (orig size, crop, aesthetic score)."""
+    n = 5 if cfg.refiner else 6
+    fdim = (cfg.unet.adm_in_channels - cfg.clip2.projection) // n
     micro = temb.micro_features(cfg, fdim).astype(pooled.dtype)
     y = jnp.concatenate(
         [pooled, jnp.broadcast_to(micro[None], (pooled.shape[0],
@@ -111,9 +117,16 @@ def denoise(
     mask=None,
     hint=None,
     control_scale=None,
+    end_step=None,
+    x_start=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    Two-stage (base+refiner) handoff: `end_step` truncates the scan (the
+    returned latents carry the marginal at t_{end_step}); `x_start` supplies
+    ALREADY-NOISY latents at `start_step`'s marginal (no forward diffusion —
+    unlike `init_latents`, which is clean and gets noised here).
 
     ControlNet: pass `hint` [B, H, W, C] (control image, [0, 1] floats) with
     `params["controlnet"]` present; the hint embedding runs once outside the
@@ -143,20 +156,25 @@ def denoise(
     b = context.shape[0] // 2 if use_cfg else context.shape[0]
     shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
-    if key.ndim == 2:
-        # batched serving: one PRNG key per sample, so each request's noise
-        # is independent of its batch-mates (batch(1) reproduces the single
-        # path bit-for-bit: threefry bits depend on flat count, not shape)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, shape[1:], jnp.float32))(key)
+    if x_start is not None:
+        # two-stage handoff: latents already AT start_step's marginal
+        x = x_start.astype(jnp.float32)
     else:
-        noise = jax.random.normal(key, shape, jnp.float32)
-    if init_latents is None:
-        x = noise
-    else:
-        # forward-diffuse the clean latents to the start step's marginal
-        x = (plan.alpha_s[start_step] * init_latents.astype(jnp.float32)
-             + plan.sigma_s[start_step] * noise)
+        if key.ndim == 2:
+            # batched serving: one PRNG key per sample, so each request's
+            # noise is independent of its batch-mates (batch(1) reproduces
+            # the single path bit-for-bit: threefry bits depend on flat
+            # count, not shape)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, shape[1:], jnp.float32))(key)
+        else:
+            noise = jax.random.normal(key, shape, jnp.float32)
+        if init_latents is None:
+            x = noise
+        else:
+            # forward-diffuse the clean latents to the start step's marginal
+            x = (plan.alpha_s[start_step] * init_latents.astype(jnp.float32)
+                 + plan.sigma_s[start_step] * noise)
     # all step time-embeddings in one tiny batched MLP call, outside the scan
     # (the reference precomputes these through its temb graph at init,
     # context.cpp:256-279)
@@ -270,9 +288,10 @@ def denoise(
 
     # unroll=2: exposes cross-step overlap to the latency-hiding scheduler
     # (weight prefetch of step i+1 behind the tail of step i)
-    n_run = steps - start_step
+    end = steps if end_step is None else int(end_step)
+    n_run = end - start_step
     (x, _), _ = jax.lax.scan(
-        body, (x, state), jnp.arange(start_step, steps),
+        body, (x, state), jnp.arange(start_step, end),
         unroll=2 if n_run % 2 == 0 else 1,
     )
     if mask is not None:
@@ -294,6 +313,8 @@ def generate(
     kernels: str = "xla",
     hint=None,
     control_scale=None,
+    end_step=None,
+    output: str = "image",
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -301,12 +322,45 @@ def generate(
     setup); key: PRNG key; guidance: scalar (traced — changing it does not
     recompile). Optional ControlNet conditioning: `hint` [B, H, W, C] control
     image + `control_scale` (both traced; params must carry a "controlnet"
-    tree). Returns uint8 [B, H, W, 3].
+    tree). Returns uint8 [B, H, W, 3] — or, with output="latent", the f32
+    scale-factored latents (noisy at t_{end_step} when `end_step` truncates
+    the scan: the base half of a base+refiner pipeline).
     """
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
-        kernels, hint=hint, control_scale=control_scale,
+        kernels, hint=hint, control_scale=control_scale, end_step=end_step,
+    )
+    if output == "latent":
+        return x
+    return decode_latents(params, x, cfg, kernels)
+
+
+def refine(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    latents,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    start_step: int = 0,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+):
+    """Second stage of a two-stage (base + refiner) pipeline: continue
+    denoising ALREADY-NOISY latents from `start_step` (whose marginal they
+    must carry — i.e. the base model ran with end_step == this start_step
+    on the same `steps` timeline), then decode. Also exact for
+    start_step == 0 with pure-noise latents: identical to `generate` (the
+    pinned invariant test)."""
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, use_cfg,
+        kernels, start_step=start_step, x_start=latents,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -426,13 +480,25 @@ def inpaint(
 
 
 def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
-                 kernels: str = "xla", donate_params: bool = False):
+                 kernels: str = "xla", donate_params: bool = False,
+                 end_step=None, output: str = "image"):
     """Build the compiled generate function. Static: cfg/sampler/steps/
-    use_cfg (shape-affecting); traced: tokens/key/guidance (value-changing
-    without recompile — fixes the reference's steps==20 hard limit,
-    context.cpp:250-251, by making steps a compile-time axis instead)."""
+    use_cfg/end_step/output (shape-affecting); traced: tokens/key/guidance
+    (value-changing without recompile — fixes the reference's steps==20 hard
+    limit, context.cpp:250-251, by making steps a compile-time axis
+    instead)."""
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
-        kernels=kernels,
+        kernels=kernels, end_step=end_step, output=output,
+    )
+    return jax.jit(fn)
+
+
+def jit_refine(cfg: PipelineConfig, sampler: str, steps: int,
+               start_step: int, use_cfg: bool, kernels: str = "xla"):
+    """Compiled refine program (latents in, image out)."""
+    fn = functools.partial(
+        refine, cfg=cfg, sampler=sampler, steps=steps,
+        start_step=start_step, use_cfg=use_cfg, kernels=kernels,
     )
     return jax.jit(fn)

@@ -24,14 +24,16 @@ def init_pipeline_params(key, cfg: PipelineConfig, demo: bool = True):
     for a single device dispatch)."""
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     params = {
-        "clip": clip.init(k1, cfg.clip),
         "temb": temb.init(k2, cfg.unet),
         "unet": unet.init(k3, cfg.unet, zero_init_outs=not demo),
         "vae": vae.init(k4, cfg.vae),
         "vae_enc": vae.init_encoder(k5, cfg.vae),
     }
+    if not cfg.refiner:
+        params["clip"] = clip.init(k1, cfg.clip)
     if cfg.clip2 is not None:
         # SDXL: second text tower + the additive-conditioning MLP
+        # (the refiner conditions on THIS tower only — no tower-1 tree)
         params["clip2"] = clip.init(k6, cfg.clip2)
         params["add_mlp"] = temb.init_add(k7, cfg.unet)
     return params

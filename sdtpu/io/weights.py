@@ -110,7 +110,7 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
 
     rules += _res_rules(pre + "middle_block.0.", ("unet", "mid", "res1"), False)
     rules += _st_rules(pre + "middle_block.1.", ("unet", "mid", "st"),
-                       depth=u.depth_at(len(u.channel_mult) - 1))
+                       depth=u.mid_depth())
     rules += _res_rules(pre + "middle_block.2.", ("unet", "mid", "res2"), False)
 
     idx = 0
@@ -309,7 +309,7 @@ def controlnet_rules(cfg: PipelineConfig,
             idx += 1
     rules += _res_rules(pre + "middle_block.0.", ("mid", "res1"), False)
     rules += _st_rules(pre + "middle_block.1.", ("mid", "st"),
-                       depth=u.depth_at(len(u.channel_mult) - 1))
+                       depth=u.mid_depth())
     rules += _res_rules(pre + "middle_block.2.", ("mid", "res2"), False)
     rules.append(Rule(pre + "middle_block_out.0", ("zero_mid",), "conv"))
     return rules
@@ -362,6 +362,8 @@ OPENCLIP_PREFIX = "cond_stage_model.model."
 #: SDXL checkpoint tower prefixes (sgm conditioner layout)
 XL_CLIP_PREFIX = "conditioner.embedders.0.transformer.text_model."
 XL_CLIP2_PREFIX = "conditioner.embedders.1.model."
+#: SDXL-refiner: the bigG tower is the FIRST (and only) embedder
+XL_REFINER_CLIP2_PREFIX = "conditioner.embedders.0.model."
 
 
 def openclip_text_to_tree(tensors: dict, cfg: PipelineConfig,
@@ -516,7 +518,13 @@ def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True)
     (``cond_stage_model.model.*`` with fused in_proj qkv)."""
     params: dict = {}
     rules = None
-    if cfg.clip2 is not None:
+    if cfg.refiner:
+        # SDXL-refiner layout: ONE OpenCLIP tower under
+        # conditioner.embedders.0 (no CLIP-L tree at all)
+        params["clip2"] = openclip_text_to_tree(
+            tensors, cfg, pre=XL_REFINER_CLIP2_PREFIX, ccfg=cfg.clip2)
+        rules = unet_rules(cfg) + vae_rules(cfg)
+    elif cfg.clip2 is not None:
         # SDXL checkpoint layout: tower 1 is HF-CLIP naming under
         # conditioner.embedders.0, tower 2 OpenCLIP naming (fused qkv +
         # text_projection) under conditioner.embedders.1
@@ -554,7 +562,11 @@ def load_ldm_state_dict(tensors: dict, cfg: PipelineConfig, strict: bool = True)
 def params_to_ldm(params, cfg: PipelineConfig) -> dict:
     """Inverse mapping (export / round-trip tests)."""
     out = {}
-    if cfg.clip2 is not None:
+    if cfg.refiner:
+        out.update(tree_to_openclip_text(params["clip2"], cfg,
+                                         pre=XL_REFINER_CLIP2_PREFIX))
+        rules = unet_rules(cfg) + vae_rules(cfg)
+    elif cfg.clip2 is not None:
         out.update(tree_to_openclip_text(params["clip2"], cfg,
                                          pre=XL_CLIP2_PREFIX))
         rules = (unet_rules(cfg) + vae_rules(cfg)

@@ -55,12 +55,16 @@ def apply_vec(params, y, dtype=None):
 
 
 def micro_features(cfg, fourier_dim: int):
-    """The static txt2img microcond fourier block: sinusoidal features of
-    (original_h, original_w, crop_top, crop_left, target_h, target_w) =
-    (H, W, 0, 0, H, W), flattened — constant per pipeline config, computed
-    once at trace time and concatenated after the pooled embedding."""
+    """The static microcond fourier block, flattened — constant per pipeline
+    config, computed once at trace time and concatenated after the pooled
+    embedding. txt2img: (original_h, original_w, crop_top, crop_left,
+    target_h, target_w) = (H, W, 0, 0, H, W); SDXL-refiner: (original_h,
+    original_w, crop_top, crop_left, aesthetic_score)."""
     import jax.numpy as jnp
 
     s = float(cfg.image_size)
-    vals = jnp.asarray([s, s, 0.0, 0.0, s, s], jnp.float32)
+    if getattr(cfg, "refiner", False):
+        vals = jnp.asarray([s, s, 0.0, 0.0, cfg.aesthetic_score], jnp.float32)
+    else:
+        vals = jnp.asarray([s, s, 0.0, 0.0, s, s], jnp.float32)
     return timestep_features(vals, fourier_dim).reshape(-1)

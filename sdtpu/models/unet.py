@@ -143,7 +143,7 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
                                zero_init_outs),
         "st": _init_transformer(next(keys), cur, cfg.context_dim,
                                 zero_init_outs,
-                                depth=cfg.depth_at(len(cfg.channel_mult) - 1)),
+                                depth=cfg.mid_depth()),
         "res2": _init_resblock(next(keys), cur, cur, cfg.time_embed_dim,
                                zero_init_outs),
     }
