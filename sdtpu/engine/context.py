@@ -289,6 +289,8 @@ class Context:
         if self._failed:
             return
         self._encode = jax.jit(lambda p, t: encode_text(p, t, self.cfg))
+        self._encode_chunked = jax.jit(
+            lambda p, t, w: encode_text(p, t, self.cfg, w))
         self._uncond = self._embed_prompt("")
 
     def _embed_prompt(self, text: str):
@@ -297,6 +299,65 @@ class Context:
             jnp.int32,
         )
         return self._encode(self.params, tokens)[0]
+
+    def _build_text_inputs(self, prompts: list[str],
+                           negative_prompt: Optional[str]):
+        """-> (tokens, weights-or-None, uncond embedding).
+
+        Legacy path (everything fits one window, no attention syntax):
+        tokens [B, T], weights None — bit-identical to earlier releases.
+        Long/weighted prompts (sdtpu.text): tokens [B, k, T] + weights,
+        every batch member (and the negative prompt) padded to the same
+        chunk count; the uncond embedding re-encodes at [k*T, D]."""
+        from sdtpu import text as text_mod
+
+        L = self.cfg.clip.context_len
+        neg = negative_prompt or ""
+        chunky = any(text_mod.needs_chunking(self.tokenizer, p, L)
+                     for p in prompts)
+        chunky = chunky or (negative_prompt and text_mod.needs_chunking(
+            self.tokenizer, neg, L))
+        if not chunky:
+            # attention syntax with all-unit weights (e.g. "(x:1.0)" or
+            # escaped brackets) still needs STRIPPING before tokenizing
+            plain = [text_mod.strip_syntax(p)
+                     if text_mod.has_attention_syntax(p) else p
+                     for p in prompts]
+            tokens = jnp.asarray(
+                [self.tokenizer.tokenize(p, L) for p in plain], jnp.int32)
+            if negative_prompt:
+                neg_plain = (text_mod.strip_syntax(neg)
+                             if text_mod.has_attention_syntax(neg) else neg)
+                uncond = self._embed_prompt(neg_plain)
+            else:
+                uncond = self._uncond
+            return tokens, None, uncond
+        if self.cfg.clip2 is not None:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                "attention weighting / long prompts are not supported on "
+                "dual-tower (XL) configs yet; escape literal brackets with "
+                "\\( \\)", self.errors)
+        if self.mesh is not None:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                "attention weighting / long prompts over a mesh are not "
+                "supported yet", self.errors)
+        per = [text_mod.chunked_tokens(self.tokenizer, p, L) for p in prompts]
+        nt, _ = text_mod.chunked_tokens(self.tokenizer, neg, L)
+        k = max(max(t.shape[0] for t, _ in per), nt.shape[0])
+        per = [text_mod.chunked_tokens(self.tokenizer, p, L, min_chunks=k)
+               for p in prompts]
+        nt, nw = text_mod.chunked_tokens(self.tokenizer, neg, L,
+                                         min_chunks=k)
+        tokens = jnp.asarray(np.stack([t for t, _ in per]), jnp.int32)
+        weights = jnp.asarray(np.stack([w for _, w in per]), jnp.float32)
+        uncond = self._encode_chunked(
+            self.params, jnp.asarray(nt[None], jnp.int32),
+            jnp.asarray(nw[None], jnp.float32))[0]
+        self.logger.info(
+            f"long/weighted prompt path: {k} chunk(s), {k * L} ctx tokens")
+        return tokens, weights, uncond
 
     # ------------------------------------------------------------------
     # knobs (reference C API: libsdod_set_steps / set_seed)
@@ -531,18 +592,13 @@ class Context:
                     ErrorCode.INVALID_ARGUMENT, "empty prompt list", self.errors
                 )
             t0 = time.perf_counter()
-            tokens = jnp.asarray(
-                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
-                 for p in prompts],
-                jnp.int32,
-            )
             if seed is None:
                 seed = self.seed
                 self.seed += 1
             use_cfg = guidance != 1.0
-            uncond = (self._embed_prompt(negative_prompt)
-                      if negative_prompt else self._uncond)
             params = self._params_for(lora)
+            tokens, weights, uncond = self._build_text_inputs(
+                prompts, negative_prompt)
             cn, hint = self._resolve_control(control, control_image)
             if cn is not None:
                 if self.mesh is not None:
@@ -577,17 +633,17 @@ class Context:
                     self.errors)
             fn = self._compiled(len(prompts), use_cfg, params,
                                 end_step=end_step, output=output)
+            call_kwargs = {}
             if cn is not None:
-                img = fn(
-                    params, tokens, uncond,
-                    jax.random.PRNGKey(seed), jnp.float32(guidance),
-                    hint=hint, control_scale=jnp.float32(control_scale),
-                )
-            else:
-                img = fn(
-                    params, tokens, uncond,
-                    jax.random.PRNGKey(seed), jnp.float32(guidance),
-                )
+                call_kwargs.update(
+                    hint=hint, control_scale=jnp.float32(control_scale))
+            if weights is not None:
+                call_kwargs["token_weights"] = weights
+            img = fn(
+                params, tokens, uncond,
+                jax.random.PRNGKey(seed), jnp.float32(guidance),
+                **call_kwargs,
+            )
             img = np.asarray(img)
             if isinstance(prompt, str):
                 img = img[0]
@@ -754,10 +810,42 @@ class Context:
                 p = -(-p // d) * d
             t0 = time.perf_counter()
             pad = requests + [requests[0]] * (p - n)
-            tokens = jnp.asarray(
-                [self.tokenizer.tokenize(r["prompt"], self.cfg.clip.context_len)
-                 for r in pad], jnp.int32,
-            )
+            from sdtpu import text as text_mod
+
+            L = self.cfg.clip.context_len
+            weights = None
+            chunky = (self.cfg.clip2 is None and self.mesh is None and any(
+                text_mod.needs_chunking(self.tokenizer, r["prompt"], L)
+                or (r.get("negative_prompt") and text_mod.needs_chunking(
+                    self.tokenizer, r["negative_prompt"], L))
+                for r in pad))
+            if chunky:
+                # long/weighted prompts: every batch member (and negative)
+                # pads to the widest chunk count (sdtpu.text)
+                per = [text_mod.chunked_tokens(self.tokenizer, r["prompt"], L)
+                       for r in pad]
+                negs = [text_mod.chunked_tokens(
+                    self.tokenizer, r.get("negative_prompt") or "", L)
+                    for r in pad]
+                k = max(max(t.shape[0] for t, _ in per),
+                        max(t.shape[0] for t, _ in negs))
+                per = [text_mod.chunked_tokens(
+                    self.tokenizer, r["prompt"], L, min_chunks=k)
+                    for r in pad]
+                negs = [text_mod.chunked_tokens(
+                    self.tokenizer, r.get("negative_prompt") or "", L,
+                    min_chunks=k) for r in pad]
+                tokens = jnp.asarray(np.stack([t for t, _ in per]), jnp.int32)
+                weights = jnp.asarray(np.stack([w for _, w in per]),
+                                      jnp.float32)
+            else:
+                tokens = jnp.asarray(
+                    [self.tokenizer.tokenize(
+                        text_mod.strip_syntax(r["prompt"])
+                        if text_mod.has_attention_syntax(r["prompt"])
+                        else r["prompt"], L) for r in pad],
+                    jnp.int32,
+                )
             guidance = jnp.asarray(
                 [float(r.get("guidance", 7.5)) for r in pad], jnp.float32)
             seeds = []
@@ -768,11 +856,22 @@ class Context:
                     self.seed += 1
                 seeds.append(int(s))
             keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-            uncond = jnp.stack([
-                self._embed_prompt(r["negative_prompt"])
-                if r.get("negative_prompt") else self._uncond
-                for r in pad
-            ])
+            if chunky:
+                uncond = jnp.stack([
+                    self._encode_chunked(
+                        self.params, jnp.asarray(nt[None], jnp.int32),
+                        jnp.asarray(nw[None], jnp.float32))[0]
+                    for nt, nw in negs
+                ])
+            else:
+                uncond = jnp.stack([
+                    self._embed_prompt(
+                        text_mod.strip_syntax(r["negative_prompt"])
+                        if text_mod.has_attention_syntax(r["negative_prompt"])
+                        else r["negative_prompt"])
+                    if r.get("negative_prompt") else self._uncond
+                    for r in pad
+                ])
             cache_key = ("batch", p, self.steps, self.sampler,
                          jax.tree_util.tree_structure(params))
             fn = self._gen_cache.get(cache_key)
@@ -807,7 +906,11 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            dev = fn(params, tokens, uncond, keys, guidance)
+            if weights is not None:
+                dev = fn(params, tokens, uncond, keys, guidance,
+                         token_weights=weights)
+            else:
+                dev = fn(params, tokens, uncond, keys, guidance)
             self.logger.debug(
                 f"batch of {n} (padded {p}) dispatched in "
                 f"{time.perf_counter() - t0:.3f}s")

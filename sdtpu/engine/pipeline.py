@@ -36,8 +36,15 @@ from sdtpu.models import clip, temb, unet, vae
 from sdtpu.samplers import get_sampler
 
 
-def encode_text(params, tokens, cfg: PipelineConfig):
+def encode_text(params, tokens, cfg: PipelineConfig, weights=None):
     """tokens [B, T] -> prompt embeddings.
+
+    Chunked long-prompt form (sdtpu.text): tokens [B, k, T] encodes each
+    window separately and concatenates the hidden states -> [B, k*T, D]
+    (cross-attention is length-generic). `weights` [B, k, T] applies
+    per-token attention weighting: embeddings scale by their weight, then
+    the per-sample mean is restored to its pre-weighting value (the
+    standard A1111 normalization). All-ones weights are bit-exact no-ops.
 
     SD1.x/2.x: [B, T, context_dim] final(-ish)-layer hidden states.
 
@@ -49,6 +56,22 @@ def encode_text(params, tokens, cfg: PipelineConfig):
     per-sample negative prompts, data-axis sharding) unchanged;
     `_unpack_context` splits it again at the UNet boundary. The eot id
     for pooling is vocab_size-1 (the CLIP BPE endoftext convention)."""
+    if tokens.ndim == 3:
+        if cfg.clip2 is not None:
+            raise NotImplementedError(
+                "long prompts are not wired for dual-tower (XL) configs yet")
+        b, k, t = tokens.shape
+        emb = clip.apply(params["clip"], tokens.reshape(b * k, t), cfg.clip,
+                         dtype=cfg.compute_dtype)
+        emb = emb.reshape(b, k * t, emb.shape[-1])
+        if weights is not None:
+            w = weights.reshape(b, k * t, 1).astype(emb.dtype)
+            old_mean = emb.mean(axis=(1, 2), keepdims=True)
+            emb = emb * w
+            new_mean = emb.mean(axis=(1, 2), keepdims=True)
+            emb = emb * jnp.where(new_mean == 0, 1.0,
+                                  old_mean / new_mean).astype(emb.dtype)
+        return emb
     if cfg.clip2 is None:
         return clip.apply(params["clip"], tokens, cfg.clip,
                           dtype=cfg.compute_dtype)
@@ -315,6 +338,7 @@ def generate(
     control_scale=None,
     end_step=None,
     output: str = "image",
+    token_weights=None,
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -326,7 +350,8 @@ def generate(
     scale-factored latents (noisy at t_{end_step} when `end_step` truncates
     the scan: the base half of a base+refiner pipeline).
     """
-    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                             weights=token_weights)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, hint=hint, control_scale=control_scale, end_step=end_step,
@@ -365,12 +390,13 @@ def refine(
     return decode_latents(params, x, cfg, kernels)
 
 
-def _build_context(params, tokens, uncond_embedding, cfg, use_cfg):
+def _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                   weights=None):
     """Cond (+ broadcast uncond) prompt embeddings for the CFG batch.
 
     uncond_embedding: [T, D] (shared, broadcast over the batch) or [B, T, D]
     (per-sample negative prompts, batched serving)."""
-    p_cond = encode_text(params, tokens, cfg)
+    p_cond = encode_text(params, tokens, cfg, weights)
     if not use_cfg:
         return p_cond
     b = tokens.shape[0]
