@@ -332,12 +332,6 @@ class Context:
             else:
                 uncond = self._uncond
             return tokens, None, uncond
-        if self.cfg.clip2 is not None:
-            raise SdtpuError(
-                ErrorCode.INVALID_ARGUMENT,
-                "attention weighting / long prompts are not supported on "
-                "dual-tower (XL) configs yet; escape literal brackets with "
-                "\\( \\)", self.errors)
         if self.mesh is not None:
             raise SdtpuError(
                 ErrorCode.INVALID_ARGUMENT,
@@ -712,15 +706,12 @@ class Context:
                     ErrorCode.INVALID_ARGUMENT,
                     f"latents shape {lat.shape} != {want}", self.errors)
             t0 = time.perf_counter()
-            tokens = jnp.asarray(
-                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
-                 for p in prompts], jnp.int32)
+            tokens, weights, uncond = self._build_text_inputs(
+                prompts, negative_prompt)
             if seed is None:
                 seed = self.seed
                 self.seed += 1
             use_cfg = guidance != 1.0
-            uncond = (self._embed_prompt(negative_prompt)
-                      if negative_prompt else self._uncond)
             params = self._params_for(lora)
             if self.mesh is not None:
                 raise SdtpuError(
@@ -736,9 +727,10 @@ class Context:
                 fn = jit_refine(self.cfg, self.sampler, self.steps,
                                 start_step, use_cfg, self.kernels)
                 self._gen_cache[key] = fn
+            kw = {} if weights is None else {"token_weights": weights}
             img = np.asarray(fn(
                 params, tokens, uncond, jax.random.PRNGKey(seed),
-                jnp.float32(guidance), lat,
+                jnp.float32(guidance), lat, **kw,
             ))
             if isinstance(prompt, str):
                 img = img[0]
@@ -814,7 +806,7 @@ class Context:
 
             L = self.cfg.clip.context_len
             weights = None
-            chunky = (self.cfg.clip2 is None and self.mesh is None and any(
+            chunky = (self.mesh is None and any(
                 text_mod.needs_chunking(self.tokenizer, r["prompt"], L)
                 or (r.get("negative_prompt") and text_mod.needs_chunking(
                     self.tokenizer, r["negative_prompt"], L))
@@ -1157,16 +1149,12 @@ class Context:
                 m = (np.asarray(m, np.float32) / scale)[..., None]
             start_step = int(round(self.steps * (1.0 - strength)))
             start_step = min(max(start_step, 0), self.steps - 1)
-            tokens = jnp.asarray(
-                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
-                 for p in prompts], jnp.int32,
-            )
+            tokens, weights, uncond = self._build_text_inputs(
+                prompts, negative_prompt)
             if seed is None:
                 seed = self.seed
                 self.seed += 1
             use_cfg = guidance != 1.0
-            uncond = (self._embed_prompt(negative_prompt)
-                      if negative_prompt else self._uncond)
             params = self._params_for(lora)
             cache_key = (mode, len(prompts), self.steps, start_step,
                          self.sampler, use_cfg,
@@ -1209,7 +1197,8 @@ class Context:
                     jnp.float32(guidance), x)
             if mode == "inpaint":
                 args += (jnp.asarray(m),)
-            out = np.asarray(fn(*args))
+            kw = {} if weights is None else {"token_weights": weights}
+            out = np.asarray(fn(*args, **kw))
             return out[0] if single else out
 
     def generate_async(
@@ -1233,22 +1222,18 @@ class Context:
                     "context previously failed and gave up", self.errors,
                 )
             prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-            tokens = jnp.asarray(
-                [self.tokenizer.tokenize(p, self.cfg.clip.context_len)
-                 for p in prompts],
-                jnp.int32,
-            )
+            tokens, weights, uncond = self._build_text_inputs(
+                prompts, negative_prompt)
             if seed is None:
                 seed = self.seed
                 self.seed += 1
             use_cfg = guidance != 1.0
-            uncond = (self._embed_prompt(negative_prompt)
-                      if negative_prompt else self._uncond)
             params = self._params_for(lora)
             fn = self._compiled(len(prompts), use_cfg, params)
+            kw = {} if weights is None else {"token_weights": weights}
             return fn(
                 params, tokens, uncond,
-                jax.random.PRNGKey(seed), jnp.float32(guidance),
+                jax.random.PRNGKey(seed), jnp.float32(guidance), **kw,
             )
 
     # ------------------------------------------------------------------

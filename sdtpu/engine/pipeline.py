@@ -45,6 +45,9 @@ def encode_text(params, tokens, cfg: PipelineConfig, weights=None):
     per-token attention weighting: embeddings scale by their weight, then
     the per-sample mean is restored to its pre-weighting value (the
     standard A1111 normalization). All-ones weights are bit-exact no-ops.
+    Works on both single-tower and dual-tower (XL) configs; for XL the
+    pooled row packs AFTER weighting so weights only shape the
+    cross-attention context.
 
     SD1.x/2.x: [B, T, context_dim] final(-ish)-layer hidden states.
 
@@ -57,13 +60,30 @@ def encode_text(params, tokens, cfg: PipelineConfig, weights=None):
     `_unpack_context` splits it again at the UNet boundary. The eot id
     for pooling is vocab_size-1 (the CLIP BPE endoftext convention)."""
     if tokens.ndim == 3:
-        if cfg.clip2 is not None:
-            raise NotImplementedError(
-                "long prompts are not wired for dual-tower (XL) configs yet")
         b, k, t = tokens.shape
-        emb = clip.apply(params["clip"], tokens.reshape(b * k, t), cfg.clip,
-                         dtype=cfg.compute_dtype)
-        emb = emb.reshape(b, k * t, emb.shape[-1])
+        flat = tokens.reshape(b * k, t)
+        if cfg.clip2 is not None:
+            # dual-tower chunked encode: each window through both towers,
+            # hidden states concatenate along tokens; the pooled embedding
+            # (bigG eot tap) comes from chunk 0 only — the A1111/diffusers
+            # long-prompt convention for SDXL
+            dt = cfg.compute_dtype
+            h2, pooled = clip.apply_xl(params["clip2"], flat, cfg.clip2,
+                                       cfg.clip2.vocab_size - 1, dtype=dt)
+            pooled = pooled.reshape(b, k, -1)[:, 0]
+            if cfg.refiner:
+                emb = h2.reshape(b, k * t, h2.shape[-1])
+            else:
+                h1, _ = clip.apply_xl(params["clip"], flat, cfg.clip,
+                                      cfg.clip.vocab_size - 1, dtype=dt)
+                emb = jnp.concatenate(
+                    [h1.reshape(b, k * t, h1.shape[-1]),
+                     h2.reshape(b, k * t, h2.shape[-1])], axis=-1)
+        else:
+            pooled = None
+            emb = clip.apply(params["clip"], flat, cfg.clip,
+                             dtype=cfg.compute_dtype)
+            emb = emb.reshape(b, k * t, emb.shape[-1])
         if weights is not None:
             w = weights.reshape(b, k * t, 1).astype(emb.dtype)
             old_mean = emb.mean(axis=(1, 2), keepdims=True)
@@ -71,7 +91,12 @@ def encode_text(params, tokens, cfg: PipelineConfig, weights=None):
             new_mean = emb.mean(axis=(1, 2), keepdims=True)
             emb = emb * jnp.where(new_mean == 0, 1.0,
                                   old_mean / new_mean).astype(emb.dtype)
-        return emb
+        if pooled is None:
+            return emb
+        # weighting never touches the pooled row (packed after normalize)
+        row = jnp.zeros((b, 1, emb.shape[-1]), emb.dtype)
+        row = row.at[:, 0, : pooled.shape[-1]].set(pooled.astype(emb.dtype))
+        return jnp.concatenate([emb, row], axis=1)
     if cfg.clip2 is None:
         return clip.apply(params["clip"], tokens, cfg.clip,
                           dtype=cfg.compute_dtype)
@@ -375,14 +400,17 @@ def refine(
     start_step: int = 0,
     use_cfg: bool = True,
     kernels: str = "xla",
+    token_weights=None,
 ):
     """Second stage of a two-stage (base + refiner) pipeline: continue
     denoising ALREADY-NOISY latents from `start_step` (whose marginal they
     must carry — i.e. the base model ran with end_step == this start_step
     on the same `steps` timeline), then decode. Also exact for
     start_step == 0 with pure-noise latents: identical to `generate` (the
-    pinned invariant test)."""
-    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    pinned invariant test). Long/weighted prompts: tokens [B, k, T] (+
+    `token_weights`), same contract as `generate`."""
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                             weights=token_weights)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, start_step=start_step, x_start=latents,
@@ -453,14 +481,16 @@ def img2img(
     start_step: int = 10,
     use_cfg: bool = True,
     kernels: str = "xla",
+    token_weights=None,
 ):
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
     noise to `start_step`, denoise the remaining steps, decode. The latents
     are SAMPLED from the VAE posterior with the request key (the upstream
     CompVis/diffusers convention), so results stay deterministic per seed.
     The reference has no encoder (txt2img only); this is a capability
-    extension."""
-    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    extension. Long/weighted prompts: tokens [B, k, T] + `token_weights`."""
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                             weights=token_weights)
     init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
@@ -484,6 +514,7 @@ def inpaint(
     start_step: int = 0,
     use_cfg: bool = True,
     kernels: str = "xla",
+    token_weights=None,
 ):
     """Masked image-to-image (inpainting with a standard, non-inpaint
     checkpoint). `image`: [B,H,W,3] float in [-1,1]; `mask`: [B,H,W,1] float
@@ -492,7 +523,8 @@ def inpaint(
     re-pinned to the forward-diffused init latents every step. Like img2img,
     the init latents are sampled from the VAE posterior with the request key.
     Capability extension — the reference is txt2img-only."""
-    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg)
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                             weights=token_weights)
     init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     f = cfg.image_size // cfg.latent_size
     b = mask.shape[0]

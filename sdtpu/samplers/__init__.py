@@ -18,6 +18,28 @@ precomputes the 1280-d embeddings the same way, context.cpp:256-279).
 from sdtpu.samplers.schedule import NoiseSchedule
 from sdtpu.samplers import dpm, ddim, euler, euler_a, plms, unipc
 
+class _KarrasSpacing:
+    """Same solver, Karras et al. (2022) sigma spacing instead of uniform
+    time spacing (NoiseSchedule.karras_times): denser steps near low noise,
+    the usual quality win at small step counts. Applies to the
+    continuous-time solvers only (DDIM/PLMS are discrete-grid)."""
+
+    def __init__(self, mod):
+        self._mod = mod
+        self.NEEDS_NOISE = getattr(mod, "NEEDS_NOISE", False)
+
+    def plan(self, schedule, steps, start_step=0):
+        return self._mod.plan(schedule, steps, start_step, spacing="karras")
+
+    def init_state(self, shape, dtype=None):
+        if dtype is None:
+            return self._mod.init_state(shape)
+        return self._mod.init_state(shape, dtype)
+
+    def step(self, *args, **kwargs):
+        return self._mod.step(*args, **kwargs)
+
+
 SAMPLERS = {
     "dpm": dpm,
     "dpm++": dpm,
@@ -30,6 +52,11 @@ SAMPLERS = {
     # ancestral: NEEDS_NOISE — the pipeline threads per-step noise into step()
     "euler_a": euler_a,
     "unipc": unipc,
+    # Karras-spaced variants of the continuous-time solvers
+    "dpm_karras": _KarrasSpacing(dpm),
+    "euler_karras": _KarrasSpacing(euler),
+    "euler_a_karras": _KarrasSpacing(euler_a),
+    "unipc_karras": _KarrasSpacing(unipc),
 }
 
 

@@ -38,12 +38,14 @@ class State(NamedTuple):
     prev_y: jnp.ndarray  # previous step's data prediction
 
 
-def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0,
+         spacing: str = "uniform") -> Plan:
     """`start_step` > 0 (img2img/inpaint warm start): the trajectory is
     truncated, so solver history restarts there — the first EXECUTED step is
     pure 1st order (i2r=0), matching how CompVis/diffusers re-init multistep
     solvers on a shortened schedule."""
-    ts = schedule.sampling_times(steps)           # [steps+1], 1 -> 1/N
+    ts = (schedule.karras_times(steps) if spacing == "karras"
+          else schedule.sampling_times(steps))           # [steps+1], 1 -> 1/N
     model_t = schedule.model_times(ts[:-1])       # [steps]
     alpha = schedule.marginal_alpha(ts)           # [steps+1]
     sigma = schedule.marginal_sigma(ts)

@@ -41,9 +41,11 @@ class State(NamedTuple):
     unused: jnp.ndarray  # Euler is stateless; uniform interface only
 
 
-def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0,
+         spacing: str = "uniform") -> Plan:
     del start_step  # stateless: nothing to restart
-    ts = schedule.sampling_times(steps)       # [steps+1], 1 -> 1/N
+    ts = (schedule.karras_times(steps) if spacing == "karras"
+          else schedule.sampling_times(steps))       # [steps+1], 1 -> 1/N
     alpha = schedule.marginal_alpha(ts)
     sigma = schedule.marginal_sigma(ts)
     sigk = sigma / alpha                      # k-diffusion sigma

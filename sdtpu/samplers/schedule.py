@@ -85,6 +85,30 @@ class NoiseSchedule:
         (reference: dpm_solver.cpp:115)."""
         return (ts - 1.0 / self.num_train_steps) * self.num_train_steps
 
+    def karras_times(self, steps: int, rho: float = 7.0) -> np.ndarray:
+        """Karras et al. (2022) sigma spacing, mapped back to continuous
+        times: geometric-ish ramp in k-diffusion sigma space
+        (``sigma_k = sigma/alpha``) with exponent ``rho``, between
+        sigma_k(1.0) and sigma_k(1/N). Returns [steps+1] decreasing times
+        with the same endpoints as ``sampling_times`` — only the interior
+        spacing changes (more steps near low noise, where detail forms).
+        """
+        t_lo = 1.0 / self.num_train_steps
+        la = self.log_alpha(np.array([1.0, t_lo]))
+        a = np.exp(la)
+        sigk = np.sqrt(1.0 - a * a) / a           # [sig_max, sig_min]
+        s_max, s_min = sigk[0], sigk[1]
+        i = np.linspace(0.0, 1.0, steps + 1)
+        sig = (s_max ** (1 / rho)
+               + i * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+        # invert sigma_k(t) on the train grid (monotonic increasing in t)
+        la_grid = self.log_alpha_grid
+        a_grid = np.exp(la_grid)
+        sigk_grid = np.sqrt(np.maximum(1.0 - a_grid * a_grid, 1e-20)) / a_grid
+        ts = np.interp(sig, sigk_grid, self.t_grid)
+        ts[0], ts[-1] = 1.0, t_lo  # pin the endpoints exactly
+        return ts
+
     def ddim_timesteps(self, steps: int) -> np.ndarray:
         """Discrete DDIM/PLMS timestep subsequence (uniform spacing,
         descending), e.g. steps=20, N=1000 -> [951, 901, ..., 1]."""

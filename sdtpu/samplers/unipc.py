@@ -60,8 +60,10 @@ class State(NamedTuple):
     m_prev: jnp.ndarray  # previous step's data prediction
 
 
-def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0) -> Plan:
-    ts = schedule.sampling_times(steps)          # [steps+1], 1 -> 1/N
+def plan(schedule: NoiseSchedule, steps: int, start_step: int = 0,
+         spacing: str = "uniform") -> Plan:
+    ts = (schedule.karras_times(steps) if spacing == "karras"
+          else schedule.sampling_times(steps))          # [steps+1], 1 -> 1/N
     alpha = schedule.marginal_alpha(ts)
     sigma = schedule.marginal_sigma(ts)
     lam = schedule.marginal_lambda(ts)

@@ -445,3 +445,57 @@ def test_warm_start_restarts_solver_history(sched):
     np.testing.assert_allclose(
         np.asarray(pl.ab_coef[ss + 3]),
         [55 / 24, -59 / 24, 37 / 24, -9 / 24], atol=1e-7)
+
+
+def test_karras_times_properties(sched):
+    ts = sched.karras_times(20)
+    assert ts.shape == (21,)
+    assert ts[0] == 1.0 and np.isclose(ts[-1], 0.001)
+    assert (np.diff(ts) < 0).all()  # strictly decreasing
+    # sigma_k follows the rho=7 ramp between the endpoint sigmas
+    alpha = sched.marginal_alpha(ts)
+    sigk = sched.marginal_sigma(ts) / alpha
+    s_max, s_min = sigk[0], sigk[-1]
+    i = np.linspace(0, 1, 21)
+    want = (s_max ** (1 / 7) + i * (s_min ** (1 / 7) - s_max ** (1 / 7))) ** 7
+    # rtol bounded by the piecewise-linear inversion on the 1000-point
+    # train grid (worst at the low-sigma tail where sigma_k(t) curves)
+    np.testing.assert_allclose(sigk, want, rtol=1e-2)
+    # denser near low noise than the uniform grid: the second-to-last karras
+    # sigma sits far below the uniform one
+    tu = sched.sampling_times(20)
+    sigk_u = sched.marginal_sigma(tu) / sched.marginal_alpha(tu)
+    assert sigk[-2] < sigk_u[-2] / 2
+
+
+def test_karras_exact_trajectory(sched):
+    """The constant-x0 oracle is spacing-independent: Karras-spaced Euler
+    (and DPM) must land on the same analytic endpoint."""
+    for name in ("euler_karras", "dpm_karras", "unipc_karras"):
+        mod = get_sampler(name)
+        p = mod.plan(sched, 20)
+        x0_star = np.linspace(-1, 1, 16).reshape(4, 4).astype(np.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4), jnp.float32)
+        a0 = float(p.alpha_s[0])
+        s0 = float(p.sigma_s[0])
+        c = (np.asarray(x) - a0 * x0_star) / s0
+        st = mod.init_state((4, 4))
+        for i in range(20):
+            eps = (x - p.alpha_s[i] * x0_star) / p.sigma_s[i]
+            x, st = mod.step(p, i, x, eps, st)
+        t_end = 1.0 / sched.num_train_steps
+        expected = (sched.marginal_alpha(np.array([t_end]))[0] * x0_star
+                    + sched.marginal_sigma(np.array([t_end]))[0] * c)
+        assert np.abs(np.asarray(x) - expected).max() < 5e-4, name
+
+
+def test_karras_e2e_differs_and_deterministic():
+    import sdtpu
+
+    ctx_u = sdtpu.Context(config="tiny", steps=4, sampler="dpm")
+    ctx_k = sdtpu.Context(config="tiny", steps=4, sampler="dpm_karras")
+    a = ctx_u.generate("the horse", seed=2)
+    b = ctx_k.generate("the horse", seed=2)
+    assert not np.array_equal(a, b)  # the spacing changes the trajectory
+    b2 = ctx_k.generate("the horse", seed=2)
+    np.testing.assert_array_equal(b, b2)

@@ -131,12 +131,23 @@ def test_long_negative_prompt(ctx):
     assert not np.array_equal(a, b)
 
 
-def test_xl_weighted_prompt_raises():
-    from sdtpu.engine.errors import SdtpuError
-
+def test_xl_weighted_and_long_prompts():
+    """Dual-tower (XL) configs take the chunked/weighted path too: unit
+    weights strip to the legacy request bit-exactly, real weights and
+    past-window detail change the image, and the path is deterministic."""
     ctx_xl = sdtpu.Context(config="tiny_xl", steps=2)
-    with pytest.raises(SdtpuError, match="dual-tower"):
-        ctx_xl.generate("(the horse:1.4)", seed=1)
+    a = ctx_xl.generate("the horse riding", seed=4)
+    a2 = ctx_xl.generate("(the horse riding:1.0)", seed=4)
+    np.testing.assert_array_equal(a, a2)  # unit weights = legacy path
+    b = ctx_xl.generate("the (horse:1.8) riding", seed=4)
+    assert not np.array_equal(a, b)
+    b2 = ctx_xl.generate("the (horse:1.8) riding", seed=4)
+    np.testing.assert_array_equal(b, b2)
+    # long prompt: detail past the context window must act on the image
+    filler = " ".join(["the horse riding"] * 6)
+    c = ctx_xl.generate(filler + " in the photograph", seed=6)
+    d = ctx_xl.generate(filler + " of an astronaut", seed=6)
+    assert not np.array_equal(c, d)
 
 
 def test_weighted_prompt_batch1_matches_single(ctx):
@@ -166,3 +177,36 @@ def test_mixed_batch_pads_chunks(ctx):
     ])
     np.testing.assert_array_equal(out[0], out2[0])
     np.testing.assert_array_equal(out[1], out2[1])
+
+
+def test_async_matches_sync_on_weighted_prompt(ctx):
+    """generate_async must route long/weighted prompts through the same
+    chunked encode as generate (the async/sync bit-identity contract)."""
+    p = " ".join(["the horse riding"] * 4) + " (astronaut:1.4)"
+    fut = ctx.generate_async(p, guidance=7.5, seed=21)
+    sync = ctx.generate(p, guidance=7.5, seed=21)
+    np.testing.assert_array_equal(np.asarray(fut)[0], sync)
+
+
+def test_img2img_inpaint_weighted_prompts(ctx):
+    """Weighted/long prompts act on the image-conditioned paths too, with
+    unit weights stripping to the legacy request bit-exactly."""
+    rng = np.random.default_rng(3)
+    size = ctx.cfg.image_size
+    img = rng.integers(0, 256, (size, size, 3), np.uint8)
+    a = ctx.img2img("the horse riding", img, strength=0.5, seed=5)
+    a2 = ctx.img2img("(the horse riding:1.0)", img, strength=0.5, seed=5)
+    np.testing.assert_array_equal(a, a2)
+    b = ctx.img2img("the (horse:1.8) riding", img, strength=0.5, seed=5)
+    assert not np.array_equal(a, b)
+    long = " ".join(["the horse riding"] * 6)
+    c = ctx.img2img(long + " in the photograph", img, strength=0.5, seed=5)
+    d = ctx.img2img(long + " of an astronaut", img, strength=0.5, seed=5)
+    assert not np.array_equal(c, d)
+    mask = np.zeros((size, size), np.uint8)
+    mask[: size // 2] = 255
+    e = ctx.inpaint("the (horse:1.8) riding", img, mask, seed=5)
+    e2 = ctx.inpaint("the (horse:1.8) riding", img, mask, seed=5)
+    np.testing.assert_array_equal(e, e2)
+    f = ctx.inpaint("the horse riding", img, mask, seed=5)
+    assert not np.array_equal(e, f)
