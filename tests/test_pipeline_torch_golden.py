@@ -148,26 +148,9 @@ class VAEDecT(torch.nn.Module):
         return self.conv_out(h)
 
 
-def test_full_pipeline_matches_torch_reassembly():
-    steps, seed, guidance = 4, 13, 7.5
-    cfg = TINY
-    ctx = sdtpu.Context(config="tiny", steps=steps)
-    prompt = "the horse rides a photograph"
-    ours = ctx.generate(prompt, guidance=guidance, seed=seed)
-
-    params = jax.tree.map(np.asarray, ctx.params)
-
-    # --- text: HF CLIP with our weights, our tokenizer ------------------
-    hf = _hf_clip_from_ours(params["clip"], cfg.clip)
-    toks = np.asarray([ctx.tokenizer.tokenize(prompt, cfg.clip.context_len)])
-    toks_un = np.asarray([ctx.tokenizer.tokenize("", cfg.clip.context_len)])
-    with torch.no_grad():
-        ctx_cond = hf(torch.from_numpy(toks.astype(np.int64))
-                      ).last_hidden_state
-        ctx_un = hf(torch.from_numpy(toks_un.astype(np.int64))
-                    ).last_hidden_state
-
-    # --- time embeddings: features -> fc0 -> silu -> fc1 (numpy) --------
+def _torch_scan_decode(params, cfg, ctx_cond, ctx_un, steps, seed, guidance):
+    """CFG DPM++(2M) scan + VAE decode, reassembled in torch/numpy from a
+    given pair of (cond, uncond) torch context tensors -> uint8 image."""
     from sdtpu.models.layers import timestep_features
 
     plan = jax.tree.map(np.asarray, dpm.plan(NoiseSchedule.sd_v1(), steps))
@@ -180,7 +163,6 @@ def test_full_pipeline_matches_torch_reassembly():
         h = h / (1 + np.exp(-h))
         return h @ p["fc1"]["w"] + p["fc1"]["b"]
 
-    # --- the scan, reassembled: CFG -> DPM++(2M) update -----------------
     unet_t = UNetT(params["unet"], cfg.unet).eval()
     shape = (1, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
     # the noise protocol is DEFINED as jax.random.normal(PRNGKey(seed))
@@ -205,10 +187,91 @@ def test_full_pipeline_matches_torch_reassembly():
             (x / cfg.vae.scale_factor).astype(np.float32)
         ).permute(0, 3, 1, 2)
         img = VAEDecT(params["vae"], cfg.vae)(z).permute(0, 2, 3, 1).numpy()
-    theirs = np.clip(np.round((img[0] + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    return np.clip(np.round((img[0] + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def test_full_pipeline_matches_torch_reassembly():
+    steps, seed, guidance = 4, 13, 7.5
+    cfg = TINY
+    ctx = sdtpu.Context(config="tiny", steps=steps)
+    # must fit ONE context window (TINY context_len=16): prompts that
+    # exceed it now route to the A1111-style chunked long-prompt encode
+    # (sdtpu.text), whose torch reassembly is the _chunked test below
+    prompt = "a photograph"
+    ours = ctx.generate(prompt, guidance=guidance, seed=seed)
+
+    params = jax.tree.map(np.asarray, ctx.params)
+
+    # --- text: HF CLIP with our weights, our tokenizer ------------------
+    hf = _hf_clip_from_ours(params["clip"], cfg.clip)
+    toks = np.asarray([ctx.tokenizer.tokenize(prompt, cfg.clip.context_len)])
+    toks_un = np.asarray([ctx.tokenizer.tokenize("", cfg.clip.context_len)])
+    with torch.no_grad():
+        ctx_cond = hf(torch.from_numpy(toks.astype(np.int64))
+                      ).last_hidden_state
+        ctx_un = hf(torch.from_numpy(toks_un.astype(np.int64))
+                    ).last_hidden_state
+
+    theirs = _torch_scan_decode(params, cfg, ctx_cond, ctx_un, steps, seed,
+                                guidance)
 
     assert ours.shape == theirs.shape == (cfg.image_size, cfg.image_size, 3)
     diff = np.abs(ours.astype(int) - theirs.astype(int))
     # f32 everywhere; only pixels on a .5 rounding boundary may flip 1 LSB
+    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} pixels differ"
+
+
+def _np_a1111_rescale(emb, w):
+    """encode_text's attention-weighting normalization, in numpy float32:
+    scale by per-token weights, restore the per-sample signed mean — unless
+    the mean is degenerate (|mean| <= 1e-4 * rms), where the rescale is
+    skipped (engine/pipeline.encode_text)."""
+    old_mean = emb.mean(axis=(1, 2), keepdims=True)
+    g = emb * w
+    new_mean = g.mean(axis=(1, 2), keepdims=True)
+    rms = np.sqrt((g * g).mean(axis=(1, 2), keepdims=True))
+    ok = np.abs(new_mean) > 1e-4 * rms
+    scale = np.where(ok, old_mean / np.where(ok, new_mean, 1.0), 1.0)
+    return (g * scale).astype(np.float32)
+
+
+def test_chunked_weighted_pipeline_matches_torch_reassembly():
+    """The A1111-style long-prompt path: a prompt over TINY's 16-token
+    window chunks to [1, 2, 16] tokens + per-token weights; each window
+    encodes separately, hidden states concatenate to a 32-token context,
+    and the weighting rescale applies. Reassembled independently: HF CLIP
+    per window + numpy weighting + the torch scan/decode."""
+    from sdtpu import text as text_mod
+
+    steps, seed, guidance = 4, 13, 7.5
+    cfg = TINY
+    ctx = sdtpu.Context(config="tiny", steps=steps)
+    prompt = "the horse rides a (photograph:1.3)"
+    assert text_mod.needs_chunking(ctx.tokenizer, prompt, cfg.clip.context_len)
+    ours = ctx.generate(prompt, guidance=guidance, seed=seed)
+
+    params = jax.tree.map(np.asarray, ctx.params)
+    hf = _hf_clip_from_ours(params["clip"], cfg.clip)
+    L = cfg.clip.context_len
+    toks, w = text_mod.chunked_tokens(ctx.tokenizer, prompt, L)
+    k = toks.shape[0]
+    toks_un, w_un = text_mod.chunked_tokens(ctx.tokenizer, "", L,
+                                            min_chunks=k)
+
+    def encode(tk, wt):
+        with torch.no_grad():
+            h = hf(torch.from_numpy(np.asarray(tk).astype(np.int64))
+                   ).last_hidden_state.numpy()
+        emb = h.reshape(1, k * L, h.shape[-1]).astype(np.float32)
+        return _np_a1111_rescale(
+            emb, np.asarray(wt).reshape(1, k * L, 1).astype(np.float32))
+
+    ctx_cond = torch.from_numpy(encode(toks, w))
+    ctx_un = torch.from_numpy(encode(toks_un, w_un))
+    theirs = _torch_scan_decode(params, cfg, ctx_cond, ctx_un, steps, seed,
+                                guidance)
+
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
     assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} pixels differ"
