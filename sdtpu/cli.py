@@ -53,6 +53,14 @@ def _cmd_generate(args) -> int:
         for spec in args.controlnet:
             name, _, src = spec.rpartition("=")
             ctx.load_controlnet(name or "default", src or spec)
+    if args.embedding:
+        for spec in args.embedding:
+            word, sep, src = spec.partition("=")
+            if not sep:
+                print(f"error: --embedding expects WORD=PATH, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            ctx.load_embedding(word, src)
     t0 = time.perf_counter()
     if args.init_image:
         from PIL import Image
@@ -64,6 +72,16 @@ def _cmd_generate(args) -> int:
                               strength=args.strength or 1.0,
                               guidance=args.guidance, seed=args.seed,
                               negative_prompt=args.negative_prompt)
+        elif args.depth_image:
+            # any monotone depth map: 8/16-bit grayscale png (e.g. a MiDaS
+            # dump); normalization happens per sample inside the program
+            depth = np.asarray(Image.open(args.depth_image)).astype(np.float32)
+            if depth.ndim == 3:
+                depth = depth.mean(axis=-1)
+            img = ctx.depth2img(args.prompt, init, depth,
+                                strength=args.strength or 0.8,
+                                guidance=args.guidance, seed=args.seed,
+                                negative_prompt=args.negative_prompt)
         else:
             img = ctx.img2img(args.prompt, init,
                               strength=args.strength or 0.6,
@@ -365,6 +383,10 @@ def main(argv=None) -> int:
     g.add_argument("--mask-image", default=None,
                    help="inpainting: grayscale mask (white = repaint); "
                         "requires --init-image")
+    g.add_argument("--depth-image", default=None,
+                   help="depth2img (config sd2_depth): grayscale depth map "
+                        "(any monotone scale, e.g. a MiDaS dump); requires "
+                        "--init-image")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=SAMPLER_CHOICES)
@@ -386,6 +408,10 @@ def main(argv=None) -> int:
                    help="register a ControlNet (LDM control_model.* "
                         "safetensors, or 'random' for demo weights); "
                         "repeatable")
+    g.add_argument("--embedding", action="append", default=None,
+                   metavar="WORD=PATH",
+                   help="textual-inversion embedding: trigger word = "
+                        ".npz/.safetensors vector file; repeatable")
     g.add_argument("--control-image", default=None,
                    help="ControlNet conditioning image (png/jpg at the "
                         "output size); requires --controlnet")

@@ -130,6 +130,26 @@ SD21 = PipelineConfig(
 # SD 2.1-base (512, eps-prediction), same towers
 SD21_BASE = dataclasses.replace(SD21, latent_size=64, prediction="eps")
 
+# Dedicated inpainting checkpoints (sd-v1-5-inpainting /
+# stable-diffusion-2-inpainting): the UNet's conv_in takes 9 channels —
+# concat(latents 4, downsampled mask 1, masked-image latents 4) at every
+# step (the RunwayML inpaint-UNet convention). The engine routes
+# Context.inpaint to the concat-conditioned program automatically when
+# unet.in_channels == 2 * latent_channels + 1 (engine/pipeline.inpaint);
+# otherwise the mask-pinning legacy path runs. Beyond the reference's
+# txt2img-only scope.
+SD15_INPAINT = dataclasses.replace(
+    SD15, unet=dataclasses.replace(SD15.unet, in_channels=9))
+SD21_INPAINT = dataclasses.replace(
+    SD21_BASE, unet=dataclasses.replace(SD21_BASE.unet, in_channels=9))
+
+# Depth-conditioned img2img (stable-diffusion-2-depth): 5 input channels —
+# concat(latents 4, per-sample min/max-normalized depth 1) on the SD2-base
+# (512, eps) architecture. The depth map is caller-provided (any monocular
+# depth estimator; MiDaS upstream).
+SD2_DEPTH = dataclasses.replace(
+    SD21_BASE, unet=dataclasses.replace(SD21_BASE.unet, in_channels=5))
+
 # Stable Diffusion XL base (1024x1024): dual text towers (CLIP-L penultimate
 # hidden + OpenCLIP bigG penultimate hidden, concat -> 2048-dim context),
 # bigG pooled + size/crop microcond fourier vector through an additive
@@ -221,14 +241,27 @@ TINY = PipelineConfig(
 )
 
 
+# Tiny concat-conditioned variants (CPU-backend tests): the 9-ch inpaint
+# and 5-ch depth UNet code paths at TINY scale.
+TINY_INPAINT = dataclasses.replace(
+    TINY, unet=dataclasses.replace(TINY.unet, in_channels=9))
+TINY_DEPTH = dataclasses.replace(
+    TINY, unet=dataclasses.replace(TINY.unet, in_channels=5))
+
+
 #: name -> config registry (Context(config=...), CLI --config, tests)
 CONFIGS = {
     "sd15": SD15,
+    "sd15_inpaint": SD15_INPAINT,
     "sd21": SD21,
     "sd21base": SD21_BASE,
+    "sd21_inpaint": SD21_INPAINT,
+    "sd2_depth": SD2_DEPTH,
     "sdxl": SDXL,
     "sdxl_refiner": SDXL_REFINER,
     "tiny": TINY,
+    "tiny_inpaint": TINY_INPAINT,
+    "tiny_depth": TINY_DEPTH,
     "tiny_xl": TINY_XL,
     "tiny_xl_ref": TINY_XL_REF,
 }

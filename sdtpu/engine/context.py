@@ -73,6 +73,7 @@ class Context:
         mesh: Optional[tuple[int, int]] = None,
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
         lora: Optional[str] = None,
+        embeddings: Optional[dict] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -88,6 +89,8 @@ class Context:
         self._lora_params: dict[str, dict] = {}   # adapter name -> overlay
         self._lora_default: Optional[str] = None
         self._controlnets: dict[str, dict] = {}   # name -> controlnet tree
+        self._embeddings: dict[str, int] = {}     # TI placeholder -> n rows
+        self._embeddings_spec = dict(embeddings or {})
         self.mesh = None
         if mesh is not None:
             # multi-chip serving: (data, model) mesh — DP over the prompt
@@ -182,6 +185,10 @@ class Context:
             self._load_models()
             self._load_tokenizer()
         self._prepare_buffers()
+        # textual-inversion embeddings need BOTH the params (table rows
+        # append) and the tokenizer (placeholder registration)
+        for word, src in self._embeddings_spec.items():
+            self.load_embedding(word, src)
 
     def _load_models(self) -> None:
         if self._failed:
@@ -332,11 +339,6 @@ class Context:
             else:
                 uncond = self._uncond
             return tokens, None, uncond
-        if self.mesh is not None:
-            raise SdtpuError(
-                ErrorCode.INVALID_ARGUMENT,
-                "attention weighting / long prompts over a mesh are not "
-                "supported yet", self.errors)
         per = [text_mod.chunked_tokens(self.tokenizer, p, L) for p in prompts]
         nt, _ = text_mod.chunked_tokens(self.tokenizer, neg, L)
         k = max(max(t.shape[0] for t, _ in per), nt.shape[0])
@@ -420,15 +422,99 @@ class Context:
                 cn = _unflatten_tree(tensors)
         cn = cast_params(cn, self.cfg.compute_dtype)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
+            # place per the TP plan once at load (the adapter's transformer
+            # matmuls pick up the Megatron pairs; zero-convs replicate) so
+            # the sharded generate program's in_shardings hit, not reshard
+            from sdtpu.parallel.sharding import shard_params
 
-            cn = jax.device_put(cn, NamedSharding(self.mesh, P()))
+            cn = shard_params({"controlnet": cn}, self.mesh)["controlnet"]
         self._controlnets[name] = cn
         self.logger.info(f"ControlNet {name!r} loaded")
 
     def controlnet_names(self) -> list[str]:
         return sorted(self._controlnets)
+
+    def load_embedding(self, placeholder: str, source) -> None:
+        """Textual-inversion embedding: teach the prompt vocabulary a new
+        standalone word whose learned vector(s) append to the CLIP token
+        embedding table (the A1111 "embeddings/" / diffusers
+        load_textual_inversion feature; the reference has a fixed vocab).
+
+        ``placeholder``: the whitespace-free trigger word (e.g.
+        "<my-style>"). ``source``: a [k, D] (or [D]) array, a dict of
+        arrays — for dual-tower XL configs keys "clip_l"/"clip_g", or any
+        single entry otherwise — or a path to an .npz / .safetensors file
+        of that dict (A1111 safetensors' "emb_params" key is understood).
+        Multi-vector embeddings (k > 1) expand the placeholder to k prompt
+        tokens, so they consume k of the context window."""
+        # dual-tower XL wants both; the refiner conditions on bigG only
+        towers = [t for t in ("clip", "clip2")
+                  if (t == "clip" or self.cfg.clip2 is not None)
+                  and t in self.params]
+        vecs = self._read_embedding_arrays(source, towers)
+        k = vecs[0].shape[0]
+        p = dict(self.params)
+        start = None
+        for tower, v in zip(towers, vecs):
+            tp = dict(p[tower])
+            table = tp["token_embedding"]
+            if v.ndim != 2 or v.shape[0] != k or v.shape[1] != table.shape[1]:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"{tower} embedding must be [k, {table.shape[1]}], got "
+                    f"{v.shape}", self.errors)
+            if start is None:
+                start = int(table.shape[0])
+            tp["token_embedding"] = jnp.concatenate(
+                [jnp.asarray(table), jnp.asarray(v, table.dtype)], axis=0)
+            p[tower] = tp
+        if self.mesh is not None:
+            from sdtpu.parallel.sharding import shard_params
+
+            p = shard_params(p, self.mesh)
+        self.params = p
+        # overlays/compiled closures captured the old table
+        self._lora_params.clear()
+        self.tokenizer.add_placeholder(
+            placeholder, list(range(start, start + k)))
+        self._embeddings[placeholder] = k
+        self.logger.info(
+            f"textual-inversion embedding {placeholder!r}: {k} vector(s)")
+
+    def _read_embedding_arrays(self, source, towers) -> list[np.ndarray]:
+        """-> per-tower [k, D] arrays, in `towers` order ("clip" -> key
+        "clip_l", "clip2" -> "clip_g"; single-tower also accepts a bare
+        array / single-entry dict / A1111's "emb_params")."""
+        if isinstance(source, (str, Path)):
+            s = str(source)
+            if s.endswith(".npz"):
+                data = dict(np.load(s))
+            else:
+                import safetensors.numpy as st
+
+                data = st.load_file(s)
+        elif isinstance(source, dict):
+            data = source
+        else:
+            data = {"emb": np.asarray(source)}
+        data = {k: np.atleast_2d(np.asarray(v, np.float32))
+                for k, v in data.items()}
+        key_of = {"clip": "clip_l", "clip2": "clip_g"}
+        if all(key_of[t] in data for t in towers):
+            return [data[key_of[t]] for t in towers]
+        if len(towers) == 1:
+            if len(data) == 1:
+                return [next(iter(data.values()))]
+            for key in ("emb_params", "emb"):  # A1111 / ours
+                if key in data:
+                    return [data[key]]
+        raise SdtpuError(
+            ErrorCode.INVALID_ARGUMENT,
+            f"cannot pick {[key_of[t] for t in towers]} embedding arrays "
+            f"from keys {sorted(data)}", self.errors)
+
+    def embedding_names(self) -> list[str]:
+        return sorted(self._embeddings)
 
     def _resolve_control(self, control: Optional[str], control_image):
         """-> (params-with-controlnet or None, hint array or None)."""
@@ -498,36 +584,37 @@ class Context:
     # ------------------------------------------------------------------
 
     def _compiled(self, batch: int, use_cfg: bool, params=None,
-                  end_step=None, output: str = "image"):
+                  end_step=None, output: str = "image",
+                  with_hint: bool = False, weighted: bool = False):
         """Compiled generate program for this batch/steps/sampler — and for
         this param-tree STRUCTURE: a LoRA overlay adds adapter leaves, so the
         cache keys on the pytree structure too (all adapters with the same
         rank/targets share one compiled program; params are a traced
         argument). `end_step`/`output`: the base half of a two-stage
-        pipeline (truncated scan, latent output)."""
+        pipeline (truncated scan, latent output). `with_hint`/`weighted`
+        only matter on the mesh path, where the AOT in_shardings fix the
+        positional signature (single-device jit retraces on new kwargs)."""
         params = self.params if params is None else params
         key = (batch, self.steps, self.sampler, use_cfg,
-               jax.tree_util.tree_structure(params), end_step, output)
+               jax.tree_util.tree_structure(params), end_step, output,
+               with_hint and self.mesh is not None,
+               weighted and self.mesh is not None)
         fn = self._gen_cache.get(key)
         if fn is None:
             if self.mesh is not None:
-                from sdtpu.parallel.sharding import jit_generate_sharded
+                from sdtpu.parallel.sharding import jit_program_sharded
 
-                if end_step is not None or output != "image":
-                    raise SdtpuError(
-                        ErrorCode.INVALID_ARGUMENT,
-                        "denoising_end/latent output over a mesh is not "
-                        "supported yet", self.errors,
-                    )
                 if batch % self.mesh.shape["data"]:
                     raise SdtpuError(
                         ErrorCode.INVALID_ARGUMENT,
                         f"batch {batch} not divisible by data axis "
                         f"{self.mesh.shape['data']}", self.errors,
                     )
-                fn = jit_generate_sharded(
-                    self.cfg, self.mesh, self.sampler, self.steps, use_cfg,
-                    self.kernels,
+                fn = jit_program_sharded(
+                    self.cfg, self.mesh, kind="generate",
+                    sampler=self.sampler, steps=self.steps, use_cfg=use_cfg,
+                    kernels=self.kernels, end_step=end_step, output=output,
+                    with_hint=with_hint, weighted=weighted,
                 )(params)
             else:
                 fn = jit_generate(
@@ -536,6 +623,18 @@ class Context:
                 )
             self._gen_cache[key] = fn
         return fn
+
+    def _require_txt2img(self, what: str) -> None:
+        """Concat-conditioned checkpoints (9-ch inpaint / 5-ch depth UNets)
+        cannot run unconditioned-latent programs: conv_in needs the extra
+        planes at every step."""
+        ic = self.cfg.unet.in_channels
+        if ic != self.cfg.latent_channels:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"{what} needs a standard txt2img UNet; this config's takes "
+                f"{ic} input channels — use inpaint() (9-ch) or depth2img() "
+                f"(5-ch) instead", self.errors)
 
     def generate(
         self,
@@ -580,6 +679,7 @@ class Context:
                     ErrorCode.INVALID_CONTEXT,
                     "context previously failed and gave up", self.errors,
                 )
+            self._require_txt2img("generate")
             prompts = [prompt] if isinstance(prompt, str) else list(prompt)
             if not prompts:
                 raise SdtpuError(
@@ -595,11 +695,6 @@ class Context:
                 prompts, negative_prompt)
             cn, hint = self._resolve_control(control, control_image)
             if cn is not None:
-                if self.mesh is not None:
-                    raise SdtpuError(
-                        ErrorCode.INVALID_ARGUMENT,
-                        "ControlNet over a mesh is not supported yet",
-                        self.errors)
                 params = dict(params)
                 params["controlnet"] = cn
                 if hint.shape[0] not in (1, len(prompts)):
@@ -626,7 +721,9 @@ class Context:
                     f"output must be image|latent, got {output!r}",
                     self.errors)
             fn = self._compiled(len(prompts), use_cfg, params,
-                                end_step=end_step, output=output)
+                                end_step=end_step, output=output,
+                                with_hint=cn is not None,
+                                weighted=weights is not None)
             call_kwargs = {}
             if cn is not None:
                 call_kwargs.update(
@@ -689,6 +786,7 @@ class Context:
                     ErrorCode.INVALID_CONTEXT,
                     "context previously failed and gave up", self.errors,
                 )
+            self._require_txt2img("refine")
             if not 0.0 <= denoising_start < 1.0:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT,
@@ -713,19 +811,33 @@ class Context:
                 self.seed += 1
             use_cfg = guidance != 1.0
             params = self._params_for(lora)
-            if self.mesh is not None:
-                raise SdtpuError(
-                    ErrorCode.INVALID_ARGUMENT,
-                    "refine over a mesh is not supported yet", self.errors)
             key = ("refine", len(prompts), self.steps, self.sampler,
                    use_cfg, start_step,
-                   jax.tree_util.tree_structure(params))
+                   jax.tree_util.tree_structure(params),
+                   weights is not None and self.mesh is not None)
             fn = self._gen_cache.get(key)
             if fn is None:
-                from sdtpu.engine.pipeline import jit_refine
+                if self.mesh is not None:
+                    from sdtpu.parallel.sharding import jit_program_sharded
 
-                fn = jit_refine(self.cfg, self.sampler, self.steps,
-                                start_step, use_cfg, self.kernels)
+                    if len(prompts) % self.mesh.shape["data"]:
+                        raise SdtpuError(
+                            ErrorCode.INVALID_ARGUMENT,
+                            f"batch {len(prompts)} not divisible by data "
+                            f"axis {self.mesh.shape['data']}", self.errors,
+                        )
+                    fn = jit_program_sharded(
+                        self.cfg, self.mesh, kind="refine",
+                        sampler=self.sampler, steps=self.steps,
+                        use_cfg=use_cfg, kernels=self.kernels,
+                        start_step=start_step,
+                        weighted=weights is not None,
+                    )(params)
+                else:
+                    from sdtpu.engine.pipeline import jit_refine
+
+                    fn = jit_refine(self.cfg, self.sampler, self.steps,
+                                    start_step, use_cfg, self.kernels)
                 self._gen_cache[key] = fn
             kw = {} if weights is None else {"token_weights": weights}
             img = np.asarray(fn(
@@ -770,6 +882,7 @@ class Context:
                     ErrorCode.INVALID_CONTEXT,
                     "context previously failed and gave up", self.errors,
                 )
+            self._require_txt2img("generate_batch")
             if not requests:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT, "empty request list",
@@ -806,11 +919,11 @@ class Context:
 
             L = self.cfg.clip.context_len
             weights = None
-            chunky = (self.mesh is None and any(
+            chunky = any(
                 text_mod.needs_chunking(self.tokenizer, r["prompt"], L)
                 or (r.get("negative_prompt") and text_mod.needs_chunking(
                     self.tokenizer, r["negative_prompt"], L))
-                for r in pad))
+                for r in pad)
             if chunky:
                 # long/weighted prompts: every batch member (and negative)
                 # pads to the widest chunk count (sdtpu.text)
@@ -865,7 +978,8 @@ class Context:
                     for r in pad
                 ])
             cache_key = ("batch", p, self.steps, self.sampler,
-                         jax.tree_util.tree_structure(params))
+                         jax.tree_util.tree_structure(params),
+                         chunky and self.mesh is not None)
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 from sdtpu.engine.pipeline import generate as _generate
@@ -879,14 +993,24 @@ class Context:
 
                     from sdtpu.parallel.sharding import jit_pipeline_sharded
 
+                    specs = [
+                        # tokens [B, T] (or chunked [B, k, T])
+                        P("data", None, None) if chunky else P("data", None),
+                        P("data", None, None),  # per-sample uncond [B,T,D]
+                        P("data", None),        # per-sample keys [B, 2]
+                        P("data"),              # per-sample guidance [B]
+                    ]
+                    inner = part
+                    if chunky:
+                        # in_shardings bind positionals; lift the kw-only
+                        # token_weights [B, k, T] into the signature
+                        def inner(prm, tok, unc, k_, g_, w_):
+                            return part(prm, tok, unc, k_, g_,
+                                        token_weights=w_)
+
+                        specs.append(P("data", None, None))
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, params,
-                        arg_pspecs=(
-                            P("data", None),        # tokens [B, T]
-                            P("data", None, None),  # per-sample uncond [B,T,D]
-                            P("data", None),        # per-sample keys [B, 2]
-                            P("data"),              # per-sample guidance [B]
-                        ),
+                        inner, self.mesh, params, arg_pspecs=tuple(specs),
                     )
                 else:
                     fn = jax.jit(part)
@@ -898,7 +1022,9 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            if weights is not None:
+            if weights is not None and self.mesh is not None:
+                dev = fn(params, tokens, uncond, keys, guidance, weights)
+            elif weights is not None:
                 dev = fn(params, tokens, uncond, keys, guidance,
                          token_weights=weights)
             else:
@@ -954,6 +1080,12 @@ class Context:
                     ErrorCode.INVALID_ARGUMENT,
                     f"strength must be in (0, 1], got {strength}", self.errors,
                 )
+            if self.cfg.unet.in_channels != self.cfg.latent_channels:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "img2img batching needs a standard txt2img UNet; "
+                    "concat-conditioned checkpoints serve through "
+                    "inpaint()/depth2img()", self.errors)
             size = self.cfg.image_size
             for r in requests:
                 if not isinstance(r.get("prompt"), str):
@@ -1101,12 +1233,36 @@ class Context:
             negative_prompt, lora,
         )
 
+    def depth2img(
+        self,
+        prompt: str | list[str],
+        image: np.ndarray,
+        depth: np.ndarray,
+        strength: float = 0.8,
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
+    ) -> np.ndarray:
+        """Depth-conditioned img2img (config ``sd2_depth``,
+        stable-diffusion-2-depth: a 5-channel UNet that takes the latents
+        plus a depth plane at every step). `image`: uint8 [H, W, 3] (or
+        [B, H, W, 3]); `depth`: [H, W] (or [B, H, W]) float — any monotone
+        depth scale (run your monocular estimator of choice caller-side;
+        MiDaS upstream). It is normalized per sample to [-1, 1] at latent
+        resolution inside the program. Capability extension (the reference
+        is txt2img-only)."""
+        return self._image_conditioned(
+            "depth", prompt, image, None, strength, guidance, seed,
+            negative_prompt, lora, depth=depth,
+        )
+
     def _image_conditioned(
         self, mode, prompt, image, mask, strength, guidance, seed,
-        negative_prompt, lora=None,
+        negative_prompt, lora=None, depth=None,
     ) -> np.ndarray:
-        """Shared img2img/inpaint path: validate, tokenize, build/reuse the
-        compiled program, run."""
+        """Shared img2img/inpaint/depth2img path: validate, tokenize,
+        build/reuse the compiled program, run."""
         import functools
 
         from sdtpu.engine import pipeline as pl
@@ -1135,6 +1291,26 @@ class Context:
                     f"image must be uint8 {want}, got {img.shape}/{img.dtype}",
                     self.errors,
                 )
+            lc = self.cfg.latent_channels
+            ic = self.cfg.unet.in_channels
+            if mode == "img2img" and ic != lc:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"this config's UNet takes {ic} input channels (concat-"
+                    f"conditioned checkpoint); use inpaint() or depth2img()",
+                    self.errors)
+            if mode == "inpaint" and ic not in (lc, 2 * lc + 1):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"inpaint needs a standard ({lc}-ch) or dedicated-"
+                    f"inpaint ({2 * lc + 1}-ch) UNet, this config has {ic}",
+                    self.errors)
+            if mode == "depth" and ic != lc + 1:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"depth2img needs a depth-conditioned ({lc + 1}-ch) "
+                    f"UNet (config sd2_depth), this config has {ic}",
+                    self.errors)
             if mode == "inpaint":
                 m = np.asarray(mask)
                 if m.ndim == 2:
@@ -1147,6 +1323,17 @@ class Context:
                     )
                 scale = 255.0 if m.dtype == np.uint8 else 1.0
                 m = (np.asarray(m, np.float32) / scale)[..., None]
+            if mode == "depth":
+                d = np.asarray(depth)
+                if d.ndim == 2:
+                    d = d[None]
+                if d.shape != (len(prompts), size, size):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"depth must be [B, {size}, {size}], got {d.shape}",
+                        self.errors,
+                    )
+                d = np.asarray(d, np.float32)[..., None]
             start_step = int(round(self.steps * (1.0 - strength)))
             start_step = min(max(start_step, 0), self.steps - 1)
             tokens, weights, uncond = self._build_text_inputs(
@@ -1156,13 +1343,15 @@ class Context:
                 self.seed += 1
             use_cfg = guidance != 1.0
             params = self._params_for(lora)
+            weighted_mesh = weights is not None and self.mesh is not None
             cache_key = (mode, len(prompts), self.steps, start_step,
                          self.sampler, use_cfg,
-                         jax.tree_util.tree_structure(params))
+                         jax.tree_util.tree_structure(params), weighted_mesh)
             fn = self._gen_cache.get(cache_key)
             if fn is None:
+                base = pl.inpaint if mode == "inpaint" else pl.img2img
                 part = functools.partial(
-                    pl.img2img if mode == "img2img" else pl.inpaint,
+                    base,
                     cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, start_step=start_step, use_cfg=use_cfg,
                     kernels=self.kernels,
@@ -1179,16 +1368,36 @@ class Context:
                             f" {self.mesh.shape['data']}", self.errors,
                         )
                     specs = [
-                        P("data", None),              # tokens [B, T]
-                        P(),                          # shared uncond [T, D]
+                        # tokens [B, T] (chunked: [B, k, T])
+                        P("data", None, None) if weighted_mesh
+                        else P("data", None),
+                        P(),                          # shared uncond
                         P(),                          # PRNG key
                         P(),                          # guidance scalar
                         P("data", None, None, None),  # image [B, H, W, 3]
                     ]
                     if mode == "inpaint":
                         specs.append(P("data", None, None, None))  # mask
+                    # in_shardings bind positionals; lift the kw-only
+                    # depth planes / token_weights into the signature
+                    kw_names = []
+                    if mode == "depth":
+                        specs.append(P("data", None, None, None))  # depth
+                        kw_names.append("depth")
+                    if weighted_mesh:
+                        specs.append(P("data", None, None))
+                        kw_names.append("token_weights")
+                    inner = part
+                    if kw_names:
+                        n_kw = len(kw_names)
+
+                        def inner(prm, tok, unc, k_, g_, *rest):
+                            pos, lift = rest[:-n_kw], rest[-n_kw:]
+                            return part(prm, tok, unc, k_, g_, *pos,
+                                        **dict(zip(kw_names, lift)))
+
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, params, arg_pspecs=tuple(specs))
+                        inner, self.mesh, params, arg_pspecs=tuple(specs))
                 else:
                     fn = jax.jit(part)
                 self._gen_cache[cache_key] = fn
@@ -1197,8 +1406,17 @@ class Context:
                     jnp.float32(guidance), x)
             if mode == "inpaint":
                 args += (jnp.asarray(m),)
-            kw = {} if weights is None else {"token_weights": weights}
-            out = np.asarray(fn(*args, **kw))
+            kw = {}
+            if mode == "depth":
+                kw["depth"] = jnp.asarray(d)
+            if weights is not None:
+                kw["token_weights"] = weights
+            if self.mesh is not None and kw:
+                # the mesh program's wrapper took these as positionals,
+                # in the kw_names order (depth, then token_weights)
+                out = np.asarray(fn(*args, *kw.values()))
+            else:
+                out = np.asarray(fn(*args, **kw))
             return out[0] if single else out
 
     def generate_async(
@@ -1221,6 +1439,7 @@ class Context:
                     ErrorCode.INVALID_CONTEXT,
                     "context previously failed and gave up", self.errors,
                 )
+            self._require_txt2img("generate_async")
             prompts = [prompt] if isinstance(prompt, str) else list(prompt)
             tokens, weights, uncond = self._build_text_inputs(
                 prompts, negative_prompt)
@@ -1229,7 +1448,8 @@ class Context:
                 self.seed += 1
             use_cfg = guidance != 1.0
             params = self._params_for(lora)
-            fn = self._compiled(len(prompts), use_cfg, params)
+            fn = self._compiled(len(prompts), use_cfg, params,
+                                weighted=weights is not None)
             kw = {} if weights is None else {"token_weights": weights}
             return fn(
                 params, tokens, uncond,

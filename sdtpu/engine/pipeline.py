@@ -86,11 +86,23 @@ def encode_text(params, tokens, cfg: PipelineConfig, weights=None):
             emb = emb.reshape(b, k * t, emb.shape[-1])
         if weights is not None:
             w = weights.reshape(b, k * t, 1).astype(emb.dtype)
-            old_mean = emb.mean(axis=(1, 2), keepdims=True)
+            old_mean = emb.astype(jnp.float32).mean(axis=(1, 2),
+                                                    keepdims=True)
             emb = emb * w
-            new_mean = emb.mean(axis=(1, 2), keepdims=True)
-            emb = emb * jnp.where(new_mean == 0, 1.0,
-                                  old_mean / new_mean).astype(emb.dtype)
+            g = emb.astype(jnp.float32)
+            new_mean = g.mean(axis=(1, 2), keepdims=True)
+            # A1111 restores the signed mean. Guard the ratio when the mean
+            # is degenerate (|mean| << rms — e.g. a final LayerNorm with a
+            # near-zero bias): a near-zero denominator turns old/new into
+            # accumulation-order noise, so a TP-sharded encode and a
+            # single-device encode would rescale by visibly different
+            # factors. All-ones weights stay a bit-exact no-op (old == new
+            # -> scale exactly 1.0).
+            rms = jnp.sqrt((g * g).mean(axis=(1, 2), keepdims=True))
+            ok = jnp.abs(new_mean) > 1e-4 * rms
+            scale = jnp.where(ok, old_mean / jnp.where(ok, new_mean, 1.0),
+                              1.0)
+            emb = emb * scale.astype(emb.dtype)
         if pooled is None:
             return emb
         # weighting never touches the pooled row (packed after normalize)
@@ -167,6 +179,7 @@ def denoise(
     control_scale=None,
     end_step=None,
     x_start=None,
+    x_extra=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
@@ -258,6 +271,13 @@ def denoise(
             x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
         else:
             x_in = x.astype(dtype)
+        if x_extra is not None:
+            # concat-conditioned checkpoints (9-ch inpaint / 5-ch depth):
+            # the per-sample conditioning planes ride the channel axis into
+            # conv_in at every step, duplicated across the CFG halves
+            xe = (jnp.concatenate([x_extra, x_extra], axis=0)
+                  if use_cfg else x_extra)
+            x_in = jnp.concatenate([x_in, xe.astype(dtype)], axis=-1)
         ctrl = None
         if hint_feat is not None:
             from sdtpu.models import controlnet as cn_mod
@@ -442,8 +462,13 @@ _POSTERIOR_FOLD = 1 << 20
 # its own bank above the posterior tag, so none of the three streams collide
 _ANCESTRAL_FOLD = 1 << 21
 
+# tag for the MASKED-image posterior draw (9-ch inpaint checkpoints encode
+# both the full and the masked image from one request key)
+_MASKED_FOLD = 1 << 22
 
-def _encode_init_latents(params, image, cfg, kernels, key=None):
+
+def _encode_init_latents(params, image, cfg, kernels, key=None,
+                         fold_tag=_POSTERIOR_FOLD):
     """[B,H,W,3] float in [-1,1] -> clean scale-factored latents (f32).
 
     With `key`, SAMPLES the diagonal-Gaussian posterior (mean +
@@ -458,11 +483,11 @@ def _encode_init_latents(params, image, cfg, kernels, key=None):
     if key is not None:
         if key.ndim == 2:  # batched serving: one key per sample
             noise = jax.vmap(lambda k: jax.random.normal(
-                jax.random.fold_in(k, _POSTERIOR_FOLD),
+                jax.random.fold_in(k, fold_tag),
                 z.shape[1:], jnp.float32))(key)
         else:
             noise = jax.random.normal(
-                jax.random.fold_in(key, _POSTERIOR_FOLD), z.shape, jnp.float32)
+                jax.random.fold_in(key, fold_tag), z.shape, jnp.float32)
         z = z + jnp.exp(0.5 * logvar.astype(jnp.float32)) * noise
     return z * cfg.vae.scale_factor
 
@@ -482,19 +507,38 @@ def img2img(
     use_cfg: bool = True,
     kernels: str = "xla",
     token_weights=None,
+    depth=None,
 ):
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
     noise to `start_step`, denoise the remaining steps, decode. The latents
     are SAMPLED from the VAE posterior with the request key (the upstream
     CompVis/diffusers convention), so results stay deterministic per seed.
     The reference has no encoder (txt2img only); this is a capability
-    extension. Long/weighted prompts: tokens [B, k, T] + `token_weights`."""
+    extension. Long/weighted prompts: tokens [B, k, T] + `token_weights`.
+
+    Depth-conditioned checkpoints (`unet.in_channels == latent_channels + 1`,
+    config.SD2_DEPTH): pass `depth` [B, H, W, 1] float (any monotone depth
+    scale — a caller-side monocular estimator like MiDaS upstream). It is
+    mean-pooled to latent resolution and min/max-normalized per sample to
+    [-1, 1] (the diffusers depth2img convention), then concatenated to the
+    latents on the channel axis at every step."""
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
                              weights=token_weights)
     init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
+    x_extra = None
+    if depth is not None:
+        f = cfg.image_size // cfg.latent_size
+        b = depth.shape[0]
+        s = cfg.latent_size
+        d = (depth.astype(jnp.float32)
+             .reshape(b, s, f, s, f, 1).mean(axis=(2, 4)))
+        dmin = d.min(axis=(1, 2, 3), keepdims=True)
+        dmax = d.max(axis=(1, 2, 3), keepdims=True)
+        x_extra = 2.0 * (d - dmin) / jnp.maximum(dmax - dmin, 1e-6) - 1.0
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step,
+        x_extra=x_extra,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -516,20 +560,49 @@ def inpaint(
     kernels: str = "xla",
     token_weights=None,
 ):
-    """Masked image-to-image (inpainting with a standard, non-inpaint
-    checkpoint). `image`: [B,H,W,3] float in [-1,1]; `mask`: [B,H,W,1] float
-    in [0,1], 1 = repaint. The pixel mask is mean-pooled to latent resolution
-    (soft edges blend the two regions in latent space); the kept region is
-    re-pinned to the forward-diffused init latents every step. Like img2img,
-    the init latents are sampled from the VAE posterior with the request key.
-    Capability extension — the reference is txt2img-only."""
+    """Masked image-to-image. `image`: [B,H,W,3] float in [-1,1]; `mask`:
+    [B,H,W,1] float in [0,1], 1 = repaint.
+
+    Two regimes, selected statically by the config (`Context.inpaint` routes
+    both through this one function):
+
+    * standard checkpoint (`unet.in_channels == latent_channels`): the pixel
+      mask is mean-pooled to latent resolution (soft edges blend the two
+      regions in latent space); the kept region is re-pinned to the
+      forward-diffused init latents every step.
+    * dedicated inpaint checkpoint (`unet.in_channels ==
+      2*latent_channels + 1`, the RunwayML sd-*-inpainting convention,
+      config.SD15_INPAINT): conv_in additionally takes the latent-res mask
+      and the VAE-encoded MASKED image (repaint region blanked to 0, i.e.
+      mid-gray), concatenated on the channel axis at every step; the model
+      itself learned to preserve the kept region, so no pinning. strength<1
+      still warm-starts from the noised full-image latents, as diffusers'
+      StableDiffusionInpaintPipeline does.
+
+    Like img2img, init latents are sampled from the VAE posterior with the
+    request key. Capability extension — the reference is txt2img-only."""
     context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
                              weights=token_weights)
-    init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     f = cfg.image_size // cfg.latent_size
     b = mask.shape[0]
     s = cfg.latent_size
     m = mask.reshape(b, s, f, s, f, 1).mean(axis=(2, 4)).astype(jnp.float32)
+    if cfg.unet.in_channels == 2 * cfg.latent_channels + 1:
+        masked_lat = _encode_init_latents(
+            params, image * (1.0 - mask), cfg, kernels, key=key,
+            fold_tag=_MASKED_FOLD)
+        x_extra = jnp.concatenate([m, masked_lat], axis=-1)
+        init_latents = None
+        if start_step > 0:
+            init_latents = _encode_init_latents(params, image, cfg, kernels,
+                                                key=key)
+        x = denoise(
+            params, context, key, guidance, cfg, sampler, steps, use_cfg,
+            kernels, init_latents=init_latents, start_step=start_step,
+            x_extra=x_extra,
+        )
+        return decode_latents(params, x, cfg, kernels)
+    init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step, mask=m,

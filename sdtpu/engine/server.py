@@ -13,6 +13,9 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
     POST /img2img   {..., "image_b64": <base64 png/jpg>, "strength": 0.6}
     POST /inpaint   {..., "image_b64": ..., "mask_b64": <base64 grayscale,
                      white = repaint>, "strength": 1.0}
+    POST /depth2img {..., "image_b64": ..., "depth_b64": <base64 grayscale
+                     8/16-bit, any monotone depth scale>, "strength": 0.8}
+                    (needs a depth-conditioned config, e.g. sd2_depth)
     GET /healthz    -> {"status": "ok", ...engine info, "lora_adapters": []}
 
 ``lora`` selects a named adapter from the Context registry
@@ -172,6 +175,20 @@ def _decode_mask(b64: str) -> np.ndarray:
                       .convert("L"))
 
 
+def _decode_depth(b64: str) -> np.ndarray:
+    """Grayscale depth map, 8- or 16-bit png (any monotone scale — the
+    program min/max-normalizes per sample)."""
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(base64.b64decode(b64)))
+    if im.mode not in ("I", "I;16", "F", "L"):
+        im = im.convert("L")
+    d = np.asarray(im, np.float32)
+    if d.ndim == 3:
+        d = d.mean(axis=-1)
+    return d
+
+
 def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                  max_body: int = 32 << 20):
     class Handler(BaseHTTPRequestHandler):
@@ -215,7 +232,8 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
             })
 
         def do_POST(self):
-            if self.path not in ("/generate", "/img2img", "/inpaint"):
+            if self.path not in ("/generate", "/img2img", "/inpaint",
+                                 "/depth2img"):
                 return self._json(404, {"error": "not found"})
             try:
                 try:
@@ -274,6 +292,17 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                          "negative_prompt": neg},
                         group=("i2i", strength, lora),
                     )
+                elif self.path == "/depth2img":
+                    if "depth_b64" not in req:
+                        return self._json(400,
+                                          {"error": "missing 'depth_b64'"})
+                    depth = _decode_depth(req["depth_b64"])
+                    with lock:
+                        img = ctx.depth2img(
+                            prompt, init, depth,
+                            strength=float(req.get("strength", 0.8)),
+                            guidance=guidance, seed=seed,
+                            negative_prompt=neg, lora=lora)
                 else:
                     if "mask_b64" not in req:
                         return self._json(400,

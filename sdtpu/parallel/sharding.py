@@ -122,31 +122,95 @@ def jit_pipeline_sharded(fn, mesh: Mesh, params, arg_pspecs,
     )
 
 
-def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
-                         steps: int = 20, use_cfg: bool = True,
-                         kernels: str = "xla", spatial: bool = False):
-    """Compile the full generate program over the mesh (single shared
-    negative embedding, one key, scalar guidance — the `Context.generate`
-    signature)."""
+def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
+                        sampler: str = "dpm", steps: int = 20,
+                        use_cfg: bool = True, kernels: str = "xla",
+                        spatial: bool = False, end_step=None,
+                        output: str = "image", start_step: int = 0,
+                        with_hint: bool = False, weighted: bool = False):
+    """Compile any Context serving program (generate / refine, with optional
+    ControlNet hint, long/weighted prompts, or a truncated base stage) over
+    the mesh.
+
+    The single-device paths pass the optional tensors as kwargs; jit
+    ``in_shardings`` apply to positionals only, so this wrapper fixes a
+    positional order — (params, tokens, uncond, key, guidance[, latents]
+    [, hint, control_scale][, token_weights]) — shards each slot, and
+    returns a callable that re-accepts the Context's kwargs form.
+
+    Sharding plan per optional slot: latents / hint are batched images
+    (``P("data", ...)``); control_scale is a replicated scalar; chunked
+    tokens [B, k, T] and token_weights [B, k, T] batch-shard on dim 0.
+    ControlNet params ride the normal ``param_pspecs`` walk — its
+    transformer matmuls pick up the Megatron TP plan, zero-convs replicate.
+    """
     import functools
 
-    from sdtpu.engine.pipeline import generate
+    from sdtpu.engine import pipeline as pl
 
-    fn = functools.partial(
-        generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
-        kernels=kernels,
-    )
+    tok_spec = P("data", None, None) if weighted else P("data", None)
+    names: list[str] = []
+    extra_specs: list[P] = []
+    if kind == "refine":
+        names.append("latents")
+        extra_specs.append(P("data", None, None, None))
+    if with_hint:
+        names += ["hint", "control_scale"]
+        extra_specs += [P("data", None, None, None), P()]
+    if weighted:
+        names.append("token_weights")
+        extra_specs.append(P("data", None, None))
+
+    if kind == "generate":
+        base = functools.partial(
+            pl.generate, cfg=cfg, sampler=sampler, steps=steps,
+            use_cfg=use_cfg, kernels=kernels, end_step=end_step,
+            output=output,
+        )
+    elif kind == "refine":
+        base = functools.partial(
+            pl.refine, cfg=cfg, sampler=sampler, steps=steps,
+            start_step=start_step, use_cfg=use_cfg, kernels=kernels,
+        )
+    else:
+        raise ValueError(f"unknown sharded program kind {kind!r}")
+
+    def positional(params, tokens, uncond, key, guidance, *extra):
+        kw = dict(zip(names, extra))
+        if kind == "refine":
+            latents = kw.pop("latents")
+            return base(params, tokens, uncond, key, guidance, latents, **kw)
+        return base(params, tokens, uncond, key, guidance, **kw)
 
     def build(params):
-        return jit_pipeline_sharded(
-            fn, mesh, params,
-            arg_pspecs=(
-                P("data", None),  # tokens [B, T]
-                P(),              # uncond embedding [T, D]
-                P(),              # PRNG key
-                P(),              # guidance scalar
-            ),
+        jfn = jit_pipeline_sharded(
+            positional, mesh, params,
+            arg_pspecs=(tok_spec, P(), P(), P(), *extra_specs),
             spatial=spatial,
         )
 
+        def call(params, tokens, uncond, key, guidance, *pos, **kw):
+            want = names[len(pos):]
+            if set(kw) != set(want):
+                raise TypeError(
+                    f"sharded {kind} program compiled for extras {names}, "
+                    f"called with {sorted(kw)} — rebuild with matching "
+                    f"with_hint/weighted flags")
+            extra = list(pos) + [kw[n] for n in want]
+            return jfn(params, tokens, uncond, key, guidance, *extra)
+
+        return call
+
     return build
+
+
+def jit_generate_sharded(cfg, mesh: Mesh, sampler: str = "dpm",
+                         steps: int = 20, use_cfg: bool = True,
+                         kernels: str = "xla", spatial: bool = False):
+    """Compile the plain generate program over the mesh (single shared
+    negative embedding, one key, scalar guidance — the `Context.generate`
+    signature)."""
+    return jit_program_sharded(
+        cfg, mesh, kind="generate", sampler=sampler, steps=steps,
+        use_cfg=use_cfg, kernels=kernels, spatial=spatial,
+    )

@@ -154,6 +154,10 @@ class Tokenizer:
         self.sot = self.encoder[SOT_TEXT]
         self.eot = self.encoder[EOT_TEXT]
         self._bpe_cache: dict[str, list[str]] = {}
+        # textual-inversion placeholders: normalized word -> id sequence
+        # (ids point past the BPE vocab, into rows appended to the CLIP
+        # embedding table by Context.load_embedding)
+        self._added: dict[str, list[int]] = {}
 
     # -- constructors --------------------------------------------------
 
@@ -262,9 +266,35 @@ class Tokenizer:
         self._bpe_cache[token] = word
         return word
 
+    def add_placeholder(self, word: str, ids: Sequence[int]) -> None:
+        """Register a textual-inversion placeholder: the standalone `word`
+        (whitespace-free, matched case-insensitively after prompt
+        normalization) encodes to the given id sequence instead of BPE.
+        The ids index rows APPENDED to the CLIP embedding table — the
+        tokenizer itself never emits them otherwise."""
+        key = whitespace_clean(html.unescape(html.unescape(word))).lower()
+        if not key or " " in key:
+            raise ValueError(
+                f"placeholder must be one whitespace-free word, got {word!r}")
+        self._added[key] = list(ids)
+
     def encode(self, text: str) -> list[int]:
-        """Text -> BPE ids (no special tokens, no padding)."""
+        """Text -> BPE ids (no special tokens, no padding). Registered
+        textual-inversion placeholders match as standalone words."""
         text = whitespace_clean(html.unescape(html.unescape(text))).lower()
+        if self._added and any(w in self._added for w in text.split(" ")):
+            ids: list[int] = []
+            for word in text.split(" "):
+                hit = self._added.get(word)
+                if hit is not None:
+                    ids.extend(hit)
+                else:
+                    ids.extend(self._encode_clean(word))
+            return ids
+        return self._encode_clean(text)
+
+    def _encode_clean(self, text: str) -> list[int]:
+        """BPE-encode already-normalized text."""
         ids: list[int] = []
         be = self.byte_encoder
         for tok in pretokenize(text):

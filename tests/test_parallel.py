@@ -202,3 +202,117 @@ def test_xl_context_with_mesh_matches_single_device():
 
     assert l1["attn1"]["q"]["w"] == P(None, "model")
     assert l1["attn1"]["out"]["w"] == P("model", None)
+
+
+def test_controlnet_on_mesh_matches_single_device():
+    """ControlNet conditioning over the (2,4) mesh: the adapter tree rides
+    the same TP plan as the base params (its transformer matmuls shard,
+    zero-convs replicate), the hint image batch-shards over `data` — images
+    match the single-device context to 1 uint8 LSB (roadmap: ControlNet/mesh
+    composition)."""
+    import sdtpu
+    from sdtpu.models import controlnet as cn_mod
+
+    ctx1 = sdtpu.Context(config="tiny", steps=3)
+    ctx8 = sdtpu.Context(config="tiny", steps=3, mesh=(2, 4))
+    size = ctx1.cfg.image_size
+    hint = (np.linspace(0, 255, size * size * 3).reshape(size, size, 3)
+            .astype(np.uint8))
+    cn = cn_mod.init(jax.random.PRNGKey(1), ctx1.cfg.unet,
+                     zero_init_outs=False)
+    ctx1.load_controlnet("edge", cn)
+    ctx8.load_controlnet("edge", cn)
+    prompts = ["the horse", "a photograph"]
+    a = ctx1.generate(prompts, seed=9, control_image=hint, control="edge",
+                      control_scale=0.7)
+    b = ctx8.generate(prompts, seed=9, control_image=hint, control="edge",
+                      control_scale=0.7)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # and the adapter actually acts on the mesh path too
+    base = ctx8.generate(prompts, seed=9)
+    assert not np.array_equal(np.asarray(b), np.asarray(base))
+
+
+def test_two_stage_split_on_mesh_matches_single_device():
+    """denoising_end/latent-output base stage + refine second stage, both
+    over the mesh (roadmap: refiner/mesh composition). The euler split is
+    bit-exact single-device; across the mesh the same split must land
+    within 1 uint8 LSB of the single-device stitched image, and the
+    intermediate latents must agree to float tolerance."""
+    import sdtpu
+
+    ctx1 = sdtpu.Context(config="tiny", steps=4, sampler="euler")
+    ctx8 = sdtpu.Context(config="tiny", steps=4, sampler="euler",
+                         mesh=(2, 4))
+    prompts = ["the horse", "a photograph"]
+    lat1 = ctx1.generate(prompts, seed=3, denoising_end=0.5,
+                         output="latent")
+    lat8 = ctx8.generate(prompts, seed=3, denoising_end=0.5,
+                         output="latent")
+    assert lat8.shape == lat1.shape and lat8.dtype == np.float32
+    np.testing.assert_allclose(lat1, lat8, rtol=2e-4, atol=2e-4)
+
+    img1 = ctx1.refine(lat1, prompts, seed=3, denoising_start=0.5)
+    img8 = ctx8.refine(lat1, prompts, seed=3, denoising_start=0.5)
+    assert np.abs(img1.astype(int) - img8.astype(int)).max() <= 1
+
+    # full two-stage on-mesh vs single-device stitched result
+    full1 = ctx1.generate(prompts, seed=3)
+    stitched8 = ctx8.refine(lat8, prompts, seed=3, denoising_start=0.5)
+    assert np.abs(full1.astype(int) - stitched8.astype(int)).max() <= 1
+
+
+def test_weighted_long_prompts_on_mesh_match_single_device():
+    """Long/weighted prompts (chunked [B, k, T] tokens + per-token weights)
+    over the mesh, on both the generate and the micro-batched serving path
+    (roadmap: long-prompt/mesh composition)."""
+    import sdtpu
+
+    ctx1 = sdtpu.Context(config="tiny", steps=3)
+    ctx8 = sdtpu.Context(config="tiny", steps=3, mesh=(2, 4))
+    filler = " ".join(["the horse riding"] * 6)
+    prompts = [filler + " in the (photograph:1.4)", "an (astronaut:0.8)"]
+    a = ctx1.generate(prompts, seed=5)
+    b = ctx8.generate(prompts, seed=5)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    reqs = [
+        {"prompt": prompts[0], "seed": 1},
+        {"prompt": prompts[1], "seed": 2, "negative_prompt": filler},
+    ]
+    ra = ctx1.generate_batch(reqs)
+    rb = ctx8.generate_batch(reqs)
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 1, f"req {i}"
+
+
+def test_concat_models_on_mesh_match_single_device():
+    """9-ch dedicated-inpaint and 5-ch depth checkpoints over the (2,4)
+    mesh: the extra conditioning planes batch-shard over `data`, the
+    widened conv_in rides the TP plan — within 1 uint8 LSB of the
+    single-device programs."""
+    import sdtpu
+
+    size = TINY.image_size
+    image = np.random.default_rng(3).integers(
+        0, 256, (2, size, size, 3), dtype=np.uint8)
+    masks = np.zeros((2, size, size), np.uint8)
+    masks[0, : size // 2] = 255
+    masks[1, :, : size // 2] = 255
+    prompts = ["the horse", "a photograph"]
+
+    ctx1 = sdtpu.Context(config="tiny_inpaint", steps=3)
+    ctx8 = sdtpu.Context(config="tiny_inpaint", steps=3, mesh=(2, 4))
+    a = ctx1.inpaint(prompts, image, masks, seed=4)
+    b = ctx8.inpaint(prompts, image, masks, seed=4)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    depths = np.stack([
+        np.linspace(0, 1, size * size, dtype=np.float32).reshape(size, size),
+        np.linspace(1, 0, size * size, dtype=np.float32).reshape(size, size),
+    ])
+    ctx1 = sdtpu.Context(config="tiny_depth", steps=3)
+    ctx8 = sdtpu.Context(config="tiny_depth", steps=3, mesh=(2, 4))
+    a = ctx1.depth2img(prompts, image, depths, strength=0.5, seed=4)
+    b = ctx8.depth2img(prompts, image, depths, strength=0.5, seed=4)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
