@@ -72,6 +72,12 @@ def _cmd_generate(args) -> int:
                               strength=args.strength or 1.0,
                               guidance=args.guidance, seed=args.seed,
                               negative_prompt=args.negative_prompt)
+        elif ctx.cfg.unet.in_channels == 2 * ctx.cfg.latent_channels:
+            # 8-ch InstructPix2Pix config: the prompt is an edit instruction
+            img = ctx.instruct_pix2pix(
+                args.prompt, init, guidance=args.guidance,
+                image_guidance=args.image_guidance, seed=args.seed,
+                negative_prompt=args.negative_prompt)
         elif args.depth_image:
             # any monotone depth map: 8/16-bit grayscale png (e.g. a MiDaS
             # dump); normalization happens per sample inside the program
@@ -387,6 +393,10 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--image-guidance", type=float, default=1.5,
+                   help="InstructPix2Pix (config sd15_ip2p) image-side CFG "
+                        "scale; the prompt becomes the edit instruction "
+                        "(requires --init-image)")
     g.add_argument("--steps", type=int, default=20)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--sampler", default="dpm", choices=SAMPLER_CHOICES)

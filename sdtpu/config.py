@@ -150,6 +150,12 @@ SD21_INPAINT = dataclasses.replace(
 SD2_DEPTH = dataclasses.replace(
     SD21_BASE, unet=dataclasses.replace(SD21_BASE.unet, in_channels=5))
 
+# InstructPix2Pix (timbrooks/instruct-pix2pix, SD1.5-based): 8 input
+# channels — concat(latents 4, edit image's unscaled posterior-mode
+# latents 4) — with dual text/image CFG (Context.instruct_pix2pix).
+SD15_IP2P = dataclasses.replace(
+    SD15, unet=dataclasses.replace(SD15.unet, in_channels=8))
+
 # Stable Diffusion XL base (1024x1024): dual text towers (CLIP-L penultimate
 # hidden + OpenCLIP bigG penultimate hidden, concat -> 2048-dim context),
 # bigG pooled + size/crop microcond fourier vector through an additive
@@ -247,12 +253,15 @@ TINY_INPAINT = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=9))
 TINY_DEPTH = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=5))
+TINY_IP2P = dataclasses.replace(
+    TINY, unet=dataclasses.replace(TINY.unet, in_channels=8))
 
 
 #: name -> config registry (Context(config=...), CLI --config, tests)
 CONFIGS = {
     "sd15": SD15,
     "sd15_inpaint": SD15_INPAINT,
+    "sd15_ip2p": SD15_IP2P,
     "sd21": SD21,
     "sd21base": SD21_BASE,
     "sd21_inpaint": SD21_INPAINT,
@@ -262,6 +271,7 @@ CONFIGS = {
     "tiny": TINY,
     "tiny_inpaint": TINY_INPAINT,
     "tiny_depth": TINY_DEPTH,
+    "tiny_ip2p": TINY_IP2P,
     "tiny_xl": TINY_XL,
     "tiny_xl_ref": TINY_XL_REF,
 }

@@ -1257,12 +1257,34 @@ class Context:
             negative_prompt, lora, depth=depth,
         )
 
+    def instruct_pix2pix(
+        self,
+        prompt: str | list[str],
+        image: np.ndarray,
+        guidance: float = 7.5,
+        image_guidance: float = 1.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
+    ) -> np.ndarray:
+        """Instruction-based image editing (config ``sd15_ip2p``,
+        timbrooks/instruct-pix2pix): `prompt` is an EDIT instruction
+        ("make it winter"), `image` the uint8 input at the context's
+        resolution. Dual CFG: `guidance` steers toward the instruction,
+        `image_guidance` toward the input image (higher = more faithful;
+        both traced — no recompile across values). Capability extension
+        (the reference is txt2img-only)."""
+        return self._image_conditioned(
+            "ip2p", prompt, image, None, 1.0, guidance, seed,
+            negative_prompt, lora, image_guidance=image_guidance,
+        )
+
     def _image_conditioned(
         self, mode, prompt, image, mask, strength, guidance, seed,
-        negative_prompt, lora=None, depth=None,
+        negative_prompt, lora=None, depth=None, image_guidance=None,
     ) -> np.ndarray:
-        """Shared img2img/inpaint/depth2img path: validate, tokenize,
-        build/reuse the compiled program, run."""
+        """Shared img2img/inpaint/depth2img/instruct-pix2pix path:
+        validate, tokenize, build/reuse the compiled program, run."""
         import functools
 
         from sdtpu.engine import pipeline as pl
@@ -1311,6 +1333,11 @@ class Context:
                     f"depth2img needs a depth-conditioned ({lc + 1}-ch) "
                     f"UNet (config sd2_depth), this config has {ic}",
                     self.errors)
+            if mode == "ip2p" and ic != 2 * lc:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"instruct_pix2pix needs an {2 * lc}-ch UNet (config "
+                    f"sd15_ip2p), this config has {ic}", self.errors)
             if mode == "inpaint":
                 m = np.asarray(mask)
                 if m.ndim == 2:
@@ -1349,13 +1376,14 @@ class Context:
                          jax.tree_util.tree_structure(params), weighted_mesh)
             fn = self._gen_cache.get(cache_key)
             if fn is None:
-                base = pl.inpaint if mode == "inpaint" else pl.img2img
-                part = functools.partial(
-                    base,
-                    cfg=self.cfg, sampler=self.sampler,
-                    steps=self.steps, start_step=start_step, use_cfg=use_cfg,
-                    kernels=self.kernels,
-                )
+                base = {"inpaint": pl.inpaint,
+                        "ip2p": pl.instruct_pix2pix}.get(mode, pl.img2img)
+                pkw = dict(cfg=self.cfg, sampler=self.sampler,
+                           steps=self.steps, use_cfg=use_cfg,
+                           kernels=self.kernels)
+                if mode != "ip2p":  # ip2p always starts from pure noise
+                    pkw["start_step"] = start_step
+                part = functools.partial(base, **pkw)
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
 
@@ -1378,6 +1406,8 @@ class Context:
                     ]
                     if mode == "inpaint":
                         specs.append(P("data", None, None, None))  # mask
+                    if mode == "ip2p":
+                        specs.append(P())  # image_guidance scalar
                     # in_shardings bind positionals; lift the kw-only
                     # depth planes / token_weights into the signature
                     kw_names = []
@@ -1406,6 +1436,8 @@ class Context:
                     jnp.float32(guidance), x)
             if mode == "inpaint":
                 args += (jnp.asarray(m),)
+            if mode == "ip2p":
+                args += (jnp.float32(image_guidance),)
             kw = {}
             if mode == "depth":
                 kw["depth"] = jnp.asarray(d)

@@ -180,9 +180,16 @@ def denoise(
     end_step=None,
     x_start=None,
     x_extra=None,
+    image_guidance=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    InstructPix2Pix dual CFG: pass `image_guidance` (traced scalar) with a
+    3B-row context [cond, uncond, uncond] and `x_extra` holding the edit
+    image's latents — the extra planes tile [img, img, ZERO] across the
+    three CFG thirds and the combine is
+    e_un + guidance*(e_txt - e_img) + image_guidance*(e_img - e_un).
 
     Two-stage (base+refiner) handoff: `end_step` truncates the scan (the
     returned latents carry the marginal at t_{end_step}); `x_start` supplies
@@ -214,7 +221,8 @@ def denoise(
     # restarts at the first executed step (plan() zeroes the higher-order
     # mix-in there; the zero-initialised State buffers never enter a blend)
     plan = mod.plan(NoiseSchedule.sd_v1(), steps, start_step=start_step)
-    b = context.shape[0] // 2 if use_cfg else context.shape[0]
+    reps = 3 if image_guidance is not None else (2 if use_cfg else 1)
+    b = context.shape[0] // reps
     shape = (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
 
     if x_start is not None:
@@ -267,16 +275,20 @@ def denoise(
         te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
         if add_emb is not None:  # SDXL pooled/microcond conditioning
             te = te + add_emb.astype(te.dtype)
-        if use_cfg:
-            x_in = jnp.concatenate([x, x], axis=0).astype(dtype)
-        else:
-            x_in = x.astype(dtype)
+        x_in = (jnp.concatenate([x] * reps, axis=0) if reps > 1
+                else x).astype(dtype)
         if x_extra is not None:
-            # concat-conditioned checkpoints (9-ch inpaint / 5-ch depth):
-            # the per-sample conditioning planes ride the channel axis into
-            # conv_in at every step, duplicated across the CFG halves
-            xe = (jnp.concatenate([x_extra, x_extra], axis=0)
-                  if use_cfg else x_extra)
+            # concat-conditioned checkpoints (9-ch inpaint / 5-ch depth /
+            # 8-ch ip2p): the per-sample conditioning planes ride the
+            # channel axis into conv_in at every step. CFG halves duplicate
+            # them; ip2p's third (fully-unconditional) slot gets zeros.
+            if image_guidance is not None:
+                xe = jnp.concatenate(
+                    [x_extra, x_extra, jnp.zeros_like(x_extra)], axis=0)
+            elif use_cfg:
+                xe = jnp.concatenate([x_extra, x_extra], axis=0)
+            else:
+                xe = x_extra
             x_in = jnp.concatenate([x_in, xe.astype(dtype)], axis=-1)
         ctrl = None
         if hint_feat is not None:
@@ -299,10 +311,15 @@ def denoise(
         ).astype(jnp.float32)
         if cfg.prediction == "v":
             # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
-            # => eps = alpha*v + sigma*x_t (per half of the CFG batch)
-            x_rep = jnp.concatenate([x, x], 0) if use_cfg else x
+            # => eps = alpha*v + sigma*x_t (per CFG slot)
+            x_rep = jnp.concatenate([x] * reps, 0) if reps > 1 else x
             eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
-        if use_cfg:
+        if image_guidance is not None:
+            g = jnp.asarray(guidance, jnp.float32)
+            gi = jnp.asarray(image_guidance, jnp.float32)
+            e_txt, e_img, e_un = eps[:b], eps[b:2 * b], eps[2 * b:]
+            eps = (e_un + g * (e_txt - e_img) + gi * (e_img - e_un))
+        elif use_cfg:
             g = jnp.asarray(guidance, jnp.float32)
             if g.ndim:  # per-sample guidance scale [B] (batched serving)
                 g = g.reshape((-1,) + (1,) * (eps.ndim - 1))
@@ -468,13 +485,15 @@ _MASKED_FOLD = 1 << 22
 
 
 def _encode_init_latents(params, image, cfg, kernels, key=None,
-                         fold_tag=_POSTERIOR_FOLD):
+                         fold_tag=_POSTERIOR_FOLD, scaled=True):
     """[B,H,W,3] float in [-1,1] -> clean scale-factored latents (f32).
 
     With `key`, SAMPLES the diagonal-Gaussian posterior (mean +
     exp(0.5*logvar)*noise) as CompVis/diffusers img2img do — deterministic
     per request key via a fold_in. Without `key`, returns the posterior
-    mode (mean)."""
+    mode (mean). `scaled=False` skips the scale-factor multiply (the
+    InstructPix2Pix conditioning convention: its conv_in consumed raw
+    posterior modes during training)."""
     from sdtpu.models import vae as vae_mod
 
     mean, logvar = vae_mod.apply_encoder(
@@ -489,7 +508,7 @@ def _encode_init_latents(params, image, cfg, kernels, key=None,
             noise = jax.random.normal(
                 jax.random.fold_in(key, fold_tag), z.shape, jnp.float32)
         z = z + jnp.exp(0.5 * logvar.astype(jnp.float32)) * noise
-    return z * cfg.vae.scale_factor
+    return z * cfg.vae.scale_factor if scaled else z
 
 
 def img2img(
@@ -606,6 +625,46 @@ def inpaint(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step, mask=m,
+    )
+    return decode_latents(params, x, cfg, kernels)
+
+
+def instruct_pix2pix(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    image,
+    image_guidance,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+    token_weights=None,
+):
+    """Instruction-based image editing (timbrooks/instruct-pix2pix): an
+    8-channel UNet takes the latents plus the edit image's UNSCALED
+    posterior-mode latents at every step, and a dual CFG steers toward the
+    text instruction (`guidance`) and toward the input image
+    (`image_guidance`) independently — three UNet slots per step:
+    [text+image, image-only, unconditional]. Denoising always starts from
+    pure noise (the edit magnitude is controlled by the two scales, not a
+    strength). Both scales are traced scalars — no recompile across values.
+    Capability extension — the reference is txt2img-only."""
+    p_cond = encode_text(params, tokens, cfg, token_weights)
+    bsz = tokens.shape[0]
+    p_un = uncond_embedding.astype(p_cond.dtype)
+    if p_un.ndim == 2:
+        p_un = jnp.broadcast_to(p_un[None], (bsz, *p_un.shape))
+    context = jnp.concatenate([p_cond, p_un, p_un], axis=0)
+    image_latents = _encode_init_latents(params, image, cfg, kernels,
+                                         key=None, scaled=False)
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, True,
+        kernels, x_extra=image_latents, image_guidance=image_guidance,
     )
     return decode_latents(params, x, cfg, kernels)
 

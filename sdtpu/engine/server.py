@@ -16,6 +16,9 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
     POST /depth2img {..., "image_b64": ..., "depth_b64": <base64 grayscale
                      8/16-bit, any monotone depth scale>, "strength": 0.8}
                     (needs a depth-conditioned config, e.g. sd2_depth)
+    POST /edit      {..., "image_b64": ..., "image_guidance": 1.5}
+                    (InstructPix2Pix editing; needs config sd15_ip2p —
+                    the prompt is the edit instruction)
     GET /healthz    -> {"status": "ok", ...engine info, "lora_adapters": []}
 
 ``lora`` selects a named adapter from the Context registry
@@ -233,7 +236,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
 
         def do_POST(self):
             if self.path not in ("/generate", "/img2img", "/inpaint",
-                                 "/depth2img"):
+                                 "/depth2img", "/edit"):
                 return self._json(404, {"error": "not found"})
             try:
                 try:
@@ -292,6 +295,14 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                          "negative_prompt": neg},
                         group=("i2i", strength, lora),
                     )
+                elif self.path == "/edit":
+                    # InstructPix2Pix: the prompt is the edit instruction
+                    with lock:
+                        img = ctx.instruct_pix2pix(
+                            prompt, init, guidance=guidance,
+                            image_guidance=float(
+                                req.get("image_guidance", 1.5)),
+                            seed=seed, negative_prompt=neg, lora=lora)
                 elif self.path == "/depth2img":
                     if "depth_b64" not in req:
                         return self._json(400,

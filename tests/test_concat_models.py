@@ -121,6 +121,33 @@ def test_batched_inpaint_and_depth(image):
     assert out.shape == (2, size, size, 3)
 
 
+def test_ip2p_zero_taps_reproduces_generate(image):
+    """InstructPix2Pix dual-CFG collapse: with zero extra conv_in taps the
+    image-only and unconditional slots coincide, so
+    e_un + g*(e_txt - e_img) + gi*(e_img - e_un) == e_un + g*(e_txt - e_un)
+    — plain CFG (up to FP association), regardless of image_guidance."""
+    ctx4 = sdtpu.Context(config="tiny", steps=3)
+    ctx8 = sdtpu.Context(config="tiny_ip2p", steps=3)
+    assert ctx8.cfg.unet.in_channels == 8
+    ctx8.params = jax.tree.map(np.asarray, _expand_conv_in(ctx4.params, 4))
+    a = ctx4.generate("the horse", seed=8, guidance=7.5)
+    b = ctx8.instruct_pix2pix("the horse", image, guidance=7.5,
+                              image_guidance=1.3, seed=8)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_ip2p_image_guidance_acts(image):
+    ctx8 = sdtpu.Context(config="tiny_ip2p", steps=3)
+    a = ctx8.instruct_pix2pix("make it winter", image, seed=6)
+    a2 = ctx8.instruct_pix2pix("make it winter", image, seed=6)
+    np.testing.assert_array_equal(a, a2)
+    b = ctx8.instruct_pix2pix("make it winter", image, image_guidance=3.0,
+                              seed=6)
+    assert not np.array_equal(a, b)
+    c = ctx8.instruct_pix2pix("make it winter", image[::-1].copy(), seed=6)
+    assert not np.array_equal(a, c)
+
+
 def test_concat_configs_reject_unconditioned_programs(image):
     ctx9 = sdtpu.Context(config="tiny_inpaint", steps=2)
     ctx5 = sdtpu.Context(config="tiny_depth", steps=2)
@@ -142,15 +169,24 @@ def test_concat_configs_reject_unconditioned_programs(image):
         ctx4.depth2img("x", image, depth)
     with pytest.raises(SdtpuError):
         ctx5.img2img_batch([{"prompt": "x", "image": image}])
+    ctx8 = sdtpu.Context(config="tiny_ip2p", steps=2)
+    with pytest.raises(SdtpuError):
+        ctx8.generate("x")
+    with pytest.raises(SdtpuError):
+        ctx8.img2img("x", image)
+    with pytest.raises(SdtpuError):
+        ctx8.inpaint("x", image, np.zeros((size, size), np.uint8))
+    with pytest.raises(SdtpuError):
+        ctx4.instruct_pix2pix("x", image)
 
 
 def test_inpaint_depth_weights_roundtrip():
     """LDM name mapping covers the widened conv_in on both concat configs."""
-    from sdtpu.config import TINY_DEPTH, TINY_INPAINT
+    from sdtpu.config import TINY_DEPTH, TINY_INPAINT, TINY_IP2P
     from sdtpu.io.params import init_pipeline_params
     from sdtpu.io.weights import load_ldm_state_dict, params_to_ldm
 
-    for cfg in (TINY_INPAINT, TINY_DEPTH):
+    for cfg in (TINY_INPAINT, TINY_DEPTH, TINY_IP2P):
         params = jax.tree.map(
             np.asarray,
             init_pipeline_params(jax.random.PRNGKey(5), cfg, demo=True))

@@ -316,3 +316,9 @@ def test_concat_models_on_mesh_match_single_device():
     a = ctx1.depth2img(prompts, image, depths, strength=0.5, seed=4)
     b = ctx8.depth2img(prompts, image, depths, strength=0.5, seed=4)
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    ctx1 = sdtpu.Context(config="tiny_ip2p", steps=3)
+    ctx8 = sdtpu.Context(config="tiny_ip2p", steps=3, mesh=(2, 4))
+    a = ctx1.instruct_pix2pix(prompts, image, image_guidance=1.4, seed=4)
+    b = ctx8.instruct_pix2pix(prompts, image, image_guidance=1.4, seed=4)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
