@@ -111,6 +111,25 @@ SDTPU_API int sdtpu_img2img_image(void* context, const char* prompt,
                                   const uint8_t* image, size_t image_size,
                                   const uint8_t* mask, size_t mask_size,
                                   void** image_buffer, size_t* buffer_size);
+/* Depth-conditioned img2img (5-ch configs, e.g. "sd2_depth"). `depth`:
+ * float32 [H*W] row-major, any monotone depth scale (normalized per
+ * sample inside the program). Output protocol as sdtpu_generate_image. */
+SDTPU_API int sdtpu_depth2img_image(void* context, const char* prompt,
+                                    float guidance, float strength,
+                                    const uint8_t* image, size_t image_size,
+                                    const float* depth, size_t depth_count,
+                                    void** image_buffer, size_t* buffer_size);
+/* InstructPix2Pix editing (8-ch configs, e.g. "sd15_ip2p"): `prompt` is
+ * the edit instruction; dual text (`guidance`) / image (`image_guidance`)
+ * CFG. Output protocol as sdtpu_generate_image. */
+SDTPU_API int sdtpu_edit_image(void* context, const char* prompt,
+                               float guidance, float image_guidance,
+                               const uint8_t* image, size_t image_size,
+                               void** image_buffer, size_t* buffer_size);
+/* Textual-inversion embedding: register the trigger `word` from an
+ * .npz/.safetensors vector artifact (Context.load_embedding). */
+SDTPU_API int sdtpu_load_embedding(void* context, const char* word,
+                                   const char* path);
 SDTPU_API void sdtpu_free_buffer(void* buffer);
 
 #ifdef __cplusplus

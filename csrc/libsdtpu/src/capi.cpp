@@ -235,14 +235,15 @@ void deliver_image(ContextHandle* h, PyObject* img, void** image_buffer,
 
 // bytes -> uint8 ndarray of the given shape (dims 2 or 3)
 PyObject* bytes_to_array(ContextHandle* h, const uint8_t* data, size_t n,
-                         int dims, long d0, long d1, long d2) {
+                         int dims, long d0, long d1, long d2,
+                         const char* dtype = "uint8") {
   PyObject* np = PyImport_ImportModule("numpy");
   if (!np) raise_py(h, "import numpy");
   PyObject* by =
       PyBytes_FromStringAndSize(reinterpret_cast<const char*>(data),
                                 Py_ssize_t(n));
   PyObject* flat = by ? PyObject_CallMethod(np, "frombuffer", "(Os)", by,
-                                            "uint8")
+                                            dtype)
                       : nullptr;
   Py_XDECREF(by);
   Py_DECREF(np);
@@ -352,6 +353,20 @@ int sdtpu_load_lora(void* context, const char* name, const char* npz_path) {
   });
 }
 
+int sdtpu_load_embedding(void* context, const char* word, const char* path) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!word || !path)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null word/path");
+    Gil gil;
+    PyObject* r = PyObject_CallMethod(static_cast<PyObject*>(h->py_ctx),
+                                      "load_embedding", "(ss)", word, path);
+    if (!r) raise_py(h, "load_embedding");
+    Py_DECREF(r);
+  });
+}
+
 int sdtpu_generate_image_lora(void* context, const char* prompt,
                               float guidance, const char* lora,
                               void** image_buffer, size_t* buffer_size) {
@@ -418,6 +433,64 @@ int sdtpu_img2img_image(void* context, const char* prompt, float guidance,
   });
 }
 
+int sdtpu_depth2img_image(void* context, const char* prompt, float guidance,
+                          float strength, const uint8_t* image,
+                          size_t image_size, const float* depth,
+                          size_t depth_count, void** image_buffer,
+                          size_t* buffer_size) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!prompt || !image || !depth || !image_buffer || !buffer_size)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null args");
+    Gil gil;
+    long isz = context_image_size(h);
+    if (image_size != size_t(isz) * size_t(isz) * 3)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "image must be H*W*3 bytes at the context resolution");
+    if (depth_count != size_t(isz) * size_t(isz))
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "depth must be H*W float32 values");
+    PyObject* ctx = static_cast<PyObject*>(h->py_ctx);
+    PyObject* arr = bytes_to_array(h, image, image_size, 3, isz, isz, 3);
+    PyObject* darr = bytes_to_array(
+        h, reinterpret_cast<const uint8_t*>(depth),
+        depth_count * sizeof(float), 2, isz, isz, 0, "float32");
+    PyObject* img = PyObject_CallMethod(ctx, "depth2img", "(sOOdd)", prompt,
+                                        arr, darr, double(strength),
+                                        double(guidance));
+    Py_DECREF(darr);
+    Py_DECREF(arr);
+    if (!img) raise_py(h, "depth2img");
+    deliver_image(h, img, image_buffer, buffer_size);
+  });
+}
+
+int sdtpu_edit_image(void* context, const char* prompt, float guidance,
+                     float image_guidance, const uint8_t* image,
+                     size_t image_size, void** image_buffer,
+                     size_t* buffer_size) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!prompt || !image || !image_buffer || !buffer_size)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null args");
+    Gil gil;
+    long isz = context_image_size(h);
+    if (image_size != size_t(isz) * size_t(isz) * 3)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "image must be H*W*3 bytes at the context resolution");
+    PyObject* ctx = static_cast<PyObject*>(h->py_ctx);
+    PyObject* arr = bytes_to_array(h, image, image_size, 3, isz, isz, 3);
+    PyObject* img = PyObject_CallMethod(ctx, "instruct_pix2pix", "(sOdd)",
+                                        prompt, arr, double(guidance),
+                                        double(image_guidance));
+    Py_DECREF(arr);
+    if (!img) raise_py(h, "instruct_pix2pix");
+    deliver_image(h, img, image_buffer, buffer_size);
+  });
+}
+
 int sdtpu_ref_context(void* context) {
   auto* h = retrieve(context);
   if (!h) return SDTPU_INVALID_CONTEXT;
@@ -460,6 +533,17 @@ int sdtpu_generate_image_lora(void*, const char*, float, const char*, void**,
 }
 int sdtpu_img2img_image(void*, const char*, float, float, const uint8_t*,
                         size_t, const uint8_t*, size_t, void**, size_t*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_depth2img_image(void*, const char*, float, float, const uint8_t*,
+                          size_t, const float*, size_t, void**, size_t*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_edit_image(void*, const char*, float, float, const uint8_t*,
+                     size_t, void**, size_t*) {
+  return SDTPU_UNSUPPORTED;
+}
+int sdtpu_load_embedding(void*, const char*, const char*) {
   return SDTPU_UNSUPPORTED;
 }
 int sdtpu_ref_context(void*) { return SDTPU_UNSUPPORTED; }

@@ -264,3 +264,100 @@ def test_capi_lora_routing(lib, tmp_path):
         assert rc != 0
     finally:
         lib.sdtpu_release(handle)
+
+
+def test_capi_concat_models_and_embedding(lib, tmp_path):
+    """C ABI for the round-3 families: sdtpu_depth2img_image (5-ch),
+    sdtpu_edit_image (8-ch ip2p), and sdtpu_load_embedding (textual
+    inversion) — each matching the Python Context bit-for-bit (both sides
+    random-init from PRNGKey(0))."""
+    import ctypes
+
+    import sdtpu
+
+    c_void_p, c_char_p = ctypes.c_void_p, ctypes.c_char_p
+    lib.sdtpu_setup.argtypes = [
+        ctypes.POINTER(c_void_p), c_char_p, c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.sdtpu_depth2img_image.argtypes = [
+        c_void_p, c_char_p, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+        ctypes.POINTER(c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+    lib.sdtpu_edit_image.argtypes = [
+        c_void_p, c_char_p, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+    lib.sdtpu_load_embedding.argtypes = [c_void_p, c_char_p, c_char_p]
+    lib.sdtpu_release.argtypes = [c_void_p]
+    lib.sdtpu_free_buffer.argtypes = [c_void_p]
+
+    def fetch(buf, n, size):
+        out = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+            (n.value,)).copy().reshape(size, size, 3)
+        lib.sdtpu_free_buffer(buf)
+        return out
+
+    # ---- depth2img over the C ABI --------------------------------------
+    py5 = sdtpu.Context(config="tiny_depth", steps=2)
+    size = py5.cfg.image_size
+    image = np.random.default_rng(0).integers(
+        0, 256, (size, size, 3)).astype(np.uint8)
+    depth = np.linspace(0, 500, size * size, dtype=np.float32).reshape(
+        size, size)
+    want = py5.depth2img("the horse", image, depth, strength=0.5, seed=0)
+
+    handle = c_void_p()
+    rc = lib.sdtpu_setup(ctypes.byref(handle), None, b"tiny_depth", 2, 0, 0)
+    if rc == 6:
+        pytest.skip("libsdtpu built without SDTPU_EMBED_PYTHON")
+    assert rc == 0
+    try:
+        buf, n = c_void_p(), ctypes.c_size_t()
+        img_c = np.ascontiguousarray(image)
+        dep_c = np.ascontiguousarray(depth)
+        rc = lib.sdtpu_depth2img_image(
+            handle, b"the horse", 7.5, 0.5,
+            img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            img_c.size,
+            dep_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dep_c.size, ctypes.byref(buf), ctypes.byref(n))
+        assert rc == 0, rc
+        assert np.array_equal(fetch(buf, n, size), want)
+        # wrong depth count -> clean error
+        rc = lib.sdtpu_depth2img_image(
+            handle, b"x", 7.5, 0.5,
+            img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            img_c.size,
+            dep_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dep_c.size - 1, ctypes.byref(buf), ctypes.byref(n))
+        assert rc != 0
+    finally:
+        lib.sdtpu_release(handle)
+
+    # ---- ip2p + textual inversion over the C ABI -----------------------
+    py8 = sdtpu.Context(config="tiny_ip2p", steps=2)
+    ids = py8.tokenizer.encode("horse")
+    vecs = np.asarray(py8.params["clip"]["token_embedding"])[ids]
+    npz = tmp_path / "h.npz"
+    np.savez(npz, emb=vecs)
+    want = py8.instruct_pix2pix("a horse photo", image, guidance=6.0,
+                                image_guidance=1.4, seed=0)
+
+    handle = c_void_p()
+    assert lib.sdtpu_setup(ctypes.byref(handle), None, b"tiny_ip2p",
+                           2, 0, 0) == 0
+    try:
+        assert lib.sdtpu_load_embedding(
+            handle, b"<h>", str(npz).encode()) == 0
+        buf, n = c_void_p(), ctypes.c_size_t()
+        img_c = np.ascontiguousarray(image)
+        rc = lib.sdtpu_edit_image(
+            handle, b"a <h> photo", 6.0, 1.4,
+            img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            img_c.size, ctypes.byref(buf), ctypes.byref(n))
+        assert rc == 0, rc
+        assert np.array_equal(fetch(buf, n, size), want)
+    finally:
+        lib.sdtpu_release(handle)

@@ -369,3 +369,73 @@ def test_controlnet_endpoint(server):
     # and it differs from the uncontrolled output
     plain = ctx.generate("the horse", seed=5)
     assert not np.array_equal(got, plain)
+
+
+def test_depth2img_and_edit_endpoints():
+    """Concat-family endpoints need their own configs — spin up one server
+    per config and pin raw output equality against the direct Context."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    def b64(arr, mode):
+        buf = io.BytesIO()
+        # mode is inferred from dtype/shape (uint16 [H,W] -> I;16)
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def with_server(ctx, fn):
+        ready = threading.Event()
+        t = threading.Thread(
+            target=serve, args=(ctx,),
+            kwargs={"port": 0, "ready_event": ready}, daemon=True)
+        t.start()
+        assert ready.wait(30)
+        httpd = serve.last_server
+        try:
+            fn(f"http://127.0.0.1:{httpd.server_address[1]}")
+        finally:
+            httpd.shutdown()
+
+    ctx5 = sdtpu.Context(config="tiny_depth", steps=2)
+    size = ctx5.cfg.image_size
+    row = np.linspace(0, 255, size, dtype=np.uint8)
+    init = np.ascontiguousarray(
+        np.broadcast_to(row[None, :, None], (size, size, 3)))
+    depth16 = np.linspace(0, 60000, size * size, dtype=np.float32).reshape(
+        size, size).astype(np.uint16)
+
+    def drive_depth(base):
+        status, _, body = _post(
+            base + "/depth2img",
+            {"prompt": "the horse", "seed": 2, "strength": 0.5,
+             "image_b64": b64(init, "RGB"),
+             "depth_b64": b64(depth16, "I;16"), "format": "raw"})
+        assert status == 200, body
+        img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        direct = ctx5.depth2img("the horse", init,
+                                depth16.astype(np.float32),
+                                strength=0.5, seed=2)
+        assert np.array_equal(img, direct)
+        status, _, body = _post(
+            base + "/depth2img",
+            {"prompt": "x", "image_b64": b64(init, "RGB")})
+        assert status == 400 and b"depth_b64" in body
+
+    with_server(ctx5, drive_depth)
+
+    ctx8 = sdtpu.Context(config="tiny_ip2p", steps=2)
+
+    def drive_edit(base):
+        status, _, body = _post(
+            base + "/edit",
+            {"prompt": "make it winter", "seed": 5, "image_guidance": 1.4,
+             "image_b64": b64(init, "RGB"), "format": "raw"})
+        assert status == 200, body
+        img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        direct = ctx8.instruct_pix2pix("make it winter", init,
+                                       image_guidance=1.4, seed=5)
+        assert np.array_equal(img, direct)
+
+    with_server(ctx8, drive_edit)
