@@ -18,8 +18,9 @@ DEFAULT_PROMPT = "a photograph of an astronaut riding a horse"
 
 # literal copy of sorted(sdtpu.samplers.SAMPLERS): argparse must not force
 # the jax import at --help time (tests pin the two lists equal)
-SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "dpm_karras", "euler",
-                   "euler_a", "euler_a_karras", "euler_karras", "plms",
+SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "dpm_karras", "dpm_sde",
+                   "dpm_sde_karras", "euler", "euler_a",
+                   "euler_a_karras", "euler_karras", "plms",
                    "plms_exact", "unipc", "unipc_karras"]
 
 

@@ -16,7 +16,7 @@ precomputes the 1280-d embeddings the same way, context.cpp:256-279).
 """
 
 from sdtpu.samplers.schedule import NoiseSchedule
-from sdtpu.samplers import dpm, ddim, euler, euler_a, plms, unipc
+from sdtpu.samplers import dpm, ddim, dpm_sde, euler, euler_a, plms, unipc
 
 class _KarrasSpacing:
     """Same solver, Karras et al. (2022) sigma spacing instead of uniform
@@ -51,9 +51,12 @@ SAMPLERS = {
     "euler": euler,
     # ancestral: NEEDS_NOISE — the pipeline threads per-step noise into step()
     "euler_a": euler_a,
+    # stochastic 2nd-order multistep (k-diffusion "DPM++ 2M SDE")
+    "dpm_sde": dpm_sde,
     "unipc": unipc,
     # Karras-spaced variants of the continuous-time solvers
     "dpm_karras": _KarrasSpacing(dpm),
+    "dpm_sde_karras": _KarrasSpacing(dpm_sde),
     "euler_karras": _KarrasSpacing(euler),
     "euler_a_karras": _KarrasSpacing(euler_a),
     "unipc_karras": _KarrasSpacing(unipc),
@@ -69,5 +72,5 @@ def get_sampler(name: str):
         ) from None
 
 
-__all__ = ["NoiseSchedule", "SAMPLERS", "get_sampler", "dpm", "ddim", "plms",
-           "euler", "euler_a", "unipc"]
+__all__ = ["NoiseSchedule", "SAMPLERS", "get_sampler", "dpm", "ddim",
+           "dpm_sde", "plms", "euler", "euler_a", "unipc"]

@@ -297,7 +297,7 @@ def test_new_samplers_e2e_and_cross_path_determinism():
     stream must not depend on batch composition)."""
     import sdtpu
 
-    for name in ("euler", "euler_a", "unipc"):
+    for name in ("euler", "euler_a", "unipc", "dpm_sde"):
         ctx = sdtpu.Context(config="tiny", steps=4, sampler=name)
         a = ctx.generate("the horse", seed=7)
         b = ctx.generate("the horse", seed=7)
@@ -499,3 +499,58 @@ def test_karras_e2e_differs_and_deterministic():
     assert not np.array_equal(a, b)  # the spacing changes the trajectory
     b2 = ctx_k.generate("the horse", seed=2)
     np.testing.assert_array_equal(b, b2)
+
+
+def test_dpm_sde_matches_kdiffusion_form(sched):
+    """Table-driven DPM++(2M) SDE vs the k-diffusion sample_dpmpp_2m_sde
+    update (midpoint solver, eta=1), reassembled in sigma_k space."""
+    from sdtpu.samplers import dpm_sde
+
+    steps = 9
+    p = dpm_sde.plan(sched, steps)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+    noise_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = dpm_sde.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = dpm_sde.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st,
+                                  noise=jnp.asarray(noise_seq[i]))
+
+    ts = sched.sampling_times(steps)
+    alpha = sched.marginal_alpha(ts)
+    sigma = sched.marginal_sigma(ts)
+    sigk = sigma / alpha
+    x_ref = x.copy()
+    old_denoised = None
+    h_last = None
+    for i in range(steps):
+        denoised = (x_ref - sigma[i] * eps_seq[i]) / alpha[i]
+        # k-diffusion update (eta=1, s_noise=1, midpoint)
+        xk = x_ref / alpha[i]
+        t, s = -np.log(sigk[i]), -np.log(sigk[i + 1])
+        h = s - t
+        eta_h = h
+        xk = (sigk[i + 1] / sigk[i]) * np.exp(-eta_h) * xk \
+            - np.expm1(-h - eta_h) * denoised
+        if old_denoised is not None:
+            r = h_last / h
+            xk = xk - 0.5 * np.expm1(-h - eta_h) * (1.0 / r) \
+                * (denoised - old_denoised)
+        xk = xk + noise_seq[i] * sigk[i + 1] * np.sqrt(-np.expm1(-2 * eta_h))
+        x_ref = (alpha[i + 1] * xk).astype(np.float32)
+        old_denoised, h_last = denoised, h
+    assert np.allclose(np.asarray(x_ours), x_ref, atol=3e-4)
+
+
+def test_dpm_sde_warm_start_and_noise_protocol(sched):
+    """Warm starts zero the 2nd-order mix at the first executed step, and
+    the sampler advertises NEEDS_NOISE for the pipeline's per-step draws."""
+    from sdtpu.samplers import dpm_sde
+
+    assert dpm_sde.NEEDS_NOISE
+    p = dpm_sde.plan(sched, 8, start_step=3)
+    mix = np.asarray(p.mix)
+    assert np.all(mix[:4] == 0.0) and np.all(mix[4:] > 0.0)
