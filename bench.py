@@ -40,11 +40,16 @@ def main() -> int:
 
     quant = os.environ.get("SDTPU_BENCH_QUANT", "none")
     config = os.environ.get("SDTPU_BENCH_CONFIG", "sd15")
+    interval = os.environ.get("SDTPU_BENCH_CFG_INTERVAL")  # e.g. "0.1,0.75"
+    if interval:
+        lo, _, hi = interval.partition(",")
+        interval = (float(lo), float(hi))
     ctx = sdtpu.Context(
         model_dir=None, steps=20, sampler="dpm", config=config,
         log_level=LogLevel.INFO,
         quantize="int8" if quant == "int8_static" else quant,
         kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
+        cfg_interval=interval or None,
     )
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     if quant == "int8_static":

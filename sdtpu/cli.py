@@ -37,6 +37,10 @@ def _cmd_generate(args) -> int:
     import sdtpu
     from sdtpu.engine.logging import LogLevel
 
+    interval = None
+    if args.cfg_interval:
+        lo, _, hi = args.cfg_interval.partition(",")
+        interval = (float(lo), float(hi))
     ctx = sdtpu.Context(
         model_dir=args.model_dir,
         steps=args.steps,
@@ -48,6 +52,7 @@ def _cmd_generate(args) -> int:
         seed=args.seed,
         size=args.size,
         lora=args.lora,
+        cfg_interval=interval,
     )
     if args.controlnet:
         # --controlnet [name=]path (or "random" for demo weights)
@@ -394,6 +399,11 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--cfg-interval", default=None, metavar="LO,HI",
+                   help="guidance-interval optimization: apply CFG only on "
+                        "the middle LO..HI fraction of the trajectory — "
+                        "skips the uncond UNet eval outside it (faster; a "
+                        "quality win at high guidance, Kynkaanniemi 2024)")
     g.add_argument("--image-guidance", type=float, default=1.5,
                    help="InstructPix2Pix (config sd15_ip2p) image-side CFG "
                         "scale; the prompt becomes the edit instruction "

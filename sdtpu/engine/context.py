@@ -74,6 +74,7 @@ class Context:
         compile_cache: Optional[str] = "~/.cache/sdtpu/xla",
         lora: Optional[str] = None,
         embeddings: Optional[dict] = None,
+        cfg_interval: Optional[tuple] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -131,6 +132,18 @@ class Context:
                 self.errors,
             )
         self.sampler = sampler
+        if cfg_interval is not None:
+            lo, hi = cfg_interval
+            if not (0.0 <= lo < hi <= 1.0):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"cfg_interval must be 0 <= lo < hi <= 1, got "
+                    f"{cfg_interval}", self.errors)
+            cfg_interval = (float(lo), float(hi))
+        #: guidance-interval optimization: CFG (and its uncond UNet eval)
+        #: only on the middle (lo, hi) fraction of the trajectory —
+        #: a latency AND quality lever (engine/pipeline.denoise)
+        self.cfg_interval = cfg_interval
         self.seed = int(seed)
         if kernels == "auto":
             kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -615,11 +628,13 @@ class Context:
                     sampler=self.sampler, steps=self.steps, use_cfg=use_cfg,
                     kernels=self.kernels, end_step=end_step, output=output,
                     with_hint=with_hint, weighted=weighted,
+                    cfg_interval=self.cfg_interval,
                 )(params)
             else:
                 fn = jit_generate(
                     self.cfg, self.sampler, self.steps, use_cfg,
                     self.kernels, end_step=end_step, output=output,
+                    cfg_interval=self.cfg_interval,
                 )
             self._gen_cache[key] = fn
         return fn
@@ -832,12 +847,14 @@ class Context:
                         use_cfg=use_cfg, kernels=self.kernels,
                         start_step=start_step,
                         weighted=weights is not None,
+                        cfg_interval=self.cfg_interval,
                     )(params)
                 else:
                     from sdtpu.engine.pipeline import jit_refine
 
                     fn = jit_refine(self.cfg, self.sampler, self.steps,
-                                    start_step, use_cfg, self.kernels)
+                                    start_step, use_cfg, self.kernels,
+                                    cfg_interval=self.cfg_interval)
                 self._gen_cache[key] = fn
             kw = {} if weights is None else {"token_weights": weights}
             img = np.asarray(fn(
@@ -987,6 +1004,7 @@ class Context:
                 part = functools.partial(
                     _generate, cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, use_cfg=True, kernels=self.kernels,
+                    cfg_interval=self.cfg_interval,
                 )
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
@@ -1151,7 +1169,7 @@ class Context:
                 part = functools.partial(
                     pl.img2img, cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, start_step=start_step, use_cfg=True,
-                    kernels=self.kernels,
+                    kernels=self.kernels, cfg_interval=self.cfg_interval,
                 )
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
@@ -1383,6 +1401,7 @@ class Context:
                            kernels=self.kernels)
                 if mode != "ip2p":  # ip2p always starts from pure noise
                     pkw["start_step"] = start_step
+                    pkw["cfg_interval"] = self.cfg_interval
                 part = functools.partial(base, **pkw)
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P

@@ -181,9 +181,19 @@ def denoise(
     x_start=None,
     x_extra=None,
     image_guidance=None,
+    cfg_interval=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    `cfg_interval` (static (lo, hi) fractions of the trajectory): apply
+    CFG only on steps round(steps*lo) <= i < round(steps*hi); outside the
+    interval the uncond UNet eval is skipped entirely (cond slot only), so
+    each excluded step costs HALF a CFG step. Guidance restricted to a
+    middle interval is a measured quality WIN at high scales
+    (Kynkäänniemi et al. 2024) — here it is also a latency win. None (the
+    default) keeps the single-scan program bit-identical to previous
+    releases. Ignored when guidance == 1 or for ip2p's dual CFG.
 
     InstructPix2Pix dual CFG: pass `image_guidance` (traced scalar) with a
     3B-row context [cond, uncond, uncond] and `x_extra` holding the edit
@@ -270,12 +280,16 @@ def denoise(
         t_embs_cn = temb.apply(cn["temb"], plan.model_t, cfg.unet,
                                dtype=dtype)
 
-    def predict_eps(x, i):
-        """One guided UNet eval at step index `i` (traced or static)."""
-        te = jnp.broadcast_to(t_embs[i], (context.shape[0], t_embs.shape[-1]))
+    def predict_eps(x, i, guided=True):
+        """One UNet eval at step index `i` (traced or static). `guided`
+        (static) False runs the cond slot only — no uncond eval, no CFG mix
+        (the guidance-interval optimization; see `cfg_interval`)."""
+        r = reps if guided else 1
+        rows = context if guided else context[:b]
+        te = jnp.broadcast_to(t_embs[i], (rows.shape[0], t_embs.shape[-1]))
         if add_emb is not None:  # SDXL pooled/microcond conditioning
-            te = te + add_emb.astype(te.dtype)
-        x_in = (jnp.concatenate([x] * reps, axis=0) if reps > 1
+            te = te + add_emb.astype(te.dtype)[: rows.shape[0]]
+        x_in = (jnp.concatenate([x] * r, axis=0) if r > 1
                 else x).astype(dtype)
         if x_extra is not None:
             # concat-conditioned checkpoints (9-ch inpaint / 5-ch depth /
@@ -285,7 +299,7 @@ def denoise(
             if image_guidance is not None:
                 xe = jnp.concatenate(
                     [x_extra, x_extra, jnp.zeros_like(x_extra)], axis=0)
-            elif use_cfg:
+            elif r == 2:
                 xe = jnp.concatenate([x_extra, x_extra], axis=0)
             else:
                 xe = x_extra
@@ -295,31 +309,31 @@ def denoise(
             from sdtpu.models import controlnet as cn_mod
 
             te_cn = jnp.broadcast_to(
-                t_embs_cn[i], (context.shape[0], t_embs_cn.shape[-1]))
+                t_embs_cn[i], (rows.shape[0], t_embs_cn.shape[-1]))
             if add_emb is not None:
-                te_cn = te_cn + add_emb.astype(te_cn.dtype)
+                te_cn = te_cn + add_emb.astype(te_cn.dtype)[: rows.shape[0]]
             dres, mres = cn_mod.apply(
-                params["controlnet"], x_in, hint_feat, te_cn, context,
-                cfg.unet, kernels)
+                params["controlnet"], x_in, hint_feat[: x_in.shape[0]],
+                te_cn, rows, cfg.unet, kernels)
             s = jnp.asarray(1.0 if control_scale is None else control_scale,
                             jnp.float32)
-            ctrl = (tuple(r * s.astype(r.dtype) for r in dres),
+            ctrl = (tuple(r_ * s.astype(r_.dtype) for r_ in dres),
                     mres * s.astype(mres.dtype))
         eps = unet.apply(
-            params["unet"], x_in, te, context, cfg.unet, kernels,
+            params["unet"], x_in, te, rows, cfg.unet, kernels,
             control=ctrl,
         ).astype(jnp.float32)
         if cfg.prediction == "v":
             # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
             # => eps = alpha*v + sigma*x_t (per CFG slot)
-            x_rep = jnp.concatenate([x] * reps, 0) if reps > 1 else x
+            x_rep = jnp.concatenate([x] * r, 0) if r > 1 else x
             eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
         if image_guidance is not None:
             g = jnp.asarray(guidance, jnp.float32)
             gi = jnp.asarray(image_guidance, jnp.float32)
             e_txt, e_img, e_un = eps[:b], eps[b:2 * b], eps[2 * b:]
             eps = (e_un + g * (e_txt - e_img) + gi * (e_img - e_un))
-        elif use_cfg:
+        elif use_cfg and guided:
             g = jnp.asarray(guidance, jnp.float32)
             if g.ndim:  # per-sample guidance scale [B] (batched serving)
                 g = g.reshape((-1,) + (1,) * (eps.ndim - 1))
@@ -352,33 +366,53 @@ def denoise(
 
     needs_noise = getattr(mod, "NEEDS_NOISE", False)
 
-    def body(carry, i):
-        x, st = carry
-        if mask is not None:
-            # re-pin the kept region to the init latents at this step's
-            # marginal (fresh noise per step keeps its statistics honest)
-            n_i = _step_noise(i, 1)
-            pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
-                      + plan.sigma_s[i] * n_i)
-            x = mask * x + (1.0 - mask) * pinned
-        if needs_noise:
-            # ancestral samplers: a dedicated fold_in tag range, disjoint
-            # from the inpaint pin-noise tags (1..steps) and the VAE
-            # posterior tag (_POSTERIOR_FOLD)
-            x, st = mod.step(plan, i, x, predict_eps(x, i), st,
-                             noise=_step_noise(i, _ANCESTRAL_FOLD))
-        else:
-            x, st = mod.step(plan, i, x, predict_eps(x, i), st)
-        return (x, st), None
+    def make_body(guided):
+        def body(carry, i):
+            x, st = carry
+            if mask is not None:
+                # re-pin the kept region to the init latents at this step's
+                # marginal (fresh noise per step keeps its statistics honest)
+                n_i = _step_noise(i, 1)
+                pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
+                          + plan.sigma_s[i] * n_i)
+                x = mask * x + (1.0 - mask) * pinned
+            if needs_noise:
+                # ancestral samplers: a dedicated fold_in tag range, disjoint
+                # from the inpaint pin-noise tags (1..steps) and the VAE
+                # posterior tag (_POSTERIOR_FOLD)
+                x, st = mod.step(plan, i, x, predict_eps(x, i, guided), st,
+                                 noise=_step_noise(i, _ANCESTRAL_FOLD))
+            else:
+                x, st = mod.step(plan, i, x, predict_eps(x, i, guided), st)
+            return (x, st), None
 
-    # unroll=2: exposes cross-step overlap to the latency-hiding scheduler
-    # (weight prefetch of step i+1 behind the tail of step i)
+        return body
+
     end = steps if end_step is None else int(end_step)
-    n_run = end - start_step
-    (x, _), _ = jax.lax.scan(
-        body, (x, state), jnp.arange(start_step, end),
-        unroll=2 if n_run % 2 == 0 else 1,
-    )
+    if cfg_interval is None or not use_cfg or image_guidance is not None:
+        segments = [(start_step, end, True)]
+    else:
+        # guidance-interval optimization (Kynkäänniemi et al. 2024; the
+        # phase-aware idea in SD-Acc): CFG only on the middle fraction of
+        # the trajectory — outside it the uncond UNet eval is SKIPPED
+        # entirely, so each excluded step costs half a CFG step. The split
+        # is static, so each segment compiles its own scan body (no
+        # per-step lax.cond) and the default path stays untouched.
+        lo, hi = cfg_interval
+        a = int(round(steps * lo))
+        c = int(round(steps * hi))
+        segments = [(start_step, min(a, end), False),
+                    (max(a, start_step), min(c, end), True),
+                    (max(c, start_step), end, False)]
+        segments = [(s0, s1, g) for s0, s1, g in segments if s1 > s0]
+    for s0, s1, guided in segments:
+        n_run = s1 - s0
+        # unroll=2: exposes cross-step overlap to the latency-hiding
+        # scheduler (weight prefetch of step i+1 behind the tail of step i)
+        (x, state), _ = jax.lax.scan(
+            make_body(guided), (x, state), jnp.arange(s0, s1),
+            unroll=2 if n_run % 2 == 0 else 1,
+        )
     if mask is not None:
         x = mask * x + (1.0 - mask) * init_latents.astype(jnp.float32)
     return x
@@ -401,6 +435,7 @@ def generate(
     end_step=None,
     output: str = "image",
     token_weights=None,
+    cfg_interval=None,
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -417,6 +452,7 @@ def generate(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, hint=hint, control_scale=control_scale, end_step=end_step,
+        cfg_interval=cfg_interval,
     )
     if output == "latent":
         return x
@@ -438,6 +474,7 @@ def refine(
     use_cfg: bool = True,
     kernels: str = "xla",
     token_weights=None,
+    cfg_interval=None,
 ):
     """Second stage of a two-stage (base + refiner) pipeline: continue
     denoising ALREADY-NOISY latents from `start_step` (whose marginal they
@@ -451,6 +488,7 @@ def refine(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, start_step=start_step, x_start=latents,
+        cfg_interval=cfg_interval,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -527,6 +565,7 @@ def img2img(
     kernels: str = "xla",
     token_weights=None,
     depth=None,
+    cfg_interval=None,
 ):
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
     noise to `start_step`, denoise the remaining steps, decode. The latents
@@ -557,7 +596,7 @@ def img2img(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step,
-        x_extra=x_extra,
+        x_extra=x_extra, cfg_interval=cfg_interval,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -578,6 +617,7 @@ def inpaint(
     use_cfg: bool = True,
     kernels: str = "xla",
     token_weights=None,
+    cfg_interval=None,
 ):
     """Masked image-to-image. `image`: [B,H,W,3] float in [-1,1]; `mask`:
     [B,H,W,1] float in [0,1], 1 = repaint.
@@ -618,13 +658,14 @@ def inpaint(
         x = denoise(
             params, context, key, guidance, cfg, sampler, steps, use_cfg,
             kernels, init_latents=init_latents, start_step=start_step,
-            x_extra=x_extra,
+            x_extra=x_extra, cfg_interval=cfg_interval,
         )
         return decode_latents(params, x, cfg, kernels)
     init_latents = _encode_init_latents(params, image, cfg, kernels, key=key)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step, mask=m,
+        cfg_interval=cfg_interval,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -671,7 +712,7 @@ def instruct_pix2pix(
 
 def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
                  kernels: str = "xla", donate_params: bool = False,
-                 end_step=None, output: str = "image"):
+                 end_step=None, output: str = "image", cfg_interval=None):
     """Build the compiled generate function. Static: cfg/sampler/steps/
     use_cfg/end_step/output (shape-affecting); traced: tokens/key/guidance
     (value-changing without recompile — fixes the reference's steps==20 hard
@@ -680,15 +721,18 @@ def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
         kernels=kernels, end_step=end_step, output=output,
+        cfg_interval=cfg_interval,
     )
     return jax.jit(fn)
 
 
 def jit_refine(cfg: PipelineConfig, sampler: str, steps: int,
-               start_step: int, use_cfg: bool, kernels: str = "xla"):
+               start_step: int, use_cfg: bool, kernels: str = "xla",
+               cfg_interval=None):
     """Compiled refine program (latents in, image out)."""
     fn = functools.partial(
         refine, cfg=cfg, sampler=sampler, steps=steps,
         start_step=start_step, use_cfg=use_cfg, kernels=kernels,
+        cfg_interval=cfg_interval,
     )
     return jax.jit(fn)

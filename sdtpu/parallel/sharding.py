@@ -127,7 +127,8 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
                         use_cfg: bool = True, kernels: str = "xla",
                         spatial: bool = False, end_step=None,
                         output: str = "image", start_step: int = 0,
-                        with_hint: bool = False, weighted: bool = False):
+                        with_hint: bool = False, weighted: bool = False,
+                        cfg_interval=None):
     """Compile any Context serving program (generate / refine, with optional
     ControlNet hint, long/weighted prompts, or a truncated base stage) over
     the mesh.
@@ -165,12 +166,13 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
         base = functools.partial(
             pl.generate, cfg=cfg, sampler=sampler, steps=steps,
             use_cfg=use_cfg, kernels=kernels, end_step=end_step,
-            output=output,
+            output=output, cfg_interval=cfg_interval,
         )
     elif kind == "refine":
         base = functools.partial(
             pl.refine, cfg=cfg, sampler=sampler, steps=steps,
             start_step=start_step, use_cfg=use_cfg, kernels=kernels,
+            cfg_interval=cfg_interval,
         )
     else:
         raise ValueError(f"unknown sharded program kind {kind!r}")
