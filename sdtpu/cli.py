@@ -108,6 +108,11 @@ def _cmd_generate(args) -> int:
                            control_image=hint,
                            control=args.control or None,
                            control_scale=args.control_scale)
+    elif args.hires_scale:
+        img = ctx.hires_fix(args.prompt, scale=args.hires_scale,
+                            strength=args.hires_strength,
+                            guidance=args.guidance, seed=args.seed,
+                            negative_prompt=args.negative_prompt)
     else:
         img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
                            negative_prompt=args.negative_prompt)
@@ -399,6 +404,11 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--hires-scale", type=int, default=None,
+                   help="A1111-style hires fix: second denoise pass at "
+                        "N x the base resolution (latent upscale)")
+    g.add_argument("--hires-strength", type=float, default=0.6,
+                   help="denoising strength of the hires second pass")
     g.add_argument("--cfg-interval", default=None, metavar="LO,HI",
                    help="guidance-interval optimization: apply CFG only on "
                         "the middle LO..HI fraction of the trajectory — "

@@ -1275,6 +1275,118 @@ class Context:
             negative_prompt, lora, depth=depth,
         )
 
+    def hires_fix(
+        self,
+        prompt: str | list[str],
+        scale: int = 2,
+        strength: float = 0.6,
+        guidance: float = 7.5,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
+    ) -> np.ndarray:
+        """A1111-style two-pass "hires fix": generate at the context's base
+        resolution, nearest-upscale the clean latents by `scale` (the
+        "Latent" upscaler mode), then denoise the last
+        round(steps*strength) steps at the higher resolution and decode —
+        large images without the base model's high-res coherence failures.
+        One param tree serves both passes (the UNet/VAE are fully
+        convolutional); the second pass compiles per (scale, batch) and is
+        cached. Returns uint8 [H*scale, W*scale, 3] (batched for a list).
+        Capability extension (the reference is txt2img-only)."""
+        import functools
+
+        from sdtpu.engine import pipeline as pl
+
+        with slog.logger_scope(self.logger):
+            if self._failed:
+                raise SdtpuError(
+                    ErrorCode.INVALID_CONTEXT,
+                    "context previously failed and gave up", self.errors,
+                )
+            self._require_txt2img("hires_fix")
+            if not isinstance(scale, int) or scale < 2:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"scale must be an int >= 2, got {scale!r}", self.errors)
+            if not (0.0 < strength < 1.0):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"strength must be in (0, 1), got {strength}",
+                    self.errors)
+            single = isinstance(prompt, str)
+            prompts = [prompt] if single else list(prompt)
+            if seed is None:
+                seed = self.seed
+                self.seed += 1
+            # pass 1: base-resolution clean latents (device->host is a few
+            # hundred KB; simplicity beats keeping them resident)
+            lat = self.generate(prompts, guidance=guidance, seed=seed,
+                                negative_prompt=negative_prompt, lora=lora,
+                                output="latent")
+            start_step = int(round(self.steps * (1.0 - strength)))
+            start_step = min(max(start_step, 0), self.steps - 1)
+            tokens, weights, uncond = self._build_text_inputs(
+                prompts, negative_prompt)
+            use_cfg = guidance != 1.0
+            params = self._params_for(lora)
+            weighted_mesh = weights is not None and self.mesh is not None
+            cache_key = ("hires", scale, len(prompts), self.steps,
+                         start_step, self.sampler, use_cfg,
+                         jax.tree_util.tree_structure(params), weighted_mesh)
+            fn = self._gen_cache.get(cache_key)
+            if fn is None:
+                part = functools.partial(
+                    pl.hires_refine, cfg=self.cfg, scale=scale,
+                    sampler=self.sampler, steps=self.steps,
+                    start_step=start_step, use_cfg=use_cfg,
+                    kernels=self.kernels, cfg_interval=self.cfg_interval,
+                )
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from sdtpu.parallel.sharding import jit_pipeline_sharded
+
+                    if len(prompts) % self.mesh.shape["data"]:
+                        raise SdtpuError(
+                            ErrorCode.INVALID_ARGUMENT,
+                            f"batch {len(prompts)} not divisible by data "
+                            f"axis {self.mesh.shape['data']}", self.errors,
+                        )
+                    specs = [
+                        P("data", None, None) if weighted_mesh
+                        else P("data", None),     # tokens
+                        P(),                      # shared uncond
+                        P(),                      # PRNG key
+                        P(),                      # guidance scalar
+                        P("data", None, None, None),  # base latents
+                    ]
+                    inner = part
+                    if weighted_mesh:
+                        def inner(prm, tok, unc, k_, g_, lat_, w_):
+                            return part(prm, tok, unc, k_, g_, lat_,
+                                        token_weights=w_)
+
+                        specs.append(P("data", None, None))
+                    fn = jit_pipeline_sharded(
+                        inner, self.mesh, params, arg_pspecs=tuple(specs))
+                else:
+                    fn = jax.jit(part)
+                self._gen_cache[cache_key] = fn
+            # a dedicated fold keeps the hires forward-diffusion draw
+            # disjoint from pass 1's noise stream (threefry bit streams
+            # share prefixes across shapes under one key)
+            key2 = jax.random.fold_in(jax.random.PRNGKey(seed), 1 << 23)
+            args = (params, tokens, uncond, key2, jnp.float32(guidance),
+                    jnp.asarray(lat))
+            if weighted_mesh:
+                out = np.asarray(fn(*args, weights))
+            elif weights is not None:
+                out = np.asarray(fn(*args, token_weights=weights))
+            else:
+                out = np.asarray(fn(*args))
+            return out[0] if single else out
+
     def instruct_pix2pix(
         self,
         prompt: str | list[str],

@@ -670,6 +670,47 @@ def inpaint(
     return decode_latents(params, x, cfg, kernels)
 
 
+def hires_refine(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    latents,
+    *,
+    cfg: PipelineConfig,
+    scale: int = 2,
+    sampler: str = "dpm",
+    steps: int = 20,
+    start_step: int = 8,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+    token_weights=None,
+    cfg_interval=None,
+):
+    """Second pass of the A1111 "hires fix": nearest-upscale the base
+    pass's CLEAN latents by `scale` in latent space (the "Latent" upscaler
+    mode), forward-diffuse to `start_step`'s marginal, denoise the
+    remaining steps at the higher resolution, decode. The UNet/VAE are
+    fully convolutional, so the SAME param tree serves both passes — only
+    the compiled program's latent grid changes. Capability extension (the
+    reference is txt2img-only at one resolution)."""
+    import dataclasses as _dc
+
+    cfg_hi = _dc.replace(cfg, latent_size=cfg.latent_size * scale)
+    context = _build_context(params, tokens, uncond_embedding, cfg_hi,
+                             use_cfg, weights=token_weights)
+    b, s, _, c = latents.shape
+    up = jax.image.resize(latents.astype(jnp.float32),
+                          (b, s * scale, s * scale, c), method="nearest")
+    x = denoise(
+        params, context, key, guidance, cfg_hi, sampler, steps, use_cfg,
+        kernels, init_latents=up, start_step=start_step,
+        cfg_interval=cfg_interval,
+    )
+    return decode_latents(params, x, cfg_hi, kernels)
+
+
 def instruct_pix2pix(
     params,
     tokens,

@@ -76,7 +76,7 @@ def run_leg(name, iters, **ctx_kw):
     return med
 
 
-def run_batch_leg(name, iters, batch=4, overlap=False):
+def run_batch_leg(name, iters, batch=4, overlap=False, cfg_interval=None):
     """Batch-serving throughput: per-image time at `batch`, either
     fetch-blocking per batch (sync — the round-2 number) or dispatching
     batch k+1 before fetching batch k (overlap — VERDICT r2 #5: the VAE
@@ -86,7 +86,8 @@ def run_batch_leg(name, iters, batch=4, overlap=False):
 
     t0 = time.perf_counter()
     ctx = sdtpu.Context(model_dir=None, steps=20, sampler="dpm",
-                        config="sd15", log_level=LogLevel.ERROR)
+                        config="sd15", log_level=LogLevel.ERROR,
+                        cfg_interval=cfg_interval)
     print(f"# {name}: init {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
     seed = [0]
@@ -129,7 +130,7 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--legs", default="bf16,int8",
                     help="comma list: bf16,int8,int8w,pallas_conv,"
-                         "batch4,batch4_overlap")
+                         "batch4,batch4_overlap,batch4_overlap_interval")
     args = ap.parse_args()
 
     meds = {}
@@ -165,6 +166,11 @@ def main() -> int:
         elif leg == "batch4_overlap":
             meds[raw] = run_batch_leg("batch4 overlap", args.iters,
                                       overlap=True)
+        elif leg == "batch4_overlap_interval":
+            # compounding: double-buffered dispatch + guidance interval
+            meds[raw] = run_batch_leg("batch4 overlap+interval", args.iters,
+                                      overlap=True,
+                                      cfg_interval=(0.1, 0.75))
         else:
             raise SystemExit(f"unknown leg {leg}")
     if "bf16" in meds:
