@@ -53,6 +53,9 @@ def _cmd_generate(args) -> int:
         size=args.size,
         lora=args.lora,
         cfg_interval=interval,
+        clip_skip=args.clip_skip,
+        freeu=(tuple(float(v) for v in args.freeu.split(","))
+               if args.freeu else None),
     )
     if args.controlnet:
         # --controlnet [name=]path (or "random" for demo weights)
@@ -404,6 +407,12 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--clip-skip", type=int, default=1,
+                   help="A1111 CLIP skip: tap the text tower N-1 blocks "
+                        "early (1 = default tap)")
+    g.add_argument("--freeu", default=None, metavar="B1,B2,S1,S2",
+                   help="FreeU decoder rebalancing, e.g. 1.5,1.6,0.9,0.2 "
+                        "(the SD1.x recipe); training-free quality knob")
     g.add_argument("--hires-scale", type=int, default=None,
                    help="A1111-style hires fix: second denoise pass at "
                         "N x the base resolution (latent upscale)")

@@ -28,6 +28,10 @@ class CLIPConfig:
     eps: float = 1e-5
     act: str = "quick_gelu"      # SD2 (OpenCLIP ViT-H) uses "gelu"
     penultimate: bool = False    # SD2: skip the last block, then final LN
+    # A1111 "CLIP skip": run `layers - skip_last` blocks, then the final LN
+    # (skip_last = clip_skip - 1; 0 = the config's default tap). Set via
+    # Context(clip_skip=...)
+    skip_last: int = 0
     # text-projection dim for the pooled embedding (SDXL's OpenCLIP bigG
     # tower projects the eot hidden state to 1280); 0 = no projection leaf
     projection: int = 0
@@ -53,6 +57,10 @@ class UNetConfig:
     # input dim of the additive conditioning MLP (SDXL: 2816 = 1280 pooled
     # bigG + 6 x 256 fourier microconds); 0 = no additive conditioning
     adm_in_channels: int = 0
+    # FreeU (Si et al. 2023, training-free quality knob): (b1, b2, s1, s2)
+    # backbone/skip rebalancing at the two deepest decoder widths; None =
+    # off (the bit-exact default). Set via Context(freeu=...)
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     def depth_at(self, lvl: int) -> int:
         if not self.transformer_depth:

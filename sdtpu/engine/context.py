@@ -75,6 +75,8 @@ class Context:
         lora: Optional[str] = None,
         embeddings: Optional[dict] = None,
         cfg_interval: Optional[tuple] = None,
+        clip_skip: int = 1,
+        freeu: Optional[tuple] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -114,6 +116,36 @@ class Context:
                     f"{8 * config.upscale}, got {size}",
                 )
             config = _dc.replace(config, latent_size=size // config.upscale)
+        if clip_skip != 1:
+            # A1111 "CLIP skip": tap the text tower clip_skip-1 blocks
+            # early (then the final LN, as A1111 does). Single-tower
+            # configs only — XL's towers already tap penultimate hiddens.
+            import dataclasses as _dc
+
+            if (not isinstance(clip_skip, int) or clip_skip < 1
+                    or clip_skip > config.clip.layers
+                    or config.clip2 is not None):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"clip_skip must be an int in [1, clip.layers] on a "
+                    f"single-tower config, got {clip_skip!r}",
+                )
+            config = _dc.replace(
+                config, clip=_dc.replace(config.clip,
+                                         skip_last=clip_skip - 1))
+        if freeu is not None:
+            # FreeU (training-free quality knob): (b1, b2, s1, s2)
+            import dataclasses as _dc
+
+            if len(freeu) != 4:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"freeu must be (b1, b2, s1, s2), got {freeu!r}",
+                )
+            config = _dc.replace(
+                config, unet=_dc.replace(
+                    config.unet,
+                    freeu=tuple(float(v) for v in freeu)))
         self.cfg = config
         self.errors = ErrorTable()
         self.logger = slog.Logger(log_level, name=f"sdtpu@{hex(id(self))[-4:]}")

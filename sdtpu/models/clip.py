@@ -80,8 +80,11 @@ def apply(params, tokens, cfg: CLIPConfig, dtype=jnp.float32):
     x = params["token_embedding"][tokens].astype(dtype)
     x = x + params["position_embedding"][: tokens.shape[-1]].astype(dtype)
     blocks = params["blocks"]
-    if cfg.penultimate:
-        blocks = blocks[:-1]
+    n_skip = cfg.skip_last or (1 if cfg.penultimate else 0)
+    if n_skip:
+        # A1111 "CLIP skip" (skip_last = clip_skip - 1) / SD2's
+        # penultimate tap: drop the last block(s), keep the final LN
+        blocks = blocks[:-n_skip]
     for blk in blocks:
         x = _encoder_block(blk, x, cfg.heads, cfg.eps, causal=True, act=act)
     return layer_norm(params["final_ln"], x, cfg.eps)

@@ -304,6 +304,51 @@ def _heads(cfg: UNetConfig, c: int) -> int:
     return c // cfg.head_dim if cfg.head_dim else cfg.num_heads
 
 
+def _fourier_lowfreq_scale(x, scale, threshold: int = 1):
+    """FreeU's skip-feature filter: scale the lowest spatial frequencies
+    (a (2*threshold)^2 window around DC after fftshift) by `scale`.
+    XLA lowers the FFT natively on TPU; applied in f32, cast back."""
+    dt = x.dtype
+    f = jnp.fft.fftshift(jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2)),
+                         axes=(1, 2))
+    b, hh, ww, c = x.shape
+    cr, cc = hh // 2, ww // 2
+    row = (jnp.arange(hh) >= cr - threshold) & (jnp.arange(hh) < cr + threshold)
+    col = (jnp.arange(ww) >= cc - threshold) & (jnp.arange(ww) < cc + threshold)
+    m = jnp.where(row[:, None] & col[None, :], scale, 1.0)
+    f = f * m[None, :, :, None]
+    out = jnp.fft.ifftn(jnp.fft.ifftshift(f, axes=(1, 2)), axes=(1, 2)).real
+    return out.astype(dt)
+
+
+def _freeu(h, s, cfg: UNetConfig):
+    """FreeU (Si et al. 2023): rebalance decoder backbone vs skip features,
+    training-free. At the two deepest decoder widths, scale the first half
+    of the backbone channels by b and damp the skip's low spatial
+    frequencies by s — amplified backbone semantics, reduced skip noise.
+    Identity (and not even traced) when cfg.freeu is None; parity with the
+    reference FreeU recipe for SD's (1280, 640) widths via the
+    channel-width match on model_channels * channel_mult[-1:-3:-1]."""
+    b1, b2, s1, s2 = cfg.freeu
+    widths = [cfg.model_channels * m
+              for m in cfg.channel_mult[::-1][:2]]  # deepest two
+    c = h.shape[-1]
+    if c == widths[0]:
+        bk, sk = b1, s1
+    elif len(widths) > 1 and c == widths[1]:
+        bk, sk = b2, s2
+    else:
+        return h, s
+    if bk != 1.0:
+        half = c // 2
+        h = jnp.concatenate(
+            [h[..., :half] * jnp.asarray(bk, h.dtype), h[..., half:]],
+            axis=-1)
+    if sk != 1.0:
+        s = _fourier_lowfreq_scale(s, sk)
+    return h, s
+
+
 def apply(
     params,
     x,
@@ -363,6 +408,8 @@ def apply(
             s = skips.pop()
             if ctrl_down is not None:
                 s = s + ctrl_down.pop().astype(s.dtype)
+            if cfg.freeu is not None:
+                h, s = _freeu(h, s, cfg)
             h = jnp.concatenate([h, s], axis=-1)
             h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:

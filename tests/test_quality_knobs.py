@@ -1,0 +1,70 @@
+"""Serving-time quality knobs: A1111 CLIP skip (Context(clip_skip=N)) and
+FreeU decoder rebalancing (Context(freeu=(b1, b2, s1, s2)))."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import sdtpu
+from sdtpu.config import TINY
+from sdtpu.engine.errors import SdtpuError
+
+
+def test_clip_skip_matches_truncated_stack():
+    """clip_skip=2 on a 2-block tower must equal a 1-block model carrying
+    the SAME weights (block 0 + the final LN) — the A1111 semantics."""
+    ctx = sdtpu.Context(config="tiny", steps=3, clip_skip=2)
+    cfg1 = dataclasses.replace(
+        TINY, clip=dataclasses.replace(TINY.clip, layers=1))
+    trunc = sdtpu.Context(config=cfg1, steps=3)
+    p = dict(ctx.params)
+    clip_p = dict(p["clip"])
+    clip_p["blocks"] = clip_p["blocks"][:1]
+    p["clip"] = clip_p
+    trunc.params = p
+    trunc._prepare_buffers()  # re-derive the uncond embedding from p
+    a = ctx.generate("the horse", seed=5)
+    b = trunc.generate("the horse", seed=5)
+    np.testing.assert_array_equal(a, b)
+    # and it differs from the full-stack default
+    full = sdtpu.Context(config="tiny", steps=3).generate("the horse",
+                                                          seed=5)
+    assert not np.array_equal(a, full)
+
+
+def test_clip_skip_validation():
+    with pytest.raises(SdtpuError):
+        sdtpu.Context(config="tiny", steps=2, clip_skip=0)
+    with pytest.raises(SdtpuError):
+        sdtpu.Context(config="tiny", steps=2, clip_skip=2 + TINY.clip.layers)
+    with pytest.raises(SdtpuError):
+        sdtpu.Context(config="tiny_xl", steps=2, clip_skip=2)
+
+
+def test_freeu_identity_and_effect():
+    base = sdtpu.Context(config="tiny", steps=3).generate("the horse",
+                                                          seed=4)
+    # explicit unit factors: the b-scalings are exact no-ops and the
+    # fourier filter is gated on s != 1, so the program stays bit-identical
+    unit = sdtpu.Context(config="tiny", steps=3, freeu=(1.0, 1.0, 1.0, 1.0)
+                         ).generate("the horse", seed=4)
+    np.testing.assert_array_equal(base, unit)
+    # the SD recipe changes the output and stays deterministic
+    ctx = sdtpu.Context(config="tiny", steps=3, freeu=(1.5, 1.6, 0.9, 0.2))
+    a = ctx.generate("the horse", seed=4)
+    b = ctx.generate("the horse", seed=4)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, base)
+    with pytest.raises(SdtpuError):
+        sdtpu.Context(config="tiny", steps=2, freeu=(1.0, 1.0))
+
+
+def test_freeu_on_mesh_matches_single_device():
+    ctx1 = sdtpu.Context(config="tiny", steps=3, freeu=(1.4, 1.5, 0.9, 0.3))
+    ctx8 = sdtpu.Context(config="tiny", steps=3, freeu=(1.4, 1.5, 0.9, 0.3),
+                         mesh=(2, 4))
+    prompts = ["the horse", "a photograph"]
+    a = ctx1.generate(prompts, seed=2)
+    b = ctx8.generate(prompts, seed=2)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
