@@ -561,38 +561,56 @@ class Context:
     def embedding_names(self) -> list[str]:
         return sorted(self._embeddings)
 
-    def _resolve_control(self, control: Optional[str], control_image):
-        """-> (params-with-controlnet or None, hint array or None)."""
+    def _resolve_control(self, control, control_image):
+        """-> (tuple of adapter trees or None, hints [N, B, H, W, C] or
+        None). Accepts single values or parallel lists (multi-ControlNet:
+        residuals sum, the diffusers MultiControlNet convention)."""
         if control_image is None:
             if control:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT,
                     "control= given without control_image", self.errors)
             return None, None
-        if control is None:
-            if len(self._controlnets) != 1:
+        imgs = (list(control_image) if isinstance(control_image, (list,
+                                                                  tuple))
+                else [control_image])
+        names = (list(control) if isinstance(control, (list, tuple))
+                 else [control] * len(imgs))
+        if len(names) != len(imgs):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"{len(names)} control names for {len(imgs)} control "
+                f"images", self.errors)
+        cns, hints = [], []
+        for name, image in zip(names, imgs):
+            if name is None:
+                if len(self._controlnets) != 1:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"control adapter name required (loaded: "
+                        f"{sorted(self._controlnets)})", self.errors)
+                name = next(iter(self._controlnets))
+            if name not in self._controlnets:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT,
-                    f"control adapter name required (loaded: "
-                    f"{sorted(self._controlnets)})", self.errors)
-            control = next(iter(self._controlnets))
-        if control not in self._controlnets:
-            raise SdtpuError(
-                ErrorCode.INVALID_ARGUMENT,
-                f"unknown ControlNet {control!r}; loaded: "
-                f"{sorted(self._controlnets)}", self.errors)
-        img = np.asarray(control_image)
-        if img.ndim == 3:
-            img = img[None]
-        size = self.cfg.image_size
-        if img.shape[1:3] != (size, size):
-            raise SdtpuError(
-                ErrorCode.INVALID_ARGUMENT,
-                f"control_image must be {size}x{size}, got "
-                f"{img.shape[1:3]}", self.errors)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
-        return self._controlnets[control], jnp.asarray(img, jnp.float32)
+                    f"unknown ControlNet {name!r}; loaded: "
+                    f"{sorted(self._controlnets)}", self.errors)
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img[None]
+            size = self.cfg.image_size
+            if img.shape[1:3] != (size, size):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"control_image must be {size}x{size}, got "
+                    f"{img.shape[1:3]}", self.errors)
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0
+            cns.append(self._controlnets[name])
+            hints.append(np.asarray(img, np.float32))
+        b = max(h.shape[0] for h in hints)
+        hints = [np.broadcast_to(h, (b,) + h.shape[1:]) for h in hints]
+        return tuple(cns), jnp.asarray(np.stack(hints), jnp.float32)
 
     def _params_for(self, lora: Optional[str]):
         """Resolve the param tree for a request's adapter selection.
@@ -744,14 +762,15 @@ class Context:
             if cn is not None:
                 params = dict(params)
                 params["controlnet"] = cn
-                if hint.shape[0] not in (1, len(prompts)):
+                if hint.shape[1] not in (1, len(prompts)):
                     raise SdtpuError(
                         ErrorCode.INVALID_ARGUMENT,
-                        f"control_image batch {hint.shape[0]} != prompt "
+                        f"control_image batch {hint.shape[1]} != prompt "
                         f"batch {len(prompts)}", self.errors)
-                if hint.shape[0] == 1 and len(prompts) > 1:
+                if hint.shape[1] == 1 and len(prompts) > 1:
                     hint = jnp.broadcast_to(
-                        hint, (len(prompts),) + hint.shape[1:])
+                        hint, (hint.shape[0], len(prompts))
+                        + hint.shape[2:])
             end_step = None
             if denoising_end is not None:
                 if not 0.0 < denoising_end <= 1.0:
@@ -774,7 +793,8 @@ class Context:
             call_kwargs = {}
             if cn is not None:
                 call_kwargs.update(
-                    hint=hint, control_scale=jnp.float32(control_scale))
+                    hint=hint,
+                    control_scale=jnp.asarray(control_scale, jnp.float32))
             if weights is not None:
                 call_kwargs["token_weights"] = weights
             img = fn(

@@ -263,22 +263,29 @@ def denoise(
 
     dtype = cfg.compute_dtype
 
-    hint_feat = t_embs_cn = None
+    cn_list = hint_feats = t_embs_cn = None
     if hint is not None:
         from sdtpu.models import controlnet as cn_mod
 
-        cn = params.get("controlnet")
-        if cn is None:
+        cns = params.get("controlnet")
+        if cns is None:
             raise ValueError("hint given but params has no 'controlnet' tree")
-        factor = hint.shape[1] // cfg.latent_size
-        h_in = hint.astype(dtype)
-        if use_cfg:
-            h_in = jnp.concatenate([h_in, h_in], axis=0)
-        # timestep-independent: embed the control image once, outside the scan
-        hint_feat = cn_mod.embed_hint(cn, h_in, factor)
-        # the ControlNet trains its own time MLP — embed all steps through it
-        t_embs_cn = temb.apply(cn["temb"], plan.model_t, cfg.unet,
-                               dtype=dtype)
+        if isinstance(cns, dict):
+            # single-adapter form: one tree + hint [B, H, W, C]
+            cns = (cns,)
+            hint = hint[None]
+        cn_list = tuple(cns)
+        factor = hint.shape[2] // cfg.latent_size
+        hint_feats, t_embs_cn = [], []
+        for j, cn in enumerate(cn_list):
+            h_in = hint[j].astype(dtype)
+            if use_cfg:
+                h_in = jnp.concatenate([h_in, h_in], axis=0)
+            # timestep-independent: embed each control image once, outside
+            # the scan; every adapter trains its own time MLP
+            hint_feats.append(cn_mod.embed_hint(cn, h_in, factor))
+            t_embs_cn.append(temb.apply(cn["temb"], plan.model_t, cfg.unet,
+                                        dtype=dtype))
 
     def predict_eps(x, i, guided=True):
         """One UNet eval at step index `i` (traced or static). `guided`
@@ -305,20 +312,34 @@ def denoise(
                 xe = x_extra
             x_in = jnp.concatenate([x_in, xe.astype(dtype)], axis=-1)
         ctrl = None
-        if hint_feat is not None:
+        if hint_feats is not None:
             from sdtpu.models import controlnet as cn_mod
 
-            te_cn = jnp.broadcast_to(
-                t_embs_cn[i], (rows.shape[0], t_embs_cn.shape[-1]))
-            if add_emb is not None:
-                te_cn = te_cn + add_emb.astype(te_cn.dtype)[: rows.shape[0]]
-            dres, mres = cn_mod.apply(
-                params["controlnet"], x_in, hint_feat[: x_in.shape[0]],
-                te_cn, rows, cfg.unet, kernels)
-            s = jnp.asarray(1.0 if control_scale is None else control_scale,
-                            jnp.float32)
-            ctrl = (tuple(r_ * s.astype(r_.dtype) for r_ in dres),
-                    mres * s.astype(mres.dtype))
+            scales = jnp.atleast_1d(jnp.asarray(
+                1.0 if control_scale is None else control_scale,
+                jnp.float32))
+            acc_d = acc_m = None
+            # multi-adapter composition: residuals SUM (the diffusers
+            # MultiControlNet convention), each weighted by its scale
+            for j, cn in enumerate(cn_list):
+                te_cn = jnp.broadcast_to(
+                    t_embs_cn[j][i], (rows.shape[0],
+                                      t_embs_cn[j].shape[-1]))
+                if add_emb is not None:
+                    te_cn = te_cn + add_emb.astype(
+                        te_cn.dtype)[: rows.shape[0]]
+                dres, mres = cn_mod.apply(
+                    cn, x_in, hint_feats[j][: x_in.shape[0]],
+                    te_cn, rows, cfg.unet, kernels)
+                s = scales[j % scales.shape[0]]
+                dres = [r_ * s.astype(r_.dtype) for r_ in dres]
+                mres = mres * s.astype(mres.dtype)
+                if acc_d is None:
+                    acc_d, acc_m = list(dres), mres
+                else:
+                    acc_d = [a + r_ for a, r_ in zip(acc_d, dres)]
+                    acc_m = acc_m + mres
+            ctrl = (tuple(acc_d), acc_m)
         eps = unet.apply(
             params["unet"], x_in, te, rows, cfg.unet, kernels,
             control=ctrl,

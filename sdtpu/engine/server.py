@@ -260,19 +260,31 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     return self._json(400, {"error": "'lora' must be a "
                                                      "string adapter name"})
                 if self.path == "/generate":
-                    if "control_image_b64" in req:
+                    if "control_image_b64" in req or \
+                            "control_images_b64" in req:
                         # ControlNet conditioning: serialized through the
                         # device lock (like inpaint — per-request hint
-                        # tensors don't batch across requests)
-                        hint = _decode_image(req["control_image_b64"])
+                        # tensors don't batch across requests). Lists give
+                        # multi-ControlNet composition (summed residuals).
+                        if "control_images_b64" in req:
+                            hint = [_decode_image(b)
+                                    for b in req["control_images_b64"]]
+                            control = req.get("controls") or req.get(
+                                "control")
+                            scale = req.get(
+                                "control_scales",
+                                req.get("control_scale", 1.0))
+                        else:
+                            hint = _decode_image(req["control_image_b64"])
+                            control = req.get("control")
+                            scale = float(req.get("control_scale", 1.0))
                         with lock:
                             img = ctx.generate(
                                 prompt, guidance=guidance, seed=seed,
                                 negative_prompt=neg, lora=lora,
                                 control_image=hint,
-                                control=req.get("control"),
-                                control_scale=float(
-                                    req.get("control_scale", 1.0)))
+                                control=control,
+                                control_scale=scale)
                         return self._image(img, fmt)
                     # grouped by adapter: same-adapter requests share one
                     # compiled call (the adapter changes the UNet weights)

@@ -157,7 +157,8 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
         extra_specs.append(P("data", None, None, None))
     if with_hint:
         names += ["hint", "control_scale"]
-        extra_specs += [P("data", None, None, None), P()]
+        # hints are [N_adapters, B, H, W, C]: batch-shard dim 1
+        extra_specs += [P(None, "data", None, None, None), P()]
     if weighted:
         names.append("token_weights")
         extra_specs.append(P("data", None, None))

@@ -172,3 +172,75 @@ def test_e2e_checkpoint_file_and_errors(tmp_path):
         ctx.generate("x", control_image=hint, control="nope")
     with pytest.raises(SdtpuError):  # wrong resolution
         ctx.generate("x", control_image=np.zeros((8, 8, 3), np.uint8))
+
+
+def test_multi_controlnet_composition():
+    """Two adapters compose by summed residuals (diffusers MultiControlNet):
+    [A, zero-init B] must equal single-A bit-for-bit, per-adapter scales
+    route independently ([A at s, B at 0] == [A at s]), and a real second
+    adapter changes the image."""
+    import sdtpu
+    from sdtpu.models import controlnet as cn_mod
+
+    ctx = sdtpu.Context(config="tiny", steps=3)
+    size = ctx.cfg.image_size
+    hint_a = (np.linspace(0, 255, size * size * 3)
+              .reshape(size, size, 3).astype(np.uint8))
+    hint_b = hint_a[::-1].copy()
+    a = cn_mod.init(jax.random.PRNGKey(1), ctx.cfg.unet,
+                    zero_init_outs=False)
+    b_zero = cn_mod.init(jax.random.PRNGKey(2), ctx.cfg.unet)  # zero outs
+    b_real = cn_mod.init(jax.random.PRNGKey(2), ctx.cfg.unet,
+                         zero_init_outs=False)
+    ctx.load_controlnet("a", a)
+    ctx.load_controlnet("bz", b_zero)
+    ctx.load_controlnet("br", b_real)
+
+    single = ctx.generate("the horse", seed=6, control="a",
+                          control_image=hint_a, control_scale=0.8)
+    multi_zero = ctx.generate(
+        "the horse", seed=6, control=["a", "bz"],
+        control_image=[hint_a, hint_b], control_scale=[0.8, 1.0])
+    np.testing.assert_array_equal(single, multi_zero)
+
+    multi_scale0 = ctx.generate(
+        "the horse", seed=6, control=["a", "br"],
+        control_image=[hint_a, hint_b], control_scale=[0.8, 0.0])
+    np.testing.assert_array_equal(single, multi_scale0)
+
+    multi_real = ctx.generate(
+        "the horse", seed=6, control=["a", "br"],
+        control_image=[hint_a, hint_b], control_scale=[0.8, 0.7])
+    assert not np.array_equal(single, multi_real)
+    # deterministic
+    again = ctx.generate(
+        "the horse", seed=6, control=["a", "br"],
+        control_image=[hint_a, hint_b], control_scale=[0.8, 0.7])
+    np.testing.assert_array_equal(multi_real, again)
+
+
+def test_multi_controlnet_on_mesh_matches_single_device():
+    import sdtpu
+    from sdtpu.models import controlnet as cn_mod
+
+    ctx1 = sdtpu.Context(config="tiny", steps=3)
+    ctx8 = sdtpu.Context(config="tiny", steps=3, mesh=(2, 4))
+    size = ctx1.cfg.image_size
+    hint_a = (np.linspace(0, 255, size * size * 3)
+              .reshape(size, size, 3).astype(np.uint8))
+    hint_b = hint_a[::-1].copy()
+    a = cn_mod.init(jax.random.PRNGKey(1), ctx1.cfg.unet,
+                    zero_init_outs=False)
+    b = cn_mod.init(jax.random.PRNGKey(2), ctx1.cfg.unet,
+                    zero_init_outs=False)
+    for c in (ctx1, ctx8):
+        c.load_controlnet("a", a)
+        c.load_controlnet("b", b)
+    prompts = ["the horse", "a photograph"]
+    x = ctx1.generate(prompts, seed=3, control=["a", "b"],
+                      control_image=[hint_a, hint_b],
+                      control_scale=[0.7, 0.4])
+    y = ctx8.generate(prompts, seed=3, control=["a", "b"],
+                      control_image=[hint_a, hint_b],
+                      control_scale=[0.7, 0.4])
+    assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
