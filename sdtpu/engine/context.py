@@ -1130,6 +1130,23 @@ class Context:
         program's start step, so the HTTP batcher groups requests by it
         (and by LoRA adapter). Padded to the next power of two (and to the
         mesh data axis)."""
+        return self._image_batch_async("img2img", requests, strength, lora)
+
+    def inpaint_batch_async(self, requests: list[dict],
+                            strength: float = 1.0,
+                            lora: Optional[str] = None):
+        """Batched inpainting: like `img2img_batch_async` with a required
+        per-request ``mask`` (uint8/float [H, W], nonzero = repaint). Works
+        on both the standard (mask-pinning) and dedicated 9-ch inpaint
+        configs — the program branch is static per config."""
+        return self._image_batch_async("inpaint", requests, strength, lora)
+
+    def inpaint_batch(self, requests: list[dict], strength: float = 1.0,
+                      lora: Optional[str] = None) -> list[np.ndarray]:
+        """Blocking `inpaint_batch_async` (one compiled call, fetched)."""
+        return self.inpaint_batch_async(requests, strength, lora)()
+
+    def _image_batch_async(self, mode, requests, strength, lora):
         import functools
 
         from sdtpu.engine import pipeline as pl
@@ -1150,12 +1167,14 @@ class Context:
                     ErrorCode.INVALID_ARGUMENT,
                     f"strength must be in (0, 1], got {strength}", self.errors,
                 )
-            if self.cfg.unet.in_channels != self.cfg.latent_channels:
+            lc = self.cfg.latent_channels
+            ic = self.cfg.unet.in_channels
+            ok_ic = (lc, 2 * lc + 1) if mode == "inpaint" else (lc,)
+            if ic not in ok_ic:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT,
-                    "img2img batching needs a standard txt2img UNet; "
-                    "concat-conditioned checkpoints serve through "
-                    "inpaint()/depth2img()", self.errors)
+                    f"{mode} batching supports UNet in_channels {ok_ic}, "
+                    f"this config has {ic}", self.errors)
             size = self.cfg.image_size
             for r in requests:
                 if not isinstance(r.get("prompt"), str):
@@ -1170,6 +1189,14 @@ class Context:
                         f"each request needs a uint8 [{size},{size},3] "
                         f"'image', got {im.shape}/{im.dtype}", self.errors,
                     )
+                if mode == "inpaint":
+                    m = np.asarray(r.get("mask"))
+                    if m.shape != (size, size):
+                        raise SdtpuError(
+                            ErrorCode.INVALID_ARGUMENT,
+                            f"each request needs a [{size},{size}] 'mask', "
+                            f"got {m.shape}", self.errors,
+                        )
             req_loras = {r.get("lora") for r in requests if "lora" in r}
             if len(req_loras) > 1 or (req_loras and lora is not None
                                       and lora not in req_loras):
@@ -1214,12 +1241,22 @@ class Context:
             images = jnp.asarray(
                 np.stack([np.asarray(r["image"]) for r in pad]),
                 jnp.float32) / 127.5 - 1.0
-            cache_key = ("i2i_batch", p, self.steps, start_step, self.sampler,
+            masks = None
+            if mode == "inpaint":
+                ms = []
+                for r in pad:
+                    m = np.asarray(r["mask"])
+                    sc = 255.0 if m.dtype == np.uint8 else 1.0
+                    ms.append((np.asarray(m, np.float32) / sc)[..., None])
+                masks = jnp.asarray(np.stack(ms))
+            cache_key = (mode + "_batch", p, self.steps, start_step,
+                         self.sampler,
                          jax.tree_util.tree_structure(params))
             fn = self._gen_cache.get(cache_key)
             if fn is None:
+                base = pl.inpaint if mode == "inpaint" else pl.img2img
                 part = functools.partial(
-                    pl.img2img, cfg=self.cfg, sampler=self.sampler,
+                    base, cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, start_step=start_step, use_cfg=True,
                     kernels=self.kernels, cfg_interval=self.cfg_interval,
                 )
@@ -1228,15 +1265,17 @@ class Context:
 
                     from sdtpu.parallel.sharding import jit_pipeline_sharded
 
+                    specs = [
+                        P("data", None),              # tokens
+                        P("data", None, None),        # per-sample uncond
+                        P("data", None),              # per-sample keys
+                        P("data"),                    # per-sample guidance
+                        P("data", None, None, None),  # images
+                    ]
+                    if mode == "inpaint":
+                        specs.append(P("data", None, None, None))  # masks
                     fn = jit_pipeline_sharded(
-                        part, self.mesh, params,
-                        arg_pspecs=(
-                            P("data", None),              # tokens
-                            P("data", None, None),        # per-sample uncond
-                            P("data", None),              # per-sample keys
-                            P("data"),                    # per-sample guidance
-                            P("data", None, None, None),  # images
-                        ),
+                        part, self.mesh, params, arg_pspecs=tuple(specs),
                     )
                 else:
                     fn = jax.jit(part)
@@ -1246,12 +1285,15 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            dev = fn(params, tokens, uncond, keys, guidance, images)
+            args = (params, tokens, uncond, keys, guidance, images)
+            if masks is not None:
+                args += (masks,)
+            dev = fn(*args)
 
             def finish():
                 out = np.asarray(dev)
                 self.logger.info(
-                    f"img2img batch of {n} (padded {p}) took "
+                    f"{mode} batch of {n} (padded {p}) took "
                     f"{time.perf_counter() - t0:.3f}s"
                 )
                 return [out[i] for i in range(n)]

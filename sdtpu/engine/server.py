@@ -25,20 +25,20 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
 (Context.load_lora / Context(lora={name: path})) per request — style or
 subject fine-tunes hot-selected at serving time; "" forces the base model.
 
-Concurrent /generate AND /img2img requests are MICRO-BATCHED: a worker
-collects same-kind requests for up to ``max_wait_ms`` (or until
+Concurrent /generate, /img2img AND /inpaint requests are MICRO-BATCHED: a
+worker collects same-kind requests for up to ``max_wait_ms`` (or until
 ``max_batch``) and runs them as one compiled call with per-sample
 guidance/seed/negative-prompt (Context.generate_batch /
-Context.img2img_batch). img2img requests additionally group by strength,
-since strength selects the compiled program's start step; both kinds group
-by LoRA adapter, since the adapter changes the UNet weights. Batches are
-padded to power-of-two sizes so at most log2(max_batch)+1 programs are
-ever compiled per group — XLA needs static shapes, so unpadded dynamic
-batches would recompile per size. inpaint stays serialized through the
-device lock (per-request masks; traffic is assumed txt2img-heavy).
-Request bodies above ``max_body_mb`` (default 32 MB) are rejected with
-413. For production-scale serving put N processes behind a load
-balancer, one per chip/mesh.
+Context.img2img_batch / Context.inpaint_batch). img2img and inpaint
+additionally group by strength, since strength selects the compiled
+program's start step; every kind groups by LoRA adapter, since the
+adapter changes the UNet weights. Batches are padded to power-of-two
+sizes so at most log2(max_batch)+1 programs are ever compiled per group —
+XLA needs static shapes, so unpadded dynamic batches would recompile per
+size. depth2img/edit stay serialized through the device lock (rarer
+traffic). Request bodies above ``max_body_mb`` (default 32 MB) are
+rejected with 413. For production-scale serving put N processes behind a
+load balancer, one per chip/mesh.
 """
 
 from __future__ import annotations
@@ -128,6 +128,9 @@ class MicroBatcher:
         with self.device_lock:
             if group[0] == "gen":    # ("gen", lora)
                 return self.ctx.generate_batch_async(reqs, lora=group[1])
+            if group[0] == "inp":    # ("inp", strength, lora)
+                return self.ctx.inpaint_batch_async(
+                    reqs, strength=group[1], lora=group[2])
             # ("i2i", strength, lora)
             return self.ctx.img2img_batch_async(
                 reqs, strength=group[1], lora=group[2])
@@ -331,12 +334,15 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                         return self._json(400,
                                           {"error": "missing 'mask_b64'"})
                     mask = _decode_mask(req["mask_b64"])
-                    with lock:
-                        img = ctx.inpaint(
-                            prompt, init, mask,
-                            strength=float(req.get("strength", 1.0)),
-                            guidance=guidance, seed=seed,
-                            negative_prompt=neg, lora=lora)
+                    # micro-batched like img2img: same-strength same-adapter
+                    # inpaints fuse into one compiled call
+                    strength = float(req.get("strength", 1.0))
+                    img = batcher.submit(
+                        {"prompt": prompt, "image": init, "mask": mask,
+                         "guidance": guidance, "seed": seed,
+                         "negative_prompt": neg},
+                        group=("inp", strength, lora),
+                    )
                 return self._image(img, fmt)
             except Exception as e:  # noqa: BLE001
                 ctx.logger.error(f"{self.path} failed: {e}")

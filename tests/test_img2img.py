@@ -210,3 +210,36 @@ def test_inpaint_batched_key_stream_matches_single(ctx, init_image):
         ctx.params, tokens, uncond, key[None], jnp.asarray([7.5], jnp.float32),
         image, mask, **kw))
     assert np.array_equal(single, batched)
+
+
+def test_inpaint_batch_api_matches_single(ctx, init_image):
+    """Context.inpaint_batch (the HTTP micro-batcher's inpaint path):
+    batch-of-1 bit-identical to Context.inpaint, per-sample masks act, and
+    the dedicated 9-ch config serves through the same API."""
+    import sdtpu
+
+    size = ctx.cfg.image_size
+    mask = np.zeros((size, size), np.uint8)
+    mask[: size // 2] = 255
+    single = ctx.inpaint("the horse", init_image, mask, strength=1.0,
+                         seed=9, guidance=7.5)
+    batched = ctx.inpaint_batch(
+        [{"prompt": "the horse", "image": init_image, "mask": mask,
+          "seed": 9, "guidance": 7.5}], strength=1.0)[0]
+    assert np.array_equal(single, batched)
+
+    # two different masks in one batch produce different images
+    m2 = 255 - mask
+    outs = ctx.inpaint_batch(
+        [{"prompt": "the horse", "image": init_image, "mask": mask,
+          "seed": 9},
+         {"prompt": "the horse", "image": init_image, "mask": m2,
+          "seed": 9}])
+    assert not np.array_equal(outs[0], outs[1])
+
+    ctx9 = sdtpu.Context(config="tiny_inpaint", steps=3)
+    s9 = ctx9.inpaint("the horse", init_image, mask, seed=4)
+    b9 = ctx9.inpaint_batch(
+        [{"prompt": "the horse", "image": init_image, "mask": mask,
+          "seed": 4, "guidance": 7.5}])[0]
+    assert np.array_equal(s9, b9)

@@ -211,7 +211,8 @@ def test_concurrent_img2img_micro_batched(server):
     # path (fusion SIZE depends on arrival timing — on a loaded 1-core
     # machine the window may close at 1-2 requests, so only the routing
     # and the power-of-two padding invariant are asserted)
-    i2i_keys = [k for k in ctx._gen_cache if k[0] == "i2i_batch"]
+    i2i_keys = [k for k in ctx._gen_cache
+                if k[0] == "img2img_batch"]
     assert i2i_keys
     assert all(k[1] & (k[1] - 1) == 0 for k in i2i_keys), i2i_keys
 
