@@ -54,6 +54,7 @@ def _cmd_generate(args) -> int:
         lora=args.lora,
         cfg_interval=interval,
         clip_skip=args.clip_skip,
+        guidance_rescale=args.guidance_rescale,
         freeu=(tuple(float(v) for v in args.freeu.split(","))
                if args.freeu else None),
     )
@@ -407,6 +408,9 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--guidance-rescale", type=float, default=0.0,
+                   help="CFG rescale in [0,1] (Lin et al. 2023) — fixes "
+                        "v-prediction overexposure at high guidance")
     g.add_argument("--clip-skip", type=int, default=1,
                    help="A1111 CLIP skip: tap the text tower N-1 blocks "
                         "early (1 = default tap)")

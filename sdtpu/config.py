@@ -113,6 +113,12 @@ class PipelineConfig:
     # static aesthetic-score conditioning value for the refiner microcond
     # (the sgm default for "high quality" guidance)
     aesthetic_score: float = 6.0
+    # CFG rescale (Lin et al. 2023, "Common Diffusion Noise Schedules and
+    # Sample Steps are Flawed"): blend the guided eps toward a variant
+    # rescaled to the cond prediction's per-sample std — fixes the
+    # overexposure v-prediction models show at high guidance. 0 = off
+    # (bit-exact default). Set via Context(guidance_rescale=...)
+    guidance_rescale: float = 0.0
 
     @property
     def image_size(self) -> int:

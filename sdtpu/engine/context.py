@@ -77,6 +77,7 @@ class Context:
         cfg_interval: Optional[tuple] = None,
         clip_skip: int = 1,
         freeu: Optional[tuple] = None,
+        guidance_rescale: float = 0.0,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -146,6 +147,19 @@ class Context:
                 config, unet=_dc.replace(
                     config.unet,
                     freeu=tuple(float(v) for v in freeu)))
+        if guidance_rescale:
+            # CFG rescale (Lin et al. 2023) — the v-prediction
+            # overexposure fix; static, so 0 keeps the program untouched
+            import dataclasses as _dc
+
+            if not 0.0 <= guidance_rescale <= 1.0:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"guidance_rescale must be in [0, 1], got "
+                    f"{guidance_rescale}",
+                )
+            config = _dc.replace(config,
+                                 guidance_rescale=float(guidance_rescale))
         self.cfg = config
         self.errors = ErrorTable()
         self.logger = slog.Logger(log_level, name=f"sdtpu@{hex(id(self))[-4:]}")
@@ -534,6 +548,14 @@ class Context:
             s = str(source)
             if s.endswith(".npz"):
                 data = dict(np.load(s))
+            elif s.endswith(".pt"):
+                # A1111 textual-inversion artifact: a torch pickle with
+                # {"string_to_param": {"*": [k, D] tensor}}
+                import torch
+
+                obj = torch.load(s, map_location="cpu", weights_only=True)
+                tensor = obj["string_to_param"]["*"]
+                data = {"emb": tensor.detach().to(torch.float32).numpy()}
             else:
                 import safetensors.numpy as st
 

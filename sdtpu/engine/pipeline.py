@@ -358,7 +358,18 @@ def denoise(
             g = jnp.asarray(guidance, jnp.float32)
             if g.ndim:  # per-sample guidance scale [B] (batched serving)
                 g = g.reshape((-1,) + (1,) * (eps.ndim - 1))
-            eps = g * eps[:b] + (1.0 - g) * eps[b:]
+            e_cond = eps[:b]
+            eps = g * e_cond + (1.0 - g) * eps[b:]
+            if cfg.guidance_rescale:
+                # CFG rescale (Lin et al. 2023): pull the guided eps's
+                # per-sample std back toward the cond prediction's —
+                # fixes v-prediction overexposure at high guidance
+                axes = tuple(range(1, eps.ndim))
+                std_c = jnp.std(e_cond, axis=axes, keepdims=True)
+                std_g = jnp.std(eps, axis=axes, keepdims=True)
+                rescaled = eps * (std_c / jnp.maximum(std_g, 1e-8))
+                r = jnp.float32(cfg.guidance_rescale)
+                eps = r * rescaled + (1.0 - r) * eps
         return eps
 
     state = mod.init_state(shape)

@@ -68,3 +68,36 @@ def test_freeu_on_mesh_matches_single_device():
     a = ctx1.generate(prompts, seed=2)
     b = ctx8.generate(prompts, seed=2)
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_guidance_rescale_acts_and_defaults_off():
+    base = sdtpu.Context(config="tiny", steps=3).generate("the horse",
+                                                          seed=8)
+    zero = sdtpu.Context(config="tiny", steps=3, guidance_rescale=0.0
+                         ).generate("the horse", seed=8)
+    np.testing.assert_array_equal(base, zero)
+    ctx = sdtpu.Context(config="tiny", steps=3, guidance_rescale=0.7)
+    a = ctx.generate("the horse", seed=8)
+    b = ctx.generate("the horse", seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, base)
+    # guidance == 1: no CFG mix, so the rescale is a no-op
+    g1 = ctx.generate("the horse", seed=8, guidance=1.0)
+    g1_base = sdtpu.Context(config="tiny", steps=3).generate(
+        "the horse", seed=8, guidance=1.0)
+    np.testing.assert_array_equal(g1, g1_base)
+    with pytest.raises(SdtpuError):
+        sdtpu.Context(config="tiny", steps=2, guidance_rescale=1.5)
+
+
+def test_a1111_pt_embedding_loads(tmp_path):
+    torch = pytest.importorskip("torch")
+    ctx = sdtpu.Context(config="tiny", steps=2)
+    ids = ctx.tokenizer.encode("horse")
+    vecs = np.asarray(ctx.params["clip"]["token_embedding"])[ids]
+    pt = tmp_path / "h.pt"
+    torch.save({"string_to_param": {"*": torch.from_numpy(vecs)}}, pt)
+    ctx.load_embedding("<h>", str(pt))
+    a = ctx.generate("a <h>", seed=1)
+    b = ctx.generate("a horse", seed=1)
+    np.testing.assert_array_equal(a, b)
