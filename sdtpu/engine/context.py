@@ -379,6 +379,12 @@ class Context:
 
         L = self.cfg.clip.context_len
         neg = negative_prompt or ""
+        if any(text_mod.has_schedule(p, self.steps)
+               for p in (*prompts, neg)):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                "prompt scheduling ([from:to:when] / [a|b]) is supported "
+                "on Context.generate only", self.errors)
         chunky = any(text_mod.needs_chunking(self.tokenizer, p, L)
                      for p in prompts)
         chunky = chunky or (negative_prompt and text_mod.needs_chunking(
@@ -711,6 +717,110 @@ class Context:
             self._gen_cache[key] = fn
         return fn
 
+    def _generate_scheduled(self, prompts, guidance, seed, negative_prompt,
+                            lora):
+        """A1111 prompt editing ([from:to:when] / [a|b] alternation,
+        sdtpu.text.schedule_table): the deduped prompt variants encode into
+        ONE table and the scan gathers the active variant per step — still
+        a single compiled program, no per-step host work. Single-tower
+        configs, single-window prompts (v1)."""
+        import functools
+
+        from sdtpu import text as text_mod
+        from sdtpu.engine import pipeline as pl
+
+        if self.cfg.clip2 is not None:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                "prompt scheduling is single-tower only (XL pending)",
+                self.errors)
+        neg = negative_prompt or ""
+        if text_mod.has_schedule(neg, self.steps):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                "scheduling inside the negative prompt is not supported",
+                self.errors)
+        L = self.cfg.clip.context_len
+        variants, idx = text_mod.schedule_table(prompts, self.steps)
+        tok_rows, w_rows = [], []
+        for row in variants:
+            per = [text_mod.chunked_tokens(self.tokenizer, p, L)
+                   for p in row]
+            if any(t.shape[0] > 1 for t, _ in per):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"scheduled prompts must fit one {L}-token window "
+                    f"(long-prompt chunking + scheduling is unsupported)",
+                    self.errors)
+            tok_rows.append(np.stack([t[0] for t, _ in per]))   # [B, T]
+            w_rows.append(np.stack([w[0] for _, w in per]))
+        # [V, B, 1, T]: the k=1 chunked form carries the per-token weights
+        tokens = jnp.asarray(np.stack(tok_rows), jnp.int32)[:, :, None]
+        weights = jnp.asarray(np.stack(w_rows), jnp.float32)[:, :, None]
+        if negative_prompt:
+            uncond = self._embed_prompt(
+                text_mod.strip_syntax(neg)
+                if text_mod.has_attention_syntax(neg) else neg)
+        else:
+            uncond = self._uncond
+        if seed is None:
+            seed = self.seed
+            self.seed += 1
+        use_cfg = guidance != 1.0
+        params = self._params_for(lora)
+        t0 = time.perf_counter()
+        key = ("sched", tokens.shape[0], len(prompts), self.steps,
+               self.sampler, use_cfg,
+               jax.tree_util.tree_structure(params))
+        fn = self._gen_cache.get(key)
+        if fn is None:
+            part = functools.partial(
+                pl.generate, cfg=self.cfg, sampler=self.sampler,
+                steps=self.steps, use_cfg=use_cfg, kernels=self.kernels,
+                cfg_interval=self.cfg_interval,
+            )
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from sdtpu.parallel.sharding import jit_pipeline_sharded
+
+                if len(prompts) % self.mesh.shape["data"]:
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        f"batch {len(prompts)} not divisible by data axis "
+                        f"{self.mesh.shape['data']}", self.errors)
+
+                def inner(prm, tok, unc, k_, g_, w_, i_):
+                    return part(prm, tok, unc, k_, g_, token_weights=w_,
+                                sched_idx=i_)
+
+                fn = jit_pipeline_sharded(
+                    inner, self.mesh, params,
+                    arg_pspecs=(
+                        P(None, "data", None, None),  # tokens [V,B,1,T]
+                        P(),                          # uncond
+                        P(),                          # key
+                        P(),                          # guidance
+                        P(None, "data", None, None),  # weights
+                        P(),                          # sched idx [steps]
+                    ),
+                )
+            else:
+                fn = jax.jit(part)
+            self._gen_cache[key] = fn
+        args = (params, tokens, uncond, jax.random.PRNGKey(seed),
+                jnp.float32(guidance))
+        if self.mesh is not None:
+            img = fn(*args, weights, jnp.asarray(idx))
+        else:
+            img = fn(*args, token_weights=weights,
+                     sched_idx=jnp.asarray(idx))
+        img = np.asarray(img)
+        self.logger.info(
+            f"scheduled generation ({tokens.shape[0]} variants) took "
+            f"{time.perf_counter() - t0:.3f}s")
+        return img
+
     def _require_txt2img(self, what: str) -> None:
         """Concat-conditioned checkpoints (9-ch inpaint / 5-ch depth UNets)
         cannot run unconditioned-latent programs: conv_in needs the extra
@@ -772,6 +882,24 @@ class Context:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT, "empty prompt list", self.errors
                 )
+            from sdtpu import text as text_mod
+
+            if any(text_mod.has_schedule(p, self.steps) for p in prompts):
+                if (control_image is not None or denoising_end is not None
+                        or output != "image"):
+                    raise SdtpuError(
+                        ErrorCode.INVALID_ARGUMENT,
+                        "prompt scheduling composes with plain txt2img "
+                        "only (no ControlNet/two-stage/latent output yet)",
+                        self.errors)
+                img = self._generate_scheduled(
+                    prompts, guidance, seed, negative_prompt, lora)
+                if isinstance(prompt, str):
+                    img = img[0]
+                if out is not None:
+                    out[...] = img
+                    return out
+                return img
             t0 = time.perf_counter()
             if seed is None:
                 seed = self.seed
@@ -974,6 +1102,16 @@ class Context:
                     "context previously failed and gave up", self.errors,
                 )
             self._require_txt2img("generate_batch")
+            from sdtpu import text as _tm
+
+            for r in requests:
+                for t in (r.get("prompt", ""), r.get("negative_prompt")
+                          or ""):
+                    if _tm.has_schedule(t, self.steps):
+                        raise SdtpuError(
+                            ErrorCode.INVALID_ARGUMENT,
+                            "prompt scheduling is supported on "
+                            "Context.generate only", self.errors)
             if not requests:
                 raise SdtpuError(
                     ErrorCode.INVALID_ARGUMENT, "empty request list",

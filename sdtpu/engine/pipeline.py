@@ -182,6 +182,7 @@ def denoise(
     x_extra=None,
     image_guidance=None,
     cfg_interval=None,
+    cond_schedule=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
@@ -200,6 +201,10 @@ def denoise(
     image's latents — the extra planes tile [img, img, ZERO] across the
     three CFG thirds and the combine is
     e_un + guidance*(e_txt - e_img) + image_guidance*(e_img - e_un).
+
+    Prompt scheduling (A1111 prompt editing): `cond_schedule` =
+    (table [V, B, L, D], idx [steps]) — step i's cond rows gather from
+    variant idx[i]; the uncond rows stay the ones in `context`.
 
     Two-stage (base+refiner) handoff: `end_step` truncates the scan (the
     returned latents carry the marginal at t_{end_step}); `x_start` supplies
@@ -292,7 +297,13 @@ def denoise(
         (static) False runs the cond slot only — no uncond eval, no CFG mix
         (the guidance-interval optimization; see `cfg_interval`)."""
         r = reps if guided else 1
-        rows = context if guided else context[:b]
+        if cond_schedule is not None:
+            table, sidx = cond_schedule
+            cond_i = table[sidx[i]]
+            rows = (jnp.concatenate([cond_i, context[b:]], axis=0)
+                    if (use_cfg and guided) else cond_i)
+        else:
+            rows = context if guided else context[:b]
         te = jnp.broadcast_to(t_embs[i], (rows.shape[0], t_embs.shape[-1]))
         if add_emb is not None:  # SDXL pooled/microcond conditioning
             te = te + add_emb.astype(te.dtype)[: rows.shape[0]]
@@ -468,6 +479,7 @@ def generate(
     output: str = "image",
     token_weights=None,
     cfg_interval=None,
+    sched_idx=None,
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -479,12 +491,28 @@ def generate(
     scale-factored latents (noisy at t_{end_step} when `end_step` truncates
     the scan: the base half of a base+refiner pipeline).
     """
-    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
-                             weights=token_weights)
+    cond_schedule = None
+    if sched_idx is not None:
+        # prompt scheduling: tokens [V, B, k, T] (+ weights) encode to a
+        # variant table; the scan gathers variant sched_idx[i] per step
+        v, bsz, k, t = tokens.shape
+        w = (None if token_weights is None
+             else token_weights.reshape(v * bsz, k, t))
+        emb = encode_text(params, tokens.reshape(v * bsz, k, t), cfg, w)
+        table = emb.reshape(v, bsz, *emb.shape[1:])
+        p_un = uncond_embedding.astype(table.dtype)
+        if p_un.ndim == 2:
+            p_un = jnp.broadcast_to(p_un[None], (bsz, *p_un.shape))
+        context = (jnp.concatenate([table[0], p_un], axis=0)
+                   if use_cfg else table[0])
+        cond_schedule = (table, sched_idx)
+    else:
+        context = _build_context(params, tokens, uncond_embedding, cfg,
+                                 use_cfg, weights=token_weights)
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, hint=hint, control_scale=control_scale, end_step=end_step,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, cond_schedule=cond_schedule,
     )
     if output == "latent":
         return x

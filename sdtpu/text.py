@@ -136,3 +136,95 @@ def needs_chunking(tokenizer, text: str, context_len: int) -> bool:
         return True
     n = sum(len(tokenizer.encode(f)) for f, _ in frags)
     return n > context_len - 2
+
+
+# -- prompt scheduling (A1111 "prompt editing") ---------------------------
+#
+# ``[from:to:when]`` switches the prompt text mid-trajectory (when < 1:
+# fraction of steps; when >= 1: absolute step), ``[to:when]`` starts empty,
+# ``[from::when]`` ends empty, ``[a|b|c]`` alternates per step. Plain
+# ``[x]`` (attention-down) is untouched. Constructs resolve innermost-first,
+# so nesting works. Host-side: the engine resolves the prompt once per
+# step index, dedupes the variants, and feeds the jitted program a
+# per-step variant index (sdtpu.engine.pipeline cond_schedule).
+
+_SCHED_RE = re.compile(r"\[([^\[\]]*)\]")
+_PROT_OPEN, _PROT_CLOSE = "\x00", "\x01"
+
+
+def _split_top_colons(s: str) -> list[str]:
+    """Split on colons OUTSIDE parentheses (attention syntax like
+    ``(x:1.3)`` keeps its colon)."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == ":" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _resolve_pass(text: str, i: int, steps: int) -> str:
+    def repl(m):
+        c = m.group(1)
+        if "|" in c:
+            opts = c.split("|")
+            return opts[i % len(opts)]
+        cols = _split_top_colons(c)
+        if len(cols) >= 2:
+            try:
+                w = float(cols[-1])
+            except ValueError:
+                # attention-down bracket with a literal colon: protect
+                return _PROT_OPEN + c + _PROT_CLOSE
+            switch = int(round(w * steps)) if w < 1.0 else int(w)
+            if len(cols) == 2:
+                frm, to = "", cols[0]  # [to:when]
+            else:
+                frm, to = cols[0], ":".join(cols[1:-1])
+            return to if i >= switch else frm
+        return _PROT_OPEN + c + _PROT_CLOSE  # plain attention bracket
+
+    return _SCHED_RE.sub(repl, text)
+
+
+def schedule_at(text: str, i: int, steps: int) -> str:
+    """Resolve every scheduling construct for step index `i` (0-based)."""
+    s = text
+    while True:
+        prev = s
+        s = _resolve_pass(s, i, steps)
+        if s == prev:
+            break
+    return s.replace(_PROT_OPEN, "[").replace(_PROT_CLOSE, "]")
+
+
+def has_schedule(text: str, steps: int) -> bool:
+    """True if the prompt contains any scheduling construct: resolving it
+    changes the text (plain attention brackets resolve to themselves)."""
+    return schedule_at(text, 0, steps) != text
+
+
+def schedule_table(prompts: list[str], steps: int):
+    """-> (variants, idx): ``variants`` is the deduped list of resolved
+    prompt ROWS (one string per batch member per variant), ``idx`` a
+    [steps] int array mapping each step to its variant row — one encode
+    table serves the whole batch."""
+    variants: list[list[str]] = []
+    seen: dict[tuple, int] = {}
+    idx = np.zeros(steps, np.int32)
+    for i in range(steps):
+        row = tuple(schedule_at(p, i, steps) for p in prompts)
+        v = seen.get(row)
+        if v is None:
+            v = len(variants)
+            seen[row] = v
+            variants.append(list(row))
+        idx[i] = v
+    return variants, idx
