@@ -443,10 +443,17 @@ class Context:
         """Register (or replace) a LoRA adapter under `name`. The adapter
         tree (a few MB) is loaded once; the param overlay is built lazily on
         first use and SHARES every base weight array — N adapters cost N
-        adapter trees, not N models."""
-        from sdtpu.train.lora import load_lora_npz
+        adapter trees, not N models. Accepts native ``.npz`` artifacts
+        (sdtpu.train.lora) and community kohya-format ``.safetensors``
+        adapters (UNet + text-encoder sites, sdtpu.io.kohya)."""
+        if str(path).endswith(".safetensors"):
+            from sdtpu.io.kohya import load_lora_kohya
 
-        self._adapters[name] = load_lora_npz(path)
+            self._adapters[name] = load_lora_kohya(path, self.cfg)
+        else:
+            from sdtpu.train.lora import load_lora_npz
+
+            self._adapters[name] = load_lora_npz(path)
         self._lora_params.pop(name, None)
         self.logger.info(f"LoRA adapter {name!r} loaded from {path}")
 
@@ -666,7 +673,15 @@ class Context:
                 adapters = jax.device_put(
                     adapters, NamedSharding(self.mesh, P()))
             p = dict(self.params)
-            p["unet"] = apply_lora(p["unet"], adapters)
+            if isinstance(adapters, dict) and set(adapters) <= {
+                    "unet", "clip", "clip2"}:
+                # full-tree overlay (kohya adapters carry text-encoder
+                # sites too; sdtpu.io.kohya.load_lora_kohya)
+                for tower, overlay in adapters.items():
+                    if overlay and tower in p:
+                        p[tower] = apply_lora(p[tower], overlay)
+            else:
+                p["unet"] = apply_lora(p["unet"], adapters)
             self._lora_params[lora] = p
         return p
 

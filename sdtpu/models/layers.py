@@ -278,7 +278,16 @@ def conv2d(p, x, stride=1, padding=1, dtype=None):
             x.astype(dtype), p["w8"].reshape(p["w8"].shape[2:]),
             p["w8_scale"], p.get("b"))
     y = _conv_f32acc(x.astype(dtype), _weight(p, dtype), stride, padding)
-    return (y + p["b"].astype(jnp.float32)).astype(dtype)
+    y = (y + p["b"].astype(jnp.float32)).astype(dtype)
+    if "lora_a" in p:
+        # conv low-rank adapter (kohya/LoCon layout, sdtpu.io.kohya):
+        # lora_a is an HWIO [kh, kw, in, r] down-conv sharing the base
+        # kernel's stride/padding, lora_b a [r, out] pointwise up-mix
+        d = _conv_raw(x.astype(dtype), p["lora_a"].astype(dtype),
+                      stride, padding, None)
+        y = y + jnp.dot(d, p["lora_b"].astype(dtype)) \
+            * p["lora_s"].astype(dtype)
+    return y
 
 
 def layer_norm(p, x, eps=1e-5):

@@ -121,9 +121,15 @@ def merge_lora(params):
                    if k not in ("lora_a", "lora_b", "lora_s")}
             if "lora_a" in node:
                 w = node["w"]
-                delta = (node["lora_a"].astype(jnp.float32)
-                         @ node["lora_b"].astype(jnp.float32)
-                         * node["lora_s"].astype(jnp.float32))
+                a = node["lora_a"].astype(jnp.float32)
+                b = node["lora_b"].astype(jnp.float32)
+                s = node["lora_s"].astype(jnp.float32)
+                if a.ndim == 4:
+                    # conv site (kohya/LoCon, sdtpu.io.kohya): a is HWIO
+                    # [kh, kw, in, r]; the fold is per-tap A @ B
+                    delta = jnp.einsum("hwir,ro->hwio", a, b) * s
+                else:
+                    delta = a @ b * s
                 out["w"] = (w.astype(jnp.float32) + delta).astype(w.dtype)
             return out
         if isinstance(node, list):
