@@ -57,6 +57,7 @@ def _cmd_generate(args) -> int:
         guidance_rescale=args.guidance_rescale,
         freeu=(tuple(float(v) for v in args.freeu.split(","))
                if args.freeu else None),
+        tome_ratio=args.tome_ratio,
     )
     if args.controlnet:
         # --controlnet [name=]path (or "random" for demo weights)
@@ -119,7 +120,8 @@ def _cmd_generate(args) -> int:
                             negative_prompt=args.negative_prompt)
     else:
         img = ctx.generate(args.prompt, guidance=args.guidance, seed=args.seed,
-                           negative_prompt=args.negative_prompt)
+                           negative_prompt=args.negative_prompt,
+                           pag_scale=args.pag_scale)
     dt = time.perf_counter() - t0
     print(f"generated {img.shape[0]}x{img.shape[1]} image in {dt:.3f}s "
           f"(steps={args.steps}, sampler={args.sampler}, seed={args.seed})")
@@ -408,6 +410,11 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--tome-ratio", type=float, default=0.0,
+                   help="ToMe-SD token merging (Bolya 2023): merge this "
+                        "fraction of spatial tokens before the large "
+                        "self-attentions (latency knob, biggest at "
+                        "768x768+; 0 = off)")
     g.add_argument("--guidance-rescale", type=float, default=0.0,
                    help="CFG rescale in [0,1] (Lin et al. 2023) — fixes "
                         "v-prediction overexposure at high guidance")
@@ -422,6 +429,11 @@ def main(argv=None) -> int:
                         "N x the base resolution (latent upscale)")
     g.add_argument("--hires-strength", type=float, default=0.6,
                    help="denoising strength of the hires second pass")
+    g.add_argument("--pag-scale", type=float, default=None,
+                   help="perturbed-attention guidance strength (Ahn 2024): "
+                        "one extra identity-self-attention UNet eval per "
+                        "step steers away from the structure-blind "
+                        "prediction (plain txt2img path)")
     g.add_argument("--cfg-interval", default=None, metavar="LO,HI",
                    help="guidance-interval optimization: apply CFG only on "
                         "the middle LO..HI fraction of the trajectory — "

@@ -61,6 +61,12 @@ class UNetConfig:
     # backbone/skip rebalancing at the two deepest decoder widths; None =
     # off (the bit-exact default). Set via Context(freeu=...)
     freeu: Optional[Tuple[float, float, float, float]] = None
+    # ToMe-SD (Bolya & Hoffman 2023): merge this fraction of spatial
+    # tokens before each self-attention whose token count is at least
+    # tome_min_tokens (4096 = the 64x64 level-0 transformers and up).
+    # 0.0 = off (the bit-exact default). Set via Context(tome_ratio=...)
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
 
     def depth_at(self, lvl: int) -> int:
         if not self.transformer_depth:

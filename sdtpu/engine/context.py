@@ -78,6 +78,8 @@ class Context:
         clip_skip: int = 1,
         freeu: Optional[tuple] = None,
         guidance_rescale: float = 0.0,
+        pag_layers: tuple = ("mid",),
+        tome_ratio: float = 0.0,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -147,6 +149,22 @@ class Context:
                 config, unet=_dc.replace(
                     config.unet,
                     freeu=tuple(float(v) for v in freeu)))
+        if tome_ratio:
+            # ToMe-SD (Bolya & Hoffman 2023): merge redundant spatial
+            # tokens before the large self-attentions; static, so 0.0
+            # keeps every program untouched (pinned by test_tome)
+            import dataclasses as _dc
+
+            if not 0.0 < tome_ratio <= 0.75:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"tome_ratio must be in (0, 0.75] (at most the 3/4 of "
+                    f"tokens outside the 2x2 merge targets), got "
+                    f"{tome_ratio}",
+                )
+            config = _dc.replace(
+                config, unet=_dc.replace(config.unet,
+                                         tome_ratio=float(tome_ratio)))
         if guidance_rescale:
             # CFG rescale (Lin et al. 2023) — the v-prediction
             # overexposure fix; static, so 0 keeps the program untouched
@@ -190,6 +208,17 @@ class Context:
         #: only on the middle (lo, hi) fraction of the trajectory —
         #: a latency AND quality lever (engine/pipeline.denoise)
         self.cfg_interval = cfg_interval
+        pag_layers = ((pag_layers,) if isinstance(pag_layers, str)
+                      else tuple(pag_layers))
+        if not set(pag_layers) <= {"down", "mid", "up"} or not pag_layers:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"pag_layers must be a non-empty subset of "
+                f"('down', 'mid', 'up'), got {pag_layers!r}")
+        #: UNet sections whose self-attention is identity-perturbed when a
+        #: request passes pag_scale (perturbed-attention guidance; the
+        #: program is only built/compiled once a request asks for it)
+        self.pag_layers = pag_layers
         self.seed = int(seed)
         if kernels == "auto":
             kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -691,7 +720,8 @@ class Context:
 
     def _compiled(self, batch: int, use_cfg: bool, params=None,
                   end_step=None, output: str = "image",
-                  with_hint: bool = False, weighted: bool = False):
+                  with_hint: bool = False, weighted: bool = False,
+                  pag: bool = False):
         """Compiled generate program for this batch/steps/sampler — and for
         this param-tree STRUCTURE: a LoRA overlay adds adapter leaves, so the
         cache keys on the pytree structure too (all adapters with the same
@@ -704,9 +734,10 @@ class Context:
         key = (batch, self.steps, self.sampler, use_cfg,
                jax.tree_util.tree_structure(params), end_step, output,
                with_hint and self.mesh is not None,
-               weighted and self.mesh is not None)
+               weighted and self.mesh is not None, pag)
         fn = self._gen_cache.get(key)
         if fn is None:
+            pag_layers = self.pag_layers if pag else None
             if self.mesh is not None:
                 from sdtpu.parallel.sharding import jit_program_sharded
 
@@ -721,13 +752,13 @@ class Context:
                     sampler=self.sampler, steps=self.steps, use_cfg=use_cfg,
                     kernels=self.kernels, end_step=end_step, output=output,
                     with_hint=with_hint, weighted=weighted,
-                    cfg_interval=self.cfg_interval,
+                    cfg_interval=self.cfg_interval, pag_layers=pag_layers,
                 )(params)
             else:
                 fn = jit_generate(
                     self.cfg, self.sampler, self.steps, use_cfg,
                     self.kernels, end_step=end_step, output=output,
-                    cfg_interval=self.cfg_interval,
+                    cfg_interval=self.cfg_interval, pag_layers=pag_layers,
                 )
             self._gen_cache[key] = fn
         return fn
@@ -861,8 +892,17 @@ class Context:
         control_scale: float = 1.0,
         denoising_end: Optional[float] = None,
         output: str = "image",
+        pag_scale: Optional[float] = None,
     ) -> np.ndarray:
         """prompt -> uint8 RGB image [H, W, 3] (or [B, H, W, 3] for a list).
+
+        `pag_scale`: perturbed-attention guidance strength (Ahn et al.
+        2024) — one extra self-attention-perturbed UNet eval per step in
+        the sections from the context's `pag_layers` (default the mid
+        block), steering away from the structure-blind prediction. Traced:
+        changing the value never recompiles; enabling it the first time
+        compiles a dedicated program. Composes with CFG, negative prompts,
+        ControlNet, and two-stage splits.
 
         `negative_prompt`: replaces the "" unconditional embedding in the CFG
         mix (same shapes — no recompile). `out`: optional preallocated caller
@@ -954,7 +994,8 @@ class Context:
             fn = self._compiled(len(prompts), use_cfg, params,
                                 end_step=end_step, output=output,
                                 with_hint=cn is not None,
-                                weighted=weights is not None)
+                                weighted=weights is not None,
+                                pag=pag_scale is not None)
             call_kwargs = {}
             if cn is not None:
                 call_kwargs.update(
@@ -962,6 +1003,8 @@ class Context:
                     control_scale=jnp.asarray(control_scale, jnp.float32))
             if weights is not None:
                 call_kwargs["token_weights"] = weights
+            if pag_scale is not None:
+                call_kwargs["pag_scale"] = jnp.float32(pag_scale)
             img = fn(
                 params, tokens, uncond,
                 jax.random.PRNGKey(seed), jnp.float32(guidance),
@@ -1221,9 +1264,20 @@ class Context:
                     if r.get("negative_prompt") else self._uncond
                     for r in pad
                 ])
+            # per-sample PAG: the extra perturbed eval is static per
+            # program, so the batch enables it when ANY request asks;
+            # non-asking batch-mates ride with scale 0.0 (an exact no-op
+            # in the combine — eps + 0*(delta) — so their images stay
+            # bit-identical to the PAG-free program)
+            pag_on = any("pag_scale" in r for r in requests)
+            pscale = None
+            if pag_on:
+                pscale = jnp.asarray(
+                    [float(r.get("pag_scale", 0.0)) for r in pad],
+                    jnp.float32)
             cache_key = ("batch", p, self.steps, self.sampler,
                          jax.tree_util.tree_structure(params),
-                         chunky and self.mesh is not None)
+                         chunky and self.mesh is not None, pag_on)
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 from sdtpu.engine.pipeline import generate as _generate
@@ -1232,6 +1286,7 @@ class Context:
                     _generate, cfg=self.cfg, sampler=self.sampler,
                     steps=self.steps, use_cfg=True, kernels=self.kernels,
                     cfg_interval=self.cfg_interval,
+                    pag_layers=self.pag_layers if pag_on else None,
                 )
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
@@ -1245,15 +1300,21 @@ class Context:
                         P("data", None),        # per-sample keys [B, 2]
                         P("data"),              # per-sample guidance [B]
                     ]
-                    inner = part
+                    # in_shardings bind positionals; lift the kw-only
+                    # token_weights [B, k, T] / pag_scale [B] into the
+                    # signature (extras keep the call-site order below)
+                    kw_names = (["token_weights"] if chunky else [])
                     if chunky:
-                        # in_shardings bind positionals; lift the kw-only
-                        # token_weights [B, k, T] into the signature
-                        def inner(prm, tok, unc, k_, g_, w_):
-                            return part(prm, tok, unc, k_, g_,
-                                        token_weights=w_)
-
                         specs.append(P("data", None, None))
+                    if pag_on:
+                        kw_names.append("pag_scale")
+                        specs.append(P("data"))
+                    if kw_names:
+                        def inner(prm, tok, unc, k_, g_, *extra):
+                            return part(prm, tok, unc, k_, g_,
+                                        **dict(zip(kw_names, extra)))
+                    else:
+                        inner = part
                     fn = jit_pipeline_sharded(
                         inner, self.mesh, params, arg_pspecs=tuple(specs),
                     )
@@ -1267,13 +1328,16 @@ class Context:
 
                 uncond = jax.device_put(
                     uncond, NamedSharding(self.mesh, P("data", None, None)))
-            if weights is not None and self.mesh is not None:
-                dev = fn(params, tokens, uncond, keys, guidance, weights)
-            elif weights is not None:
-                dev = fn(params, tokens, uncond, keys, guidance,
-                         token_weights=weights)
+            extras = [a for a in (weights, pscale) if a is not None]
+            if self.mesh is not None:
+                dev = fn(params, tokens, uncond, keys, guidance, *extras)
             else:
-                dev = fn(params, tokens, uncond, keys, guidance)
+                kw = {}
+                if weights is not None:
+                    kw["token_weights"] = weights
+                if pscale is not None:
+                    kw["pag_scale"] = pscale
+                dev = fn(params, tokens, uncond, keys, guidance, **kw)
             self.logger.debug(
                 f"batch of {n} (padded {p}) dispatched in "
                 f"{time.perf_counter() - t0:.3f}s")

@@ -183,9 +183,21 @@ def denoise(
     image_guidance=None,
     cfg_interval=None,
     cond_schedule=None,
+    pag_scale=None,
+    pag_layers=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
+
+    Perturbed-attention guidance (Ahn et al. 2024): when `pag_layers`
+    (STATIC tuple of UNet sections, subset of ("down", "mid", "up")) is
+    given, every step runs one extra cond-slot UNet eval whose
+    self-attention in those sections is replaced by the identity map, and
+    the final eps gains `pag_scale * (e_cond - e_perturbed)` — steering
+    away from the structure-blind prediction. `pag_scale` is traced
+    (scalar or per-sample [B]); `pag_layers=None` (default) keeps the
+    program untouched. Applies in cfg_interval's unguided segments too
+    (PAG is independent of CFG); incompatible with ip2p's dual CFG.
 
     `cfg_interval` (static (lo, hi) fractions of the trajectory): apply
     CFG only on steps round(steps*lo) <= i < round(steps*hi); outside the
@@ -228,6 +240,8 @@ def denoise(
     scan the kept region is replaced with the clean latents exactly."""
     from sdtpu.samplers import NoiseSchedule
 
+    if pag_layers and image_guidance is not None:
+        raise ValueError("PAG is incompatible with ip2p's dual CFG")
     context, pooled = _unpack_context(context, cfg)
     add_emb = (None if pooled is None
                else _add_embedding(params, pooled, cfg))
@@ -360,6 +374,19 @@ def denoise(
             # => eps = alpha*v + sigma*x_t (per CFG slot)
             x_rep = jnp.concatenate([x] * r, 0) if r > 1 else x
             eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
+        e_ptb = None
+        if pag_layers:
+            # perturbed-attention guidance: one extra cond-slot eval with
+            # identity self-attention in the selected sections
+            ctrl_b = (None if ctrl is None else
+                      (tuple(d[:b] for d in ctrl[0]), ctrl[1][:b]))
+            e_ptb = unet.apply(
+                params["unet"], x_in[:b], te[:b], rows[:b], cfg.unet,
+                kernels, control=ctrl_b, perturb=pag_layers,
+            ).astype(jnp.float32)
+            if cfg.prediction == "v":
+                e_ptb = plan.alpha_s[i] * e_ptb + plan.sigma_s[i] * x
+            e_cond_raw = eps[:b]  # cond rows lead in every slot layout
         if image_guidance is not None:
             g = jnp.asarray(guidance, jnp.float32)
             gi = jnp.asarray(image_guidance, jnp.float32)
@@ -381,6 +408,12 @@ def denoise(
                 rescaled = eps * (std_c / jnp.maximum(std_g, 1e-8))
                 r = jnp.float32(cfg.guidance_rescale)
                 eps = r * rescaled + (1.0 - r) * eps
+        if e_ptb is not None:
+            s = jnp.asarray(0.0 if pag_scale is None else pag_scale,
+                            jnp.float32)
+            if s.ndim:  # per-sample PAG scale [B] (batched serving)
+                s = s.reshape((-1,) + (1,) * (e_ptb.ndim - 1))
+            eps = eps + s * (e_cond_raw - e_ptb)
         return eps
 
     state = mod.init_state(shape)
@@ -480,6 +513,8 @@ def generate(
     token_weights=None,
     cfg_interval=None,
     sched_idx=None,
+    pag_scale=None,
+    pag_layers=None,
 ):
     """The full prompt->image program (jit this whole function).
 
@@ -513,6 +548,7 @@ def generate(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, hint=hint, control_scale=control_scale, end_step=end_step,
         cfg_interval=cfg_interval, cond_schedule=cond_schedule,
+        pag_scale=pag_scale, pag_layers=pag_layers,
     )
     if output == "latent":
         return x
@@ -535,6 +571,8 @@ def refine(
     kernels: str = "xla",
     token_weights=None,
     cfg_interval=None,
+    pag_scale=None,
+    pag_layers=None,
 ):
     """Second stage of a two-stage (base + refiner) pipeline: continue
     denoising ALREADY-NOISY latents from `start_step` (whose marginal they
@@ -548,7 +586,8 @@ def refine(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, start_step=start_step, x_start=latents,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, pag_scale=pag_scale,
+        pag_layers=pag_layers,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -626,6 +665,8 @@ def img2img(
     token_weights=None,
     depth=None,
     cfg_interval=None,
+    pag_scale=None,
+    pag_layers=None,
 ):
     """image-to-image: encode `image` ([B,H,W,3] float in [-1,1]) to latents,
     noise to `start_step`, denoise the remaining steps, decode. The latents
@@ -656,7 +697,8 @@ def img2img(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, use_cfg,
         kernels, init_latents=init_latents, start_step=start_step,
-        x_extra=x_extra, cfg_interval=cfg_interval,
+        x_extra=x_extra, cfg_interval=cfg_interval, pag_scale=pag_scale,
+        pag_layers=pag_layers,
     )
     return decode_latents(params, x, cfg, kernels)
 
@@ -813,7 +855,8 @@ def instruct_pix2pix(
 
 def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
                  kernels: str = "xla", donate_params: bool = False,
-                 end_step=None, output: str = "image", cfg_interval=None):
+                 end_step=None, output: str = "image", cfg_interval=None,
+                 pag_layers=None):
     """Build the compiled generate function. Static: cfg/sampler/steps/
     use_cfg/end_step/output (shape-affecting); traced: tokens/key/guidance
     (value-changing without recompile — fixes the reference's steps==20 hard
@@ -822,18 +865,18 @@ def jit_generate(cfg: PipelineConfig, sampler: str, steps: int, use_cfg: bool,
     fn = functools.partial(
         generate, cfg=cfg, sampler=sampler, steps=steps, use_cfg=use_cfg,
         kernels=kernels, end_step=end_step, output=output,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, pag_layers=pag_layers,
     )
     return jax.jit(fn)
 
 
 def jit_refine(cfg: PipelineConfig, sampler: str, steps: int,
                start_step: int, use_cfg: bool, kernels: str = "xla",
-               cfg_interval=None):
+               cfg_interval=None, pag_layers=None):
     """Compiled refine program (latents in, image out)."""
     fn = functools.partial(
         refine, cfg=cfg, sampler=sampler, steps=steps,
         start_step=start_step, use_cfg=use_cfg, kernels=kernels,
-        cfg_interval=cfg_interval,
+        cfg_interval=cfg_interval, pag_layers=pag_layers,
     )
     return jax.jit(fn)

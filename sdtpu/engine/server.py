@@ -8,6 +8,7 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
                      "negative_prompt": "...", "lora": "<adapter name>",
                      "control_image_b64": <base64 png/jpg>,  # ControlNet
                      "control": "<controlnet name>", "control_scale": 1.0,
+                     "pag_scale": 3.0,  # perturbed-attention guidance
                      "format": "png"|"raw"}
       -> image/png bytes (or application/octet-stream raw uint8 HWC)
     POST /img2img   {..., "image_b64": <base64 png/jpg>, "strength": 0.6}
@@ -32,7 +33,9 @@ guidance/seed/negative-prompt (Context.generate_batch /
 Context.img2img_batch / Context.inpaint_batch). img2img and inpaint
 additionally group by strength, since strength selects the compiled
 program's start step; every kind groups by LoRA adapter, since the
-adapter changes the UNet weights. Batches are padded to power-of-two
+adapter changes the UNet weights; /generate also groups by PAG on/off
+(the perturbed-eval program differs), with ``pag_scale`` per-sample
+inside the PAG group. Batches are padded to power-of-two
 sizes so at most log2(max_batch)+1 programs are ever compiled per group —
 XLA needs static shapes, so unpadded dynamic batches would recompile per
 size. depth2img/edit stay serialized through the device lock (rarer
@@ -289,12 +292,17 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                                 control=control,
                                 control_scale=scale)
                         return self._image(img, fmt)
-                    # grouped by adapter: same-adapter requests share one
-                    # compiled call (the adapter changes the UNet weights)
-                    img = batcher.submit({
-                        "prompt": prompt, "guidance": guidance,
-                        "seed": seed, "negative_prompt": neg,
-                    }, group=("gen", lora))
+                    # grouped by adapter AND by PAG on/off: the adapter
+                    # changes the UNet weights; PAG selects a compiled
+                    # program with an extra perturbed eval per step (its
+                    # scale stays per-sample inside the group)
+                    breq = {"prompt": prompt, "guidance": guidance,
+                            "seed": seed, "negative_prompt": neg}
+                    pag = req.get("pag_scale")
+                    if pag is not None:
+                        breq["pag_scale"] = float(pag)
+                    img = batcher.submit(
+                        breq, group=("gen", lora, pag is not None))
                     return self._image(img, fmt)
                 if "image_b64" not in req:
                     return self._json(400, {"error": "missing 'image_b64'"})

@@ -236,9 +236,16 @@ def _resblock(p, x, emb, groups, kernels="xla"):
     return x + h
 
 
-def _transformer(p, x, context, heads, groups, kernels):
+def _transformer(p, x, context, heads, groups, kernels, perturb_self=False,
+                 tome=None):
     attn_kernel = "pallas" if kernels.startswith("pallas") else "xla"
     b, hh, ww, c = x.shape
+    # ToMe-SD gate (static): merge only at levels with at least
+    # min_tokens spatial tokens — the quadratic-cost self-attentions
+    if tome is not None and hh * ww >= tome[1]:
+        tome = (hh, ww, tome[0])
+    else:
+        tome = None
     if heads <= 0:
         raise ValueError("heads must resolve to a positive count")
     fused_in = False
@@ -260,21 +267,51 @@ def _transformer(p, x, context, heads, groups, kernels):
     # depth > 1 (SDXL) nests the basic blocks under "blocks"; depth 1 keeps
     # them flat in p (SD1.x/2.x checkpoint layout)
     for blk in p.get("blocks", (p,)):
-        h = _basic_block(blk, h, context, heads, attn_kernel)
+        h = _basic_block(blk, h, context, heads, attn_kernel, perturb_self,
+                         tome)
 
     h = h.reshape(b, hh, ww, c)
     return x + conv2d(p["proj_out"], h, padding=0)
 
 
-def _basic_block(p, h, context, heads, attn_kernel):
-    """attn1 (self) -> attn2 (cross) -> GEGLU ff, each with a residual."""
+def _basic_block(p, h, context, heads, attn_kernel, perturb_self=False,
+                 tome=None):
+    """attn1 (self) -> attn2 (cross) -> GEGLU ff, each with a residual.
+
+    `perturb_self` (static): replace the self-attention map with the
+    IDENTITY matrix — each token attends only to itself, so the attention
+    output is exactly its own value row `v` (perturbed-attention guidance,
+    Ahn et al. 2024). The q/k projections are skipped entirely: they
+    cannot influence an identity map.
+
+    `tome` (static (hh, ww, ratio) or None): ToMe-SD — merge the ratio
+    most redundant tokens (by cosine similarity of the block INPUT, the
+    paper's metric) before attn1, unmerge its output after the out
+    projection (sdtpu.ops.tome). Cross-attn and the ff run unmerged, the
+    paper's default. The identity attention of `perturb_self` has no
+    quadratic term, so PAG's perturbed eval never merges."""
     a = p["attn1"]
     hn = _ln(p["ln1"], h)
-    if "qkv" in a:  # fused projection (io.params.fuse_attention_projections)
-        q, k, v = jnp.split(dense(a["qkv"], hn), 3, axis=-1)
+    if perturb_self:
+        v = (jnp.split(dense(a["qkv"], hn), 3, axis=-1)[2] if "qkv" in a
+             else dense(a["v"], hn))
+        h = h + dense(a["out"], v)
     else:
-        q, k, v = dense(a["q"], hn), dense(a["k"], hn), dense(a["v"], hn)
-    h = h + dense(a["out"], sdpa(q, k, v, heads, attn_kernel))
+        unmerge = None
+        if tome is not None:
+            from sdtpu.ops.tome import build
+
+            merge, unmerge, r = build(h, tome[0], tome[1], tome[2])
+            if r:
+                hn = merge(hn)
+            else:
+                unmerge = None
+        if "qkv" in a:  # fused projection (io.params.fuse_attention_projections)
+            q, k, v = jnp.split(dense(a["qkv"], hn), 3, axis=-1)
+        else:
+            q, k, v = dense(a["q"], hn), dense(a["k"], hn), dense(a["v"], hn)
+        o = dense(a["out"], sdpa(q, k, v, heads, attn_kernel))
+        h = h + (unmerge(o) if unmerge is not None else o)
     a = p["attn2"]
     hn = _ln(p["ln2"], h)
     if "kv" in a:
@@ -357,6 +394,7 @@ def apply(
     cfg: UNetConfig,
     kernels: str = "xla",
     control=None,
+    perturb=None,
 ):
     """x: [B,H,W,C_in]; t_emb: [B, time_embed_dim] (already MLP-embedded by
     sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out].
@@ -367,11 +405,24 @@ def apply(
     control: optional ``(down_residuals, mid_residual)`` from
     sdtpu.models.controlnet.apply (already scaled): one residual per skip
     tensor in push order, added to the skips as the up path consumes them,
-    plus one added to the mid output."""
+    plus one added to the mid output.
+
+    perturb: optional STATIC collection of section tags out of
+    ("down", "mid", "up") — self-attention in those sections' spatial
+    transformers is replaced by the identity map (perturbed-attention
+    guidance; see engine.pipeline.denoise)."""
+    perturb = frozenset(perturb or ())
+    if not perturb <= {"down", "mid", "up"}:
+        raise ValueError(f"unknown perturb sections {sorted(perturb)}; "
+                         f"expected a subset of ('down', 'mid', 'up')")
     # optional W-axis activation sharding of the conv stack (no-op unless a
     # sharded jit was built with spatial=True — see parallel/spatial.py)
     from sdtpu.parallel.spatial import constrain
 
+    # ToMe-SD token merging (sdtpu.ops.tome): (ratio, min_tokens) or None,
+    # gated per level inside _transformer on the static token count
+    tome = ((cfg.tome_ratio, cfg.tome_min_tokens)
+            if cfg.tome_ratio > 0.0 else None)
     g = cfg.groups
     h = constrain(conv2d(params["conv_in"], x))
     skips = [h]
@@ -380,7 +431,8 @@ def apply(
             h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
-                                 _heads(cfg, h.shape[-1]), g, kernels)
+                                 _heads(cfg, h.shape[-1]), g, kernels,
+                                 perturb_self="down" in perturb, tome=tome)
             skips.append(h)
         if "down" in level:
             h = constrain(conv2d(level["down"], h, stride=2))
@@ -398,7 +450,7 @@ def apply(
     mid = params["mid"]
     h = _resblock(mid["res1"], h, t_emb, g, kernels)
     h = _transformer(mid["st"], h, context, _heads(cfg, h.shape[-1]), g,
-                     kernels)
+                     kernels, perturb_self="mid" in perturb, tome=tome)
     h = _resblock(mid["res2"], h, t_emb, g, kernels)
     if control is not None:
         h = h + ctrl_mid.astype(h.dtype)
@@ -414,7 +466,8 @@ def apply(
             h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
-                                 _heads(cfg, h.shape[-1]), g, kernels)
+                                 _heads(cfg, h.shape[-1]), g, kernels,
+                                 perturb_self="up" in perturb, tome=tome)
         if "up" in level:
             h = _upsample_nearest(h)
             h = constrain(conv2d(level["up"], h))

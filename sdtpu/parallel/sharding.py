@@ -128,7 +128,7 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
                         spatial: bool = False, end_step=None,
                         output: str = "image", start_step: int = 0,
                         with_hint: bool = False, weighted: bool = False,
-                        cfg_interval=None):
+                        cfg_interval=None, pag_layers=None):
     """Compile any Context serving program (generate / refine, with optional
     ControlNet hint, long/weighted prompts, or a truncated base stage) over
     the mesh.
@@ -162,18 +162,22 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
     if weighted:
         names.append("token_weights")
         extra_specs.append(P("data", None, None))
+    if pag_layers:
+        # perturbed-attention guidance strength: replicated traced scalar
+        names.append("pag_scale")
+        extra_specs.append(P())
 
     if kind == "generate":
         base = functools.partial(
             pl.generate, cfg=cfg, sampler=sampler, steps=steps,
             use_cfg=use_cfg, kernels=kernels, end_step=end_step,
-            output=output, cfg_interval=cfg_interval,
+            output=output, cfg_interval=cfg_interval, pag_layers=pag_layers,
         )
     elif kind == "refine":
         base = functools.partial(
             pl.refine, cfg=cfg, sampler=sampler, steps=steps,
             start_step=start_step, use_cfg=use_cfg, kernels=kernels,
-            cfg_interval=cfg_interval,
+            cfg_interval=cfg_interval, pag_layers=pag_layers,
         )
     else:
         raise ValueError(f"unknown sharded program kind {kind!r}")
