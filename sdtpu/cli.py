@@ -58,6 +58,7 @@ def _cmd_generate(args) -> int:
         freeu=(tuple(float(v) for v in args.freeu.split(","))
                if args.freeu else None),
         tome_ratio=args.tome_ratio,
+        deepcache=args.deepcache,
     )
     if args.controlnet:
         # --controlnet [name=]path (or "random" for demo weights)
@@ -410,6 +411,10 @@ def main(argv=None) -> int:
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "
                         "--init-image")
+    g.add_argument("--deepcache", type=int, default=None, metavar="N",
+                   help="DeepCache (Ma 2023): run the full UNet every N "
+                        "steps and splice the cached deep feature on the "
+                        "others (latency knob; try N=3)")
     g.add_argument("--tome-ratio", type=float, default=0.0,
                    help="ToMe-SD token merging (Bolya 2023): merge this "
                         "fraction of spatial tokens before the large "

@@ -125,6 +125,12 @@ class PipelineConfig:
     # overexposure v-prediction models show at high guidance. 0 = off
     # (bit-exact default). Set via Context(guidance_rescale=...)
     guidance_rescale: float = 0.0
+    # DeepCache (Ma et al. 2023, arXiv:2312.00858): every N-th denoising
+    # step runs the full UNet and caches the slow-changing deep feature at
+    # the branch-0 junction; the other steps recompute only the shallow
+    # level-0 blocks and splice the cache in (models/unet.apply `deep`).
+    # None = off (the bit-exact default). Set via Context(deepcache=N)
+    deepcache_interval: Optional[int] = None
 
     @property
     def image_size(self) -> int:

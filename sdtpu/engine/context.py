@@ -80,6 +80,7 @@ class Context:
         guidance_rescale: float = 0.0,
         pag_layers: tuple = ("mid",),
         tome_ratio: float = 0.0,
+        deepcache: Optional[int] = None,
     ) -> None:
         self.fuse_qkv = fuse_qkv
         # LoRA adapters (sdtpu.train.lora.save_lora_npz artifacts) overlaid
@@ -165,6 +166,18 @@ class Context:
             config = _dc.replace(
                 config, unet=_dc.replace(config.unet,
                                          tome_ratio=float(tome_ratio)))
+        if deepcache is not None:
+            # DeepCache (Ma et al. 2023): full UNet every N steps, cached
+            # deep-feature splice in between (engine/pipeline.denoise)
+            import dataclasses as _dc
+
+            if not isinstance(deepcache, int) or deepcache < 2:
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"deepcache must be an int interval >= 2 (full-eval "
+                    f"cadence), got {deepcache!r}",
+                )
+            config = _dc.replace(config, deepcache_interval=deepcache)
         if guidance_rescale:
             # CFG rescale (Lin et al. 2023) — the v-prediction
             # overexposure fix; static, so 0 keeps the program untouched

@@ -242,6 +242,26 @@ def denoise(
 
     if pag_layers and image_guidance is not None:
         raise ValueError("PAG is incompatible with ip2p's dual CFG")
+    dc_n = cfg.deepcache_interval
+    if dc_n is not None:
+        # DeepCache (Ma et al. 2023): full eval every dc_n steps, shallow
+        # splice of the cached branch-0 junction feature in between. The
+        # cache rides the scan carry, so anything that changes the eval
+        # batch or the deep skips mid-trajectory is incompatible.
+        dc_n = int(dc_n)
+        if dc_n < 2:
+            raise ValueError(f"deepcache_interval must be >= 2, got {dc_n}")
+        incompat = [
+            ("ip2p dual CFG", image_guidance is not None),
+            ("ControlNet hints", hint is not None),
+            ("prompt scheduling", cond_schedule is not None),
+            ("PAG", bool(pag_layers)),
+            ("cfg_interval", cfg_interval is not None),
+            ("plms_exact", sampler == "plms_exact"),
+        ]
+        for name, bad in incompat:
+            if bad:
+                raise ValueError(f"DeepCache is incompatible with {name}")
     context, pooled = _unpack_context(context, cfg)
     add_emb = (None if pooled is None
                else _add_embedding(params, pooled, cfg))
@@ -306,10 +326,15 @@ def denoise(
             t_embs_cn.append(temb.apply(cn["temb"], plan.model_t, cfg.unet,
                                         dtype=dtype))
 
-    def predict_eps(x, i, guided=True):
+    def predict_eps(x, i, guided=True, dcache=None):
         """One UNet eval at step index `i` (traced or static). `guided`
         (static) False runs the cond slot only — no uncond eval, no CFG mix
-        (the guidance-interval optimization; see `cfg_interval`)."""
+        (the guidance-interval optimization; see `cfg_interval`).
+
+        `dcache` (DeepCache carry, only when cfg.deepcache_interval): the
+        cached junction feature; returns ``(eps, new_cache)`` instead of
+        eps — a full capture eval on anchor steps, a shallow splice eval
+        otherwise (lax.cond: exactly one branch executes per step)."""
         r = reps if guided else 1
         if cond_schedule is not None:
             table, sidx = cond_schedule
@@ -365,10 +390,26 @@ def denoise(
                     acc_d = [a + r_ for a, r_ in zip(acc_d, dres)]
                     acc_m = acc_m + mres
             ctrl = (tuple(acc_d), acc_m)
-        eps = unet.apply(
-            params["unet"], x_in, te, rows, cfg.unet, kernels,
-            control=ctrl,
-        ).astype(jnp.float32)
+        if dcache is not None:
+            is_full = ((i - start_step) % dc_n) == 0
+
+            def _full(c):
+                del c
+                e, cc = unet.apply(params["unet"], x_in, te, rows,
+                                   cfg.unet, kernels, deep="capture")
+                return e.astype(jnp.float32), cc
+
+            def _shallow(c):
+                e = unet.apply(params["unet"], x_in, te, rows, cfg.unet,
+                               kernels, deep=c)
+                return e.astype(jnp.float32), c
+
+            eps, dcache = jax.lax.cond(is_full, _full, _shallow, dcache)
+        else:
+            eps = unet.apply(
+                params["unet"], x_in, te, rows, cfg.unet, kernels,
+                control=ctrl,
+            ).astype(jnp.float32)
         if cfg.prediction == "v":
             # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
             # => eps = alpha*v + sigma*x_t (per CFG slot)
@@ -414,7 +455,7 @@ def denoise(
             if s.ndim:  # per-sample PAG scale [B] (batched serving)
                 s = s.reshape((-1,) + (1,) * (e_ptb.ndim - 1))
             eps = eps + s * (e_cond_raw - e_ptb)
-        return eps
+        return eps if dcache is None else (eps, dcache)
 
     state = mod.init_state(shape)
 
@@ -442,9 +483,33 @@ def denoise(
 
     needs_noise = getattr(mod, "NEEDS_NOISE", False)
 
+    dc0 = None
+    if dc_n is not None:
+        # DeepCache carry init: the junction feature's shape/dtype via
+        # abstract eval of a capture call (no FLOPs); step `start_step`
+        # is always a full eval, so the zeros never reach a splice
+        r0 = reps
+        xi = (jnp.concatenate([x] * r0, axis=0) if r0 > 1 else x)
+        xi = xi.astype(dtype)
+        if x_extra is not None:
+            xe = (jnp.concatenate([x_extra] * r0, axis=0) if r0 > 1
+                  else x_extra)
+            xi = jnp.concatenate([xi, xe.astype(dtype)], axis=-1)
+        te0 = jnp.broadcast_to(t_embs[0], (context.shape[0],
+                                           t_embs.shape[-1]))
+        cache_sd = jax.eval_shape(
+            lambda xx, tt, rr: unet.apply(params["unet"], xx, tt, rr,
+                                          cfg.unet, kernels,
+                                          deep="capture")[1],
+            xi, te0, context)
+        dc0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+
     def make_body(guided):
         def body(carry, i):
-            x, st = carry
+            if dc_n is not None:
+                x, st, dc = carry
+            else:
+                (x, st), dc = carry, None
             if mask is not None:
                 # re-pin the kept region to the init latents at this step's
                 # marginal (fresh noise per step keeps its statistics honest)
@@ -452,15 +517,19 @@ def denoise(
                 pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
                           + plan.sigma_s[i] * n_i)
                 x = mask * x + (1.0 - mask) * pinned
+            if dc_n is not None:
+                eps, dc = predict_eps(x, i, guided, dc)
+            else:
+                eps = predict_eps(x, i, guided)
             if needs_noise:
                 # ancestral samplers: a dedicated fold_in tag range, disjoint
                 # from the inpaint pin-noise tags (1..steps) and the VAE
                 # posterior tag (_POSTERIOR_FOLD)
-                x, st = mod.step(plan, i, x, predict_eps(x, i, guided), st,
+                x, st = mod.step(plan, i, x, eps, st,
                                  noise=_step_noise(i, _ANCESTRAL_FOLD))
             else:
-                x, st = mod.step(plan, i, x, predict_eps(x, i, guided), st)
-            return (x, st), None
+                x, st = mod.step(plan, i, x, eps, st)
+            return ((x, st, dc) if dc_n is not None else (x, st)), None
 
         return body
 
@@ -485,10 +554,14 @@ def denoise(
         n_run = s1 - s0
         # unroll=2: exposes cross-step overlap to the latency-hiding
         # scheduler (weight prefetch of step i+1 behind the tail of step i)
-        (x, state), _ = jax.lax.scan(
-            make_body(guided), (x, state), jnp.arange(s0, s1),
+        carry0 = (x, state, dc0) if dc_n is not None else (x, state)
+        carry, _ = jax.lax.scan(
+            make_body(guided), carry0, jnp.arange(s0, s1),
             unroll=2 if n_run % 2 == 0 else 1,
         )
+        x, state = carry[0], carry[1]
+        if dc_n is not None:
+            dc0 = carry[2]
     if mask is not None:
         x = mask * x + (1.0 - mask) * init_latents.astype(jnp.float32)
     return x

@@ -395,6 +395,7 @@ def apply(
     kernels: str = "xla",
     control=None,
     perturb=None,
+    deep=None,
 ):
     """x: [B,H,W,C_in]; t_emb: [B, time_embed_dim] (already MLP-embedded by
     sdtpu.models.temb); context: [B, T, context_dim] -> eps [B,H,W,C_out].
@@ -410,11 +411,29 @@ def apply(
     perturb: optional STATIC collection of section tags out of
     ("down", "mid", "up") — self-attention in those sections' spatial
     transformers is replaced by the identity map (perturbed-attention
-    guidance; see engine.pipeline.denoise)."""
+    guidance; see engine.pipeline.denoise).
+
+    deep: DeepCache (Ma et al. 2023) junction protocol. None = plain
+    forward. "capture" = full forward that ALSO returns the deep feature
+    at the branch-0 junction — the hidden entering the LAST up level,
+    whose value changes slowly across adjacent denoising steps — as
+    ``(eps, cache)``. A tensor = SHALLOW forward: compute only conv_in +
+    the level-0 down blocks (for the skips the last up level consumes),
+    splice the cached junction tensor in place of the whole deep stack
+    (deeper downs, mid, deeper ups), and run the last up level + out
+    head. See engine.pipeline.denoise(deepcache_interval=...)."""
     perturb = frozenset(perturb or ())
     if not perturb <= {"down", "mid", "up"}:
         raise ValueError(f"unknown perturb sections {sorted(perturb)}; "
                          f"expected a subset of ('down', 'mid', 'up')")
+    capture = isinstance(deep, str)
+    if capture and deep != "capture":
+        raise ValueError(f"deep must be None, 'capture', or a cached "
+                         f"junction tensor, got {deep!r}")
+    shallow = deep is not None and not capture
+    if shallow and control is not None:
+        raise ValueError("DeepCache shallow pass is incompatible with "
+                         "ControlNet residuals (they enter the deep skips)")
     # optional W-axis activation sharding of the conv stack (no-op unless a
     # sharded jit was built with spatial=True — see parallel/spatial.py)
     from sdtpu.parallel.spatial import constrain
@@ -426,7 +445,8 @@ def apply(
     g = cfg.groups
     h = constrain(conv2d(params["conv_in"], x))
     skips = [h]
-    for lvl, level in enumerate(params["down"]):
+    down_levels = params["down"][:1] if shallow else params["down"]
+    for lvl, level in enumerate(down_levels):
         for blk in level["blocks"]:
             h = constrain(_resblock(blk["res"], h, t_emb, g, kernels))
             if "st" in blk:
@@ -434,7 +454,7 @@ def apply(
                                  _heads(cfg, h.shape[-1]), g, kernels,
                                  perturb_self="down" in perturb, tome=tome)
             skips.append(h)
-        if "down" in level:
+        if "down" in level and not shallow:
             h = constrain(conv2d(level["down"], h, stride=2))
             skips.append(h)
 
@@ -447,15 +467,25 @@ def apply(
                 f"{len(skips)}")
         ctrl_down = list(ctrl_down)
 
-    mid = params["mid"]
-    h = _resblock(mid["res1"], h, t_emb, g, kernels)
-    h = _transformer(mid["st"], h, context, _heads(cfg, h.shape[-1]), g,
-                     kernels, perturb_self="mid" in perturb, tome=tome)
-    h = _resblock(mid["res2"], h, t_emb, g, kernels)
-    if control is not None:
-        h = h + ctrl_mid.astype(h.dtype)
+    if shallow:
+        # DeepCache shallow step: the whole deep stack (deeper downs, mid,
+        # deeper ups) is replaced by the cached junction feature; the
+        # remaining skips are exactly the ones the last up level consumes
+        h = deep.astype(h.dtype)
+    else:
+        mid = params["mid"]
+        h = _resblock(mid["res1"], h, t_emb, g, kernels)
+        h = _transformer(mid["st"], h, context, _heads(cfg, h.shape[-1]), g,
+                         kernels, perturb_self="mid" in perturb, tome=tome)
+        h = _resblock(mid["res2"], h, t_emb, g, kernels)
+        if control is not None:
+            h = h + ctrl_mid.astype(h.dtype)
 
-    for level in params["up"]:
+    cache = None
+    up_levels = params["up"][-1:] if shallow else params["up"]
+    for uidx, level in enumerate(up_levels):
+        if capture and uidx == len(up_levels) - 1:
+            cache = h  # branch-0 junction: input to the last up level
         for blk in level["blocks"]:
             s = skips.pop()
             if ctrl_down is not None:
@@ -473,4 +503,5 @@ def apply(
             h = constrain(conv2d(level["up"], h))
 
     h = _gn(params["out_norm"], h, g, 1e-5, True, kernels)
-    return conv2d(params["conv_out"], h)
+    out = conv2d(params["conv_out"], h)
+    return (out, cache) if capture else out
