@@ -44,12 +44,15 @@ def main() -> int:
     if interval:
         lo, _, hi = interval.partition(",")
         interval = (float(lo), float(hi))
+    deepcache = os.environ.get("SDTPU_BENCH_DEEPCACHE")  # e.g. "3"
     ctx = sdtpu.Context(
         model_dir=None, steps=20, sampler="dpm", config=config,
         log_level=LogLevel.INFO,
         quantize="int8" if quant == "int8_static" else quant,
         kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
         cfg_interval=interval or None,
+        deepcache=int(deepcache) if deepcache else None,
+        tome_ratio=float(os.environ.get("SDTPU_BENCH_TOME", "0")),
     )
     print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     if quant == "int8_static":

@@ -82,6 +82,14 @@ SDTPU_API int sdtpu_setup(void** context, const char* model_dir,
                           int32_t log_level, int32_t use_tpu);
 SDTPU_API int sdtpu_set_steps(void* context, int32_t steps);
 SDTPU_API int sdtpu_set_seed(void* context, int64_t seed);
+/* Quality/latency knobs (0 disables each; see README "Quality knobs"):
+ * pag_scale = perturbed-attention guidance strength applied to every
+ * generate call; deepcache = full-UNet cadence N (>= 2); tome_ratio =
+ * token-merge fraction in (0, 0.75]. deepcache/tome recompile on next
+ * use (the setting is baked into the program). */
+SDTPU_API int sdtpu_set_pag_scale(void* context, float scale);
+SDTPU_API int sdtpu_set_deepcache(void* context, int32_t interval);
+SDTPU_API int sdtpu_set_tome_ratio(void* context, float ratio);
 SDTPU_API int sdtpu_ref_context(void* context);
 SDTPU_API int sdtpu_release(void* context);
 /* Generate one image. If *image_buffer is NULL it is callee-allocated (free

@@ -323,6 +323,42 @@ int sdtpu_set_seed(void* context, int64_t seed) {
   });
 }
 
+int sdtpu_set_pag_scale(void* context, float scale) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    Gil gil;
+    PyObject* r = PyObject_CallMethod(static_cast<PyObject*>(h->py_ctx),
+                                      "set_pag_scale", "(d)", (double)scale);
+    if (!r) raise_py(h, "set_pag_scale");
+    Py_DECREF(r);
+  });
+}
+
+int sdtpu_set_deepcache(void* context, int32_t interval) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    Gil gil;
+    PyObject* r = PyObject_CallMethod(static_cast<PyObject*>(h->py_ctx),
+                                      "set_deepcache", "(i)", interval);
+    if (!r) raise_py(h, "set_deepcache");
+    Py_DECREF(r);
+  });
+}
+
+int sdtpu_set_tome_ratio(void* context, float ratio) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    Gil gil;
+    PyObject* r = PyObject_CallMethod(static_cast<PyObject*>(h->py_ctx),
+                                      "set_tome_ratio", "(d)", (double)ratio);
+    if (!r) raise_py(h, "set_tome_ratio");
+    Py_DECREF(r);
+  });
+}
+
 int sdtpu_generate_image(void* context, const char* prompt, float guidance,
                          void** image_buffer, size_t* buffer_size) {
   auto* h = retrieve(context);
@@ -521,6 +557,9 @@ int sdtpu_setup(void** context, const char*, const char*, int32_t, int32_t,
 }
 int sdtpu_set_steps(void*, int32_t) { return SDTPU_UNSUPPORTED; }
 int sdtpu_set_seed(void*, int64_t) { return SDTPU_UNSUPPORTED; }
+int sdtpu_set_pag_scale(void*, float) { return SDTPU_UNSUPPORTED; }
+int sdtpu_set_deepcache(void*, int32_t) { return SDTPU_UNSUPPORTED; }
+int sdtpu_set_tome_ratio(void*, float) { return SDTPU_UNSUPPORTED; }
 int sdtpu_generate_image(void*, const char*, float, void**, size_t*) {
   return SDTPU_UNSUPPORTED;
 }

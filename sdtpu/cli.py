@@ -237,10 +237,16 @@ def _cmd_serve(args) -> int:
                 return 2
             name, path = spec.split("=", 1)
             lora[name] = path
+    interval = None
+    if args.cfg_interval:
+        lo, _, hi = args.cfg_interval.partition(",")
+        interval = (float(lo), float(hi))
     ctx = sdtpu.Context(
         model_dir=args.model_dir, steps=args.steps, sampler=args.sampler,
         config=args.config, log_level=LogLevel(args.log_level),
         kernels=args.kernels, mesh=mesh, lora=lora,
+        cfg_interval=interval, deepcache=args.deepcache,
+        tome_ratio=args.tome_ratio,
     )
     serve(ctx, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
@@ -552,6 +558,14 @@ def main(argv=None) -> int:
                     help="register a LoRA adapter for per-request selection "
                          "(repeatable; requests pick one via the 'lora' "
                          "field)")
+    sv.add_argument("--cfg-interval", default=None, metavar="LO,HI",
+                    help="guidance-interval optimization for every request "
+                         "(see generate --cfg-interval)")
+    sv.add_argument("--deepcache", type=int, default=None, metavar="N",
+                    help="DeepCache full-eval cadence for every request")
+    sv.add_argument("--tome-ratio", type=float, default=0.0,
+                    help="ToMe token-merge ratio (pays at 768+; see "
+                         "generate --tome-ratio)")
     sv.add_argument("--kernels", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_gn"])
     sv.add_argument("--log-level", type=int, default=2)

@@ -196,6 +196,9 @@ class Context:
         self.logger = slog.Logger(log_level, name=f"sdtpu@{hex(id(self))[-4:]}")
         self._failed = False
         self._gen_cache: dict = {}
+        #: context-default PAG strength (set_pag_scale / C ABI); a generate
+        #: call's explicit pag_scale always wins
+        self._default_pag: Optional[float] = None
         self._uncond = None
         self.params = None
         self.tokenizer: Optional[Tokenizer] = None
@@ -476,6 +479,44 @@ class Context:
 
     def set_seed(self, seed: int) -> None:
         self.seed = int(seed)
+
+    def set_pag_scale(self, scale: float) -> None:
+        """Context-default perturbed-attention-guidance strength, applied
+        when a generate call does not pass `pag_scale` itself; 0 disables
+        (the C-ABI knob — per-call args stay the Python-first surface)."""
+        self._default_pag = float(scale) if scale else None
+
+    def set_deepcache(self, interval: int) -> None:
+        """Re-configure DeepCache (full-UNet cadence; 0 disables) on a live
+        context. Clears the compiled-program cache: the cadence is baked
+        into each program (engine/pipeline.denoise)."""
+        import dataclasses as _dc
+
+        if interval and (not isinstance(interval, int) or interval < 2):
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"deepcache must be 0 (off) or an int >= 2, got {interval!r}",
+                self.errors,
+            )
+        self.cfg = _dc.replace(
+            self.cfg, deepcache_interval=int(interval) if interval else None)
+        self._gen_cache.clear()
+
+    def set_tome_ratio(self, ratio: float) -> None:
+        """Re-configure ToMe token merging (0 disables) on a live context;
+        clears the compiled-program cache (the merge plan is static)."""
+        import dataclasses as _dc
+
+        if ratio and not 0.0 < ratio <= 0.75:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"tome_ratio must be 0 (off) or in (0, 0.75], got {ratio!r}",
+                self.errors,
+            )
+        self.cfg = _dc.replace(
+            self.cfg, unet=_dc.replace(self.cfg.unet,
+                                       tome_ratio=float(ratio or 0.0)))
+        self._gen_cache.clear()
 
     # ------------------------------------------------------------------
     # LoRA adapter registry (per-request style/subject serving)
@@ -972,6 +1013,8 @@ class Context:
             if seed is None:
                 seed = self.seed
                 self.seed += 1
+            if pag_scale is None:
+                pag_scale = self._default_pag  # set_pag_scale / C ABI
             use_cfg = guidance != 1.0
             params = self._params_for(lora)
             tokens, weights, uncond = self._build_text_inputs(

@@ -256,7 +256,6 @@ def denoise(
             ("ControlNet hints", hint is not None),
             ("prompt scheduling", cond_schedule is not None),
             ("PAG", bool(pag_layers)),
-            ("cfg_interval", cfg_interval is not None),
             ("plms_exact", sampler == "plms_exact"),
         ]
         for name, bad in incompat:
@@ -326,7 +325,7 @@ def denoise(
             t_embs_cn.append(temb.apply(cn["temb"], plan.model_t, cfg.unet,
                                         dtype=dtype))
 
-    def predict_eps(x, i, guided=True, dcache=None):
+    def predict_eps(x, i, guided=True, dcache=None, dc_anchor=0):
         """One UNet eval at step index `i` (traced or static). `guided`
         (static) False runs the cond slot only — no uncond eval, no CFG mix
         (the guidance-interval optimization; see `cfg_interval`).
@@ -334,7 +333,11 @@ def denoise(
         `dcache` (DeepCache carry, only when cfg.deepcache_interval): the
         cached junction feature; returns ``(eps, new_cache)`` instead of
         eps — a full capture eval on anchor steps, a shallow splice eval
-        otherwise (lax.cond: exactly one branch executes per step)."""
+        otherwise (lax.cond: exactly one branch executes per step).
+        `dc_anchor` (static): first step of the enclosing scan segment —
+        always a full eval, so a freshly-zeroed per-segment cache never
+        reaches a splice (this is what lets DeepCache compose with
+        cfg_interval's segments, whose eval batches differ)."""
         r = reps if guided else 1
         if cond_schedule is not None:
             table, sidx = cond_schedule
@@ -391,7 +394,7 @@ def denoise(
                     acc_m = acc_m + mres
             ctrl = (tuple(acc_d), acc_m)
         if dcache is not None:
-            is_full = ((i - start_step) % dc_n) == 0
+            is_full = ((i - dc_anchor) % dc_n) == 0
 
             def _full(c):
                 del c
@@ -483,28 +486,30 @@ def denoise(
 
     needs_noise = getattr(mod, "NEEDS_NOISE", False)
 
-    dc0 = None
-    if dc_n is not None:
-        # DeepCache carry init: the junction feature's shape/dtype via
-        # abstract eval of a capture call (no FLOPs); step `start_step`
-        # is always a full eval, so the zeros never reach a splice
-        r0 = reps
+    def _dc_zeros(guided):
+        """Per-segment DeepCache carry init: the junction feature's
+        shape/dtype via abstract eval of a capture call (no FLOPs). Each
+        segment's first step is always a full eval (dc_anchor), so the
+        zeros never reach a splice — and each segment gets its own cache
+        because the eval batch differs between guided/unguided segments."""
+        r0 = reps if guided else 1
         xi = (jnp.concatenate([x] * r0, axis=0) if r0 > 1 else x)
         xi = xi.astype(dtype)
         if x_extra is not None:
             xe = (jnp.concatenate([x_extra] * r0, axis=0) if r0 > 1
                   else x_extra)
             xi = jnp.concatenate([xi, xe.astype(dtype)], axis=-1)
-        te0 = jnp.broadcast_to(t_embs[0], (context.shape[0],
+        rows0 = context if guided else context[:b]
+        te0 = jnp.broadcast_to(t_embs[0], (rows0.shape[0],
                                            t_embs.shape[-1]))
         cache_sd = jax.eval_shape(
             lambda xx, tt, rr: unet.apply(params["unet"], xx, tt, rr,
                                           cfg.unet, kernels,
                                           deep="capture")[1],
-            xi, te0, context)
-        dc0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+            xi, te0, rows0)
+        return jnp.zeros(cache_sd.shape, cache_sd.dtype)
 
-    def make_body(guided):
+    def make_body(guided, dc_anchor=0):
         def body(carry, i):
             if dc_n is not None:
                 x, st, dc = carry
@@ -518,7 +523,7 @@ def denoise(
                           + plan.sigma_s[i] * n_i)
                 x = mask * x + (1.0 - mask) * pinned
             if dc_n is not None:
-                eps, dc = predict_eps(x, i, guided, dc)
+                eps, dc = predict_eps(x, i, guided, dc, dc_anchor)
             else:
                 eps = predict_eps(x, i, guided)
             if needs_noise:
@@ -554,14 +559,13 @@ def denoise(
         n_run = s1 - s0
         # unroll=2: exposes cross-step overlap to the latency-hiding
         # scheduler (weight prefetch of step i+1 behind the tail of step i)
-        carry0 = (x, state, dc0) if dc_n is not None else (x, state)
+        carry0 = ((x, state, _dc_zeros(guided)) if dc_n is not None
+                  else (x, state))
         carry, _ = jax.lax.scan(
-            make_body(guided), carry0, jnp.arange(s0, s1),
+            make_body(guided, dc_anchor=s0), carry0, jnp.arange(s0, s1),
             unroll=2 if n_run % 2 == 0 else 1,
         )
         x, state = carry[0], carry[1]
-        if dc_n is not None:
-            dc0 = carry[2]
     if mask is not None:
         x = mask * x + (1.0 - mask) * init_latents.astype(jnp.float32)
     return x

@@ -85,13 +85,23 @@ def test_e2e_deterministic_and_distinct():
 
 
 def test_incompatible_combos_raise():
-    ctx = sdtpu.Context(config="tiny", steps=4, deepcache=2,
-                        cfg_interval=(0.1, 0.8))
-    with pytest.raises(ValueError, match="cfg_interval"):
-        ctx.generate("the horse", seed=1)
     ctx2 = sdtpu.Context(config="tiny", steps=4, deepcache=2)
     with pytest.raises(ValueError, match="PAG"):
         ctx2.generate("the horse", seed=1, pag_scale=2.0)
+
+
+def test_composes_with_cfg_interval():
+    """DeepCache + guidance interval: per-segment caches (the eval batch
+    differs between guided/unguided segments), each segment re-anchored
+    with a full eval on its first step."""
+    ctx = sdtpu.Context(config="tiny", steps=6, deepcache=2,
+                        cfg_interval=(0.2, 0.7))
+    a = ctx.generate("the horse", seed=1)
+    np.testing.assert_array_equal(a, ctx.generate("the horse", seed=1))
+    plain = sdtpu.Context(config="tiny", steps=6,
+                          cfg_interval=(0.2, 0.7)).generate(
+        "the horse", seed=1)
+    assert not np.array_equal(a, plain)
 
 
 def test_img2img_and_batch():

@@ -361,3 +361,64 @@ def test_capi_concat_models_and_embedding(lib, tmp_path):
         assert np.array_equal(fetch(buf, n, size), want)
     finally:
         lib.sdtpu_release(handle)
+
+
+def test_capi_quality_knobs(lib):
+    """C-ABI PAG/DeepCache/ToMe knobs (sdtpu_set_pag_scale /
+    sdtpu_set_deepcache / sdtpu_set_tome_ratio): each reconfigures the
+    live embedded context and matches the Python Context outputs."""
+    import ctypes
+
+    import sdtpu
+
+    c_void_p, c_char_p = ctypes.c_void_p, ctypes.c_char_p
+    lib.sdtpu_setup.argtypes = [
+        ctypes.POINTER(c_void_p), c_char_p, c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.sdtpu_set_pag_scale.argtypes = [c_void_p, ctypes.c_float]
+    lib.sdtpu_set_deepcache.argtypes = [c_void_p, ctypes.c_int32]
+    lib.sdtpu_set_tome_ratio.argtypes = [c_void_p, ctypes.c_float]
+    lib.sdtpu_generate_image.argtypes = [
+        c_void_p, c_char_p, ctypes.c_float,
+        ctypes.POINTER(c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+    lib.sdtpu_release.argtypes = [c_void_p]
+    lib.sdtpu_free_buffer.argtypes = [c_void_p]
+
+    py = sdtpu.Context(config="tiny", steps=3)
+    want_pag = py.generate("the horse", seed=0, pag_scale=3.0)
+    py_dc = sdtpu.Context(config="tiny", steps=3, deepcache=2)
+    want_dc = py_dc.generate("the horse", seed=1)
+
+    handle = c_void_p()
+    rc = lib.sdtpu_setup(ctypes.byref(handle), None, b"tiny", 3, 0, 0)
+    if rc == 6:  # SDTPU_UNSUPPORTED: built without embedded python
+        pytest.skip("libsdtpu built without SDTPU_EMBED_PYTHON")
+    assert rc == 0
+    try:
+        def gen():
+            buf, n = c_void_p(), ctypes.c_size_t()
+            assert lib.sdtpu_generate_image(
+                handle, b"the horse", 7.5, ctypes.byref(buf),
+                ctypes.byref(n)) == 0
+            size = py.cfg.image_size
+            out = np.ctypeslib.as_array(
+                ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+                (n.value,)).copy().reshape(size, size, 3)
+            lib.sdtpu_free_buffer(buf)
+            return out
+
+        assert lib.sdtpu_set_pag_scale(handle, 3.0) == 0
+        assert np.array_equal(gen(), want_pag)          # seed 0
+        assert lib.sdtpu_set_pag_scale(handle, 0.0) == 0
+        assert lib.sdtpu_set_deepcache(handle, 2) == 0
+        assert np.array_equal(gen(), want_dc)           # seed 1
+        # invalid cadence -> clean error, context still live
+        assert lib.sdtpu_set_deepcache(handle, 1) != 0
+        assert lib.sdtpu_set_deepcache(handle, 0) == 0
+        assert lib.sdtpu_set_tome_ratio(handle, 0.9) != 0
+        assert lib.sdtpu_set_tome_ratio(handle, 0.5) == 0
+        out = gen()                                     # seed 2
+        # tiny's levels sit under the 4096-token gate: bit-equal baseline
+        assert np.array_equal(out, py.generate("the horse", seed=2))
+    finally:
+        lib.sdtpu_release(handle)

@@ -63,12 +63,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--intervals", default="2,3,5")
+    ap.add_argument("--combo", default=None, metavar="N,LO,HI",
+                    help="extra leg: deepcache=N + cfg_interval=(LO,HI)")
     args = ap.parse_args()
 
     base = run_leg("bf16 baseline", args.iters)
-    for n in (int(v) for v in args.intervals.split(",")):
+    for n in (int(v) for v in args.intervals.split(",") if v):
         t = run_leg(f"deepcache={n}", args.iters, deepcache=n)
         print(f"=> deepcache {n}: {t:.4f}s vs {base:.4f}s "
+              f"({(t / base - 1) * 100:+.1f}%)", flush=True)
+    if args.combo:
+        n, lo, hi = args.combo.split(",")
+        t = run_leg(f"deepcache={n}+cfgi=({lo},{hi})", args.iters,
+                    deepcache=int(n), cfg_interval=(float(lo), float(hi)))
+        print(f"=> combo: {t:.4f}s vs {base:.4f}s "
               f"({(t / base - 1) * 100:+.1f}%)", flush=True)
     return 0
 
