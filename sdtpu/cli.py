@@ -20,8 +20,9 @@ DEFAULT_PROMPT = "a photograph of an astronaut riding a horse"
 # the jax import at --help time (tests pin the two lists equal)
 SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "dpm_karras", "dpm_sde",
                    "dpm_sde_karras", "euler", "euler_a",
-                   "euler_a_karras", "euler_karras", "plms",
-                   "plms_exact", "unipc", "unipc_karras"]
+                   "euler_a_karras", "euler_karras", "lms",
+                   "lms_karras", "plms", "plms_exact", "unipc",
+                   "unipc_karras"]
 
 
 def _select_platform(name: str) -> None:

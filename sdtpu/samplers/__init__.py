@@ -16,7 +16,7 @@ precomputes the 1280-d embeddings the same way, context.cpp:256-279).
 """
 
 from sdtpu.samplers.schedule import NoiseSchedule
-from sdtpu.samplers import dpm, ddim, dpm_sde, euler, euler_a, plms, unipc
+from sdtpu.samplers import dpm, ddim, dpm_sde, euler, euler_a, lms, plms, unipc
 
 class _KarrasSpacing:
     """Same solver, Karras et al. (2022) sigma spacing instead of uniform
@@ -51,6 +51,8 @@ SAMPLERS = {
     "euler": euler,
     # ancestral: NEEDS_NOISE — the pipeline threads per-step noise into step()
     "euler_a": euler_a,
+    # 4th-order Adams-Bashforth on the real sigma grid (k-diffusion "LMS")
+    "lms": lms,
     # stochastic 2nd-order multistep (k-diffusion "DPM++ 2M SDE")
     "dpm_sde": dpm_sde,
     "unipc": unipc,
@@ -60,6 +62,7 @@ SAMPLERS = {
     "euler_karras": _KarrasSpacing(euler),
     "euler_a_karras": _KarrasSpacing(euler_a),
     "unipc_karras": _KarrasSpacing(unipc),
+    "lms_karras": _KarrasSpacing(lms),
 }
 
 

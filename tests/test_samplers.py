@@ -554,3 +554,80 @@ def test_dpm_sde_warm_start_and_noise_protocol(sched):
     p = dpm_sde.plan(sched, 8, start_step=3)
     mix = np.asarray(p.mix)
     assert np.all(mix[:4] == 0.0) and np.all(mix[4:] > 0.0)
+
+
+def test_lms_matches_kdiffusion_form(sched):
+    """Table-driven LMS vs a direct k-diffusion `sample_lms` re-derivation:
+    integrated Lagrange-basis weights over each real sigma_k interval
+    (np.polynomial quadrature as the independent integrator), AB history
+    applied in sigma_k space."""
+    from numpy.polynomial import polynomial as P
+
+    from sdtpu.samplers import lms
+
+    steps = 9
+    p = lms.plan(sched, steps)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    eps_seq = rng.standard_normal((steps, 2, 3)).astype(np.float32)
+
+    x_ours = jnp.asarray(x)
+    st = lms.init_state(x.shape)
+    for i in range(steps):
+        x_ours, st = lms.step(p, i, x_ours, jnp.asarray(eps_seq[i]), st)
+
+    ts = sched.sampling_times(steps)
+    alpha = np.asarray(sched.marginal_alpha(ts), np.float64)
+    sigk = np.asarray(sched.marginal_sigma(ts), np.float64) / alpha
+
+    def weight(i, j, order):
+        # exact polynomial integration of the Lagrange basis (independent
+        # of the trapezoid rule the implementation uses)
+        poly = np.array([1.0])
+        for m in range(order):
+            if m != j:
+                den = sigk[i - j] - sigk[i - m]
+                poly = P.polymul(poly, np.array([-sigk[i - m], 1.0]) / den)
+        anti = P.polyint(poly)
+        return P.polyval(sigk[i + 1], anti) - P.polyval(sigk[i], anti)
+
+    x_ref = x.copy().astype(np.float64)
+    hist = []
+    for i in range(steps):
+        order = min(i + 1, 4)
+        hist.insert(0, eps_seq[i].astype(np.float64))
+        hist = hist[:4]
+        xk = x_ref / alpha[i]
+        for j in range(order):
+            xk = xk + weight(i, j, order) * hist[j]
+        x_ref = alpha[i + 1] * xk
+    assert np.allclose(np.asarray(x_ours), x_ref.astype(np.float32),
+                       atol=3e-4)
+
+
+def test_lms_first_step_is_euler_and_warm_start(sched):
+    """Order-1 LMS is exactly Euler (the integrated constant basis =
+    dsigma_k); a warm start restarts the order ramp so the zero history
+    never enters."""
+    from sdtpu.samplers import euler, lms
+
+    steps = 8
+    pl, pe = lms.plan(sched, steps), euler.plan(sched, steps)
+    np.testing.assert_allclose(np.asarray(pl.lms_coef[0, 0]),
+                               np.asarray(pe.b_coef[0]), rtol=1e-5)
+    assert np.all(np.asarray(pl.lms_coef[0, 1:]) == 0.0)
+    pw = lms.plan(sched, steps, start_step=5)
+    assert np.all(np.asarray(pw.lms_coef[5, 1:]) == 0.0)
+    np.testing.assert_allclose(np.asarray(pw.lms_coef[5, 0]),
+                               np.asarray(pe.b_coef[5]), rtol=1e-5)
+
+
+def test_lms_e2e_and_karras(sched):
+    """The lms / lms_karras registry entries drive the full pipeline."""
+    import sdtpu
+
+    for name in ("lms", "lms_karras"):
+        ctx = sdtpu.Context(config="tiny", steps=5, sampler=name)
+        img = ctx.generate("the horse", seed=2)
+        assert img.shape == (16, 16, 3)
+        np.testing.assert_array_equal(img, ctx.generate("the horse", seed=2))
