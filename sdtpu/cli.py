@@ -18,11 +18,11 @@ DEFAULT_PROMPT = "a photograph of an astronaut riding a horse"
 
 # literal copy of sorted(sdtpu.samplers.SAMPLERS): argparse must not force
 # the jax import at --help time (tests pin the two lists equal)
-SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "dpm_karras", "dpm_sde",
-                   "dpm_sde_karras", "euler", "euler_a",
-                   "euler_a_karras", "euler_karras", "lms",
-                   "lms_karras", "plms", "plms_exact", "unipc",
-                   "unipc_karras"]
+SAMPLER_CHOICES = ["ddim", "dpm", "dpm++", "dpm2", "dpm2_karras",
+                   "dpm_karras", "dpm_sde", "dpm_sde_karras", "euler",
+                   "euler_a", "euler_a_karras", "euler_karras", "heun",
+                   "heun_karras", "lcm", "lms", "lms_karras", "plms",
+                   "plms_exact", "unipc", "unipc_karras"]
 
 
 def _select_platform(name: str) -> None:
@@ -250,7 +250,8 @@ def _cmd_serve(args) -> int:
         tome_ratio=args.tome_ratio,
     )
     serve(ctx, host=args.host, port=args.port,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+          stream_slots=args.stream_slots)
     return 0
 
 
@@ -576,6 +577,11 @@ def main(argv=None) -> int:
     sv.add_argument("--max-wait-ms", type=float, default=25.0,
                     help="micro-batching: max added latency while waiting "
                          "for batch-mates")
+    sv.add_argument("--stream-slots", type=int, default=0,
+                    help="continuous batching: serve plain /generate "
+                         "requests through an N-slot iteration-level pool "
+                         "(no batch barriers; live /preview support); 0 "
+                         "keeps the barrier micro-batcher")
     sv.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     sv.set_defaults(fn=_cmd_serve)

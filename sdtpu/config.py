@@ -67,6 +67,14 @@ class UNetConfig:
     # 0.0 = off (the bit-exact default). Set via Context(tome_ratio=...)
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    # LCM guidance embedding (Luo et al. 2023, latent consistency models):
+    # width of the sinusoidal guidance-scale feature that a distilled
+    # model's time MLP consumes through an extra bias-free projection
+    # (diffusers `time_cond_proj_dim`, 256 for LCM-Dreamshaper/LCM-SDXL).
+    # CFG is baked into the model, so the engine runs the cond slot only
+    # and embeds w = guidance - 1 instead (engine/pipeline.denoise).
+    # 0 = standard UNet (no extra params).
+    time_cond_proj_dim: int = 0
 
     def depth_at(self, lvl: int) -> int:
         if not self.transformer_depth:
@@ -182,6 +190,13 @@ SD2_DEPTH = dataclasses.replace(
 SD15_IP2P = dataclasses.replace(
     SD15, unet=dataclasses.replace(SD15.unet, in_channels=8))
 
+# Latent-consistency distilled SD1.5 (e.g. SimianLuo/LCM_Dreamshaper_v7):
+# the SD15 graph plus a 256-wide guidance-embedding projection in the time
+# MLP; serve with sampler="lcm" at 2-8 steps, guidance embedded (no CFG
+# batch). Architecture per the diffusers LCM UNet (time_cond_proj_dim=256).
+SD15_LCM = dataclasses.replace(
+    SD15, unet=dataclasses.replace(SD15.unet, time_cond_proj_dim=256))
+
 # Stable Diffusion XL base (1024x1024): dual text towers (CLIP-L penultimate
 # hidden + OpenCLIP bigG penultimate hidden, concat -> 2048-dim context),
 # bigG pooled + size/crop microcond fourier vector through an additive
@@ -275,6 +290,8 @@ TINY = PipelineConfig(
 
 # Tiny concat-conditioned variants (CPU-backend tests): the 9-ch inpaint
 # and 5-ch depth UNet code paths at TINY scale.
+TINY_LCM = dataclasses.replace(
+    TINY, unet=dataclasses.replace(TINY.unet, time_cond_proj_dim=8))
 TINY_INPAINT = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=9))
 TINY_DEPTH = dataclasses.replace(
@@ -288,6 +305,7 @@ CONFIGS = {
     "sd15": SD15,
     "sd15_inpaint": SD15_INPAINT,
     "sd15_ip2p": SD15_IP2P,
+    "sd15_lcm": SD15_LCM,
     "sd21": SD21,
     "sd21base": SD21_BASE,
     "sd21_inpaint": SD21_INPAINT,
@@ -296,6 +314,7 @@ CONFIGS = {
     "sdxl_refiner": SDXL_REFINER,
     "tiny": TINY,
     "tiny_inpaint": TINY_INPAINT,
+    "tiny_lcm": TINY_LCM,
     "tiny_depth": TINY_DEPTH,
     "tiny_ip2p": TINY_IP2P,
     "tiny_xl": TINY_XL,

@@ -469,6 +469,15 @@ class Context:
     # knobs (reference C API: libsdod_set_steps / set_seed)
     # ------------------------------------------------------------------
 
+    def _use_cfg(self, guidance) -> bool:
+        """Whether a program needs the CFG batch: never for
+        guidance-embedded (LCM) configs — the distilled model consumes the
+        scale through its time MLP (config.UNetConfig.time_cond_proj_dim)
+        — otherwise whenever guidance != 1."""
+        if self.cfg.unet.time_cond_proj_dim:
+            return False
+        return guidance != 1.0
+
     def set_steps(self, steps: int) -> None:
         if steps < 1:
             raise SdtpuError(
@@ -866,7 +875,7 @@ class Context:
         if seed is None:
             seed = self.seed
             self.seed += 1
-        use_cfg = guidance != 1.0
+        use_cfg = self._use_cfg(guidance)
         params = self._params_for(lora)
         t0 = time.perf_counter()
         key = ("sched", tokens.shape[0], len(prompts), self.steps,
@@ -1015,7 +1024,7 @@ class Context:
                 self.seed += 1
             if pag_scale is None:
                 pag_scale = self._default_pag  # set_pag_scale / C ABI
-            use_cfg = guidance != 1.0
+            use_cfg = self._use_cfg(guidance)
             params = self._params_for(lora)
             tokens, weights, uncond = self._build_text_inputs(
                 prompts, negative_prompt)
@@ -1140,7 +1149,7 @@ class Context:
             if seed is None:
                 seed = self.seed
                 self.seed += 1
-            use_cfg = guidance != 1.0
+            use_cfg = self._use_cfg(guidance)
             params = self._params_for(lora)
             key = ("refine", len(prompts), self.steps, self.sampler,
                    use_cfg, start_step,
@@ -1340,7 +1349,11 @@ class Context:
 
                 part = functools.partial(
                     _generate, cfg=self.cfg, sampler=self.sampler,
-                    steps=self.steps, use_cfg=True, kernels=self.kernels,
+                    steps=self.steps,
+                    # guidance-embedded (LCM) configs never CFG-batch; the
+                    # per-sample guidance vector rides the w embedding
+                    use_cfg=not self.cfg.unet.time_cond_proj_dim,
+                    kernels=self.kernels,
                     cfg_interval=self.cfg_interval,
                     pag_layers=self.pag_layers if pag_on else None,
                 )
@@ -1552,7 +1565,8 @@ class Context:
                 base = pl.inpaint if mode == "inpaint" else pl.img2img
                 part = functools.partial(
                     base, cfg=self.cfg, sampler=self.sampler,
-                    steps=self.steps, start_step=start_step, use_cfg=True,
+                    steps=self.steps, start_step=start_step,
+                    use_cfg=not self.cfg.unet.time_cond_proj_dim,
                     kernels=self.kernels, cfg_interval=self.cfg_interval,
                 )
                 if self.mesh is not None:
@@ -1717,7 +1731,7 @@ class Context:
             start_step = min(max(start_step, 0), self.steps - 1)
             tokens, weights, uncond = self._build_text_inputs(
                 prompts, negative_prompt)
-            use_cfg = guidance != 1.0
+            use_cfg = self._use_cfg(guidance)
             params = self._params_for(lora)
             weighted_mesh = weights is not None and self.mesh is not None
             cache_key = ("hires", scale, len(prompts), self.steps,
@@ -1887,7 +1901,7 @@ class Context:
             if seed is None:
                 seed = self.seed
                 self.seed += 1
-            use_cfg = guidance != 1.0
+            use_cfg = self._use_cfg(guidance)
             params = self._params_for(lora)
             weighted_mesh = weights is not None and self.mesh is not None
             cache_key = (mode, len(prompts), self.steps, start_step,
@@ -1998,7 +2012,7 @@ class Context:
             if seed is None:
                 seed = self.seed
                 self.seed += 1
-            use_cfg = guidance != 1.0
+            use_cfg = self._use_cfg(guidance)
             params = self._params_for(lora)
             fn = self._compiled(len(prompts), use_cfg, params,
                                 weighted=weights is not None)

@@ -257,6 +257,8 @@ def denoise(
             ("prompt scheduling", cond_schedule is not None),
             ("PAG", bool(pag_layers)),
             ("plms_exact", sampler == "plms_exact"),
+            ("two-eval samplers (heun/dpm2)",
+             getattr(get_sampler(sampler), "NEEDS_SECOND_EVAL", False)),
         ]
         for name, bad in incompat:
             if bad:
@@ -295,13 +297,32 @@ def denoise(
     # all step time-embeddings in one tiny batched MLP call, outside the scan
     # (the reference precomputes these through its temb graph at init,
     # context.cpp:256-279)
+    w_feats = None
+    if cfg.unet.time_cond_proj_dim:
+        # LCM guidance embedding: the distilled model consumes the CFG
+        # scale through its time MLP (w = guidance - 1, the LCM
+        # distillation parametrization) — no uncond eval, no CFG mix
+        if use_cfg:
+            raise ValueError(
+                "guidance-embedded configs (time_cond_proj_dim > 0) bake "
+                "CFG into the model; run with use_cfg off")
+        w_feats = temb.guidance_scale_features(
+            jnp.asarray(guidance, jnp.float32) - 1.0,
+            cfg.unet.time_cond_proj_dim)
     t_embs = temb.apply(
-        params["temb"], plan.model_t, cfg.unet, dtype=cfg.compute_dtype
-    )  # [steps, time_embed_dim]
+        params["temb"], plan.model_t, cfg.unet, dtype=cfg.compute_dtype,
+        cond=w_feats,
+    )  # [steps, time_embed_dim] ([steps, B, D] with per-sample guidance)
+    # two-eval samplers (heun/dpm2): the probe eval's time embeddings, from
+    # the plan's second-eval timetable (samplers/heun.py NEEDS_SECOND_EVAL)
+    needs_second = getattr(mod, "NEEDS_SECOND_EVAL", False)
+    t_embs2 = (temb.apply(params["temb"], plan.model_t2, cfg.unet,
+                          dtype=cfg.compute_dtype, cond=w_feats)
+               if needs_second else None)
 
     dtype = cfg.compute_dtype
 
-    cn_list = hint_feats = t_embs_cn = None
+    cn_list = hint_feats = t_embs_cn = t_embs_cn2 = None
     if hint is not None:
         from sdtpu.models import controlnet as cn_mod
 
@@ -314,7 +335,7 @@ def denoise(
             hint = hint[None]
         cn_list = tuple(cns)
         factor = hint.shape[2] // cfg.latent_size
-        hint_feats, t_embs_cn = [], []
+        hint_feats, t_embs_cn, t_embs_cn2 = [], [], []
         for j, cn in enumerate(cn_list):
             h_in = hint[j].astype(dtype)
             if use_cfg:
@@ -324,11 +345,19 @@ def denoise(
             hint_feats.append(cn_mod.embed_hint(cn, h_in, factor))
             t_embs_cn.append(temb.apply(cn["temb"], plan.model_t, cfg.unet,
                                         dtype=dtype))
+            if needs_second:
+                t_embs_cn2.append(temb.apply(cn["temb"], plan.model_t2,
+                                             cfg.unet, dtype=dtype))
 
-    def predict_eps(x, i, guided=True, dcache=None, dc_anchor=0):
+    def predict_eps(x, i, guided=True, dcache=None, dc_anchor=0,
+                    second=False):
         """One UNet eval at step index `i` (traced or static). `guided`
         (static) False runs the cond slot only — no uncond eval, no CFG mix
         (the guidance-interval optimization; see `cfg_interval`).
+
+        `second` (static): evaluate at the step's PROBE point instead of its
+        start — time embeddings from plan.model_t2 and v-prediction
+        conversion at (alpha_m, sigma_m) (two-eval samplers, heun/dpm2).
 
         `dcache` (DeepCache carry, only when cfg.deepcache_interval): the
         cached junction feature; returns ``(eps, new_cache)`` instead of
@@ -346,7 +375,8 @@ def denoise(
                     if (use_cfg and guided) else cond_i)
         else:
             rows = context if guided else context[:b]
-        te = jnp.broadcast_to(t_embs[i], (rows.shape[0], t_embs.shape[-1]))
+        t_tab = t_embs2 if second else t_embs
+        te = jnp.broadcast_to(t_tab[i], (rows.shape[0], t_tab.shape[-1]))
         if add_emb is not None:  # SDXL pooled/microcond conditioning
             te = te + add_emb.astype(te.dtype)[: rows.shape[0]]
         x_in = (jnp.concatenate([x] * r, axis=0) if r > 1
@@ -375,9 +405,9 @@ def denoise(
             # multi-adapter composition: residuals SUM (the diffusers
             # MultiControlNet convention), each weighted by its scale
             for j, cn in enumerate(cn_list):
+                cn_tab = t_embs_cn2[j] if second else t_embs_cn[j]
                 te_cn = jnp.broadcast_to(
-                    t_embs_cn[j][i], (rows.shape[0],
-                                      t_embs_cn[j].shape[-1]))
+                    cn_tab[i], (rows.shape[0], cn_tab.shape[-1]))
                 if add_emb is not None:
                     te_cn = te_cn + add_emb.astype(
                         te_cn.dtype)[: rows.shape[0]]
@@ -415,9 +445,12 @@ def denoise(
             ).astype(jnp.float32)
         if cfg.prediction == "v":
             # v-objective models (SD2.x 768-v): v = alpha*eps - sigma*x0
-            # => eps = alpha*v + sigma*x_t (per CFG slot)
+            # => eps = alpha*v + sigma*x_t (per CFG slot); at the probe
+            # point the marginals are the plan's second-eval ones
+            a_i = plan.alpha_m[i] if second else plan.alpha_s[i]
+            s_i = plan.sigma_m[i] if second else plan.sigma_s[i]
             x_rep = jnp.concatenate([x] * r, 0) if r > 1 else x
-            eps = plan.alpha_s[i] * eps + plan.sigma_s[i] * x_rep
+            eps = a_i * eps + s_i * x_rep
         e_ptb = None
         if pag_layers:
             # perturbed-attention guidance: one extra cond-slot eval with
@@ -429,7 +462,7 @@ def denoise(
                 kernels, control=ctrl_b, perturb=pag_layers,
             ).astype(jnp.float32)
             if cfg.prediction == "v":
-                e_ptb = plan.alpha_s[i] * e_ptb + plan.sigma_s[i] * x
+                e_ptb = a_i * e_ptb + s_i * x
             e_cond_raw = eps[:b]  # cond rows lead in every slot layout
         if image_guidance is not None:
             g = jnp.asarray(guidance, jnp.float32)
@@ -522,6 +555,14 @@ def denoise(
                 pinned = (plan.alpha_s[i] * init_latents.astype(jnp.float32)
                           + plan.sigma_s[i] * n_i)
                 x = mask * x + (1.0 - mask) * pinned
+            if needs_second:
+                # two-eval samplers (heun/dpm2): probe eval at the plan's
+                # second timetable point, then the combined update
+                eps1 = predict_eps(x, i, guided)
+                x_mid = mod.predictor(plan, i, x, eps1)
+                eps2 = predict_eps(x_mid, i, guided, second=True)
+                x, st = mod.step(plan, i, x, eps1, st, eps2=eps2)
+                return (x, st), None
             if dc_n is not None:
                 eps, dc = predict_eps(x, i, guided, dc, dc_anchor)
             else:

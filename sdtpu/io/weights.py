@@ -86,6 +86,12 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
         Rule(pre + "time_embed.2", ("temb", "fc1"), "linear"),
         Rule(pre + "input_blocks.0.0", ("unet", "conv_in"), "conv"),
     ]
+    if u.time_cond_proj_dim:
+        # LCM guidance-embedding projection (bias-free). LDM never had this
+        # layer, so there is no canonical LDM key; we use the natural
+        # ``time_embed.cond_proj`` (diffusers: time_embedding.cond_proj).
+        rules.append(Rule(pre + "time_embed.cond_proj",
+                          ("temb", "cond_proj"), "linear"))
     ch = u.model_channels
     cur = ch
     idx = 1

@@ -19,20 +19,59 @@ from sdtpu.models.layers import dense, init_dense, silu, timestep_features
 
 
 def init(key, cfg: UNetConfig):
-    k0, k1 = jax.random.split(key)
-    return {
+    k0, k1, k2 = jax.random.split(key, 3)
+    p = {
         "fc0": init_dense(k0, cfg.model_channels, cfg.time_embed_dim),
         "fc1": init_dense(k1, cfg.time_embed_dim, cfg.time_embed_dim),
     }
+    if cfg.time_cond_proj_dim:
+        # LCM guidance-embedding projection (diffusers TimestepEmbedding's
+        # cond_proj: bias-free, ADDS to the fourier features before fc0)
+        p["cond_proj"] = init_dense(k2, cfg.time_cond_proj_dim,
+                                    cfg.model_channels, bias=False)
+    return p
 
 
-def apply(params, t, cfg: UNetConfig, dtype=None):
-    """t: [...] float timesteps -> [..., time_embed_dim] embeddings."""
+def apply(params, t, cfg: UNetConfig, dtype=None, cond=None):
+    """t: [...] float timesteps -> [..., time_embed_dim] embeddings.
+
+    `cond`: optional guidance-scale features [time_cond_proj_dim] (scalar
+    guidance) or [B, time_cond_proj_dim] (per-sample, batched serving) —
+    projected bias-free and added to the fourier features before the MLP
+    (the diffusers LCM convention). With a [B, ...] cond and t of shape
+    [steps], the result broadcasts to [steps, B, time_embed_dim]."""
     feats = timestep_features(t, cfg.model_channels)
+    if cond is not None:
+        proj = dense(params["cond_proj"], cond.astype(feats.dtype))
+        if proj.ndim == 2 and feats.ndim == 2:
+            # [steps, F] + [B, F] -> [steps, B, F]
+            feats = feats[:, None, :] + proj[None, :, :]
+        else:
+            feats = feats + proj
     if dtype is not None:
         feats = feats.astype(dtype)
     h = dense(params["fc0"], feats)
     return dense(params["fc1"], silu(h))
+
+
+def guidance_scale_features(w, dim: int):
+    """Sinusoidal guidance-scale features, diffusers
+    ``get_guidance_scale_embedding`` convention (note: [sin | cos] halves
+    and a ``half - 1`` denominator — both DIFFERENT from
+    ``timestep_features``' LDM convention): ``emb_j = w * 1000 *
+    exp(-log(10000) * j / (half - 1))``. `w`: scalar or [B] (the pipeline
+    passes guidance - 1, the LCM distillation's w parametrization)."""
+    import math
+
+    import jax.numpy as jnp
+
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+        / max(half - 1, 1)
+    )
+    args = jnp.asarray(w, jnp.float32)[..., None] * 1000.0 * freqs
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
 def init_add(key, cfg: UNetConfig):

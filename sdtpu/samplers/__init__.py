@@ -16,7 +16,8 @@ precomputes the 1280-d embeddings the same way, context.cpp:256-279).
 """
 
 from sdtpu.samplers.schedule import NoiseSchedule
-from sdtpu.samplers import dpm, ddim, dpm_sde, euler, euler_a, lms, plms, unipc
+from sdtpu.samplers import (dpm, dpm2, ddim, dpm_sde, euler, euler_a, heun,
+                            lcm, lms, plms, unipc)
 
 class _KarrasSpacing:
     """Same solver, Karras et al. (2022) sigma spacing instead of uniform
@@ -27,6 +28,10 @@ class _KarrasSpacing:
     def __init__(self, mod):
         self._mod = mod
         self.NEEDS_NOISE = getattr(mod, "NEEDS_NOISE", False)
+        self.NEEDS_SECOND_EVAL = getattr(mod, "NEEDS_SECOND_EVAL", False)
+
+    def predictor(self, *args, **kwargs):
+        return self._mod.predictor(*args, **kwargs)
 
     def plan(self, schedule, steps, start_step=0):
         return self._mod.plan(schedule, steps, start_step, spacing="karras")
@@ -56,6 +61,12 @@ SAMPLERS = {
     # stochastic 2nd-order multistep (k-diffusion "DPM++ 2M SDE")
     "dpm_sde": dpm_sde,
     "unipc": unipc,
+    # single-step 2nd-order, TWO UNet evals per step (NEEDS_SECOND_EVAL —
+    # the pipeline runs the probe eval; see samplers/heun.py)
+    "heun": heun,
+    "dpm2": dpm2,
+    # latent-consistency distilled checkpoints, 2-8 steps, guidance embedded
+    "lcm": lcm,
     # Karras-spaced variants of the continuous-time solvers
     "dpm_karras": _KarrasSpacing(dpm),
     "dpm_sde_karras": _KarrasSpacing(dpm_sde),
@@ -63,6 +74,8 @@ SAMPLERS = {
     "euler_a_karras": _KarrasSpacing(euler_a),
     "unipc_karras": _KarrasSpacing(unipc),
     "lms_karras": _KarrasSpacing(lms),
+    "heun_karras": _KarrasSpacing(heun),
+    "dpm2_karras": _KarrasSpacing(dpm2),
 }
 
 

@@ -631,3 +631,132 @@ def test_lms_e2e_and_karras(sched):
         img = ctx.generate("the horse", seed=2)
         assert img.shape == (16, 16, 3)
         np.testing.assert_array_equal(img, ctx.generate("the horse", seed=2))
+
+
+def test_heun_matches_kdiffusion_form(sched):
+    """Table-driven two-eval Heun vs the k-diffusion sample_heun formulation
+    computed directly in sigma_k space (full Euler probe to sigma_next,
+    derivative average)."""
+    from sdtpu.samplers import heun
+
+    steps = 9
+    p = heun.plan(sched, steps)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    # a fixed model: eps depends on the probe position, so the predictor
+    # path is genuinely exercised (not just a precomputed eps sequence)
+    w = rng.standard_normal((3, 3)).astype(np.float32)
+
+    def model(xx, _t):
+        return xx @ w
+
+    x_ours = jnp.asarray(x)
+    st = heun.init_state(x.shape)
+    for i in range(steps):
+        e1 = model(x_ours, p.model_t[i])
+        x_mid = heun.predictor(p, i, x_ours, e1)
+        e2 = model(x_mid, p.model_t2[i])
+        x_ours, st = heun.step(p, i, x_ours, e1, st, eps2=e2)
+
+    ts = sched.sampling_times(steps)
+    alpha = sched.marginal_alpha(ts)
+    sigk = sched.marginal_sigma(ts) / alpha
+    x_ref = x.copy()
+    for i in range(steps):
+        xk = x_ref / alpha[i]
+        d1 = np.asarray(model(jnp.asarray(x_ref), None))
+        xk2 = xk + (sigk[i + 1] - sigk[i]) * d1
+        x2 = (alpha[i + 1] * xk2).astype(np.float32)
+        d2 = np.asarray(model(jnp.asarray(x2), None))
+        xk = xk + (sigk[i + 1] - sigk[i]) * 0.5 * (d1 + d2)
+        x_ref = (alpha[i + 1] * xk).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref, atol=2e-4)
+
+
+def test_dpm2_matches_kdiffusion_form(sched):
+    """Table-driven DPM2 vs the k-diffusion sample_dpm_2 formulation
+    (log-sigma midpoint probe, full step with the midpoint derivative)."""
+    from sdtpu.samplers import dpm2
+
+    steps = 9
+    p = dpm2.plan(sched, steps)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    w = rng.standard_normal((3, 3)).astype(np.float32)
+
+    def model(xx):
+        return xx @ w
+
+    x_ours = jnp.asarray(x)
+    st = dpm2.init_state(x.shape)
+    for i in range(steps):
+        e1 = model(x_ours)
+        x_mid = dpm2.predictor(p, i, x_ours, e1)
+        e2 = model(x_mid)
+        x_ours, st = dpm2.step(p, i, x_ours, e1, st, eps2=e2)
+
+    ts = sched.sampling_times(steps)
+    alpha = sched.marginal_alpha(ts)
+    sigk = sched.marginal_sigma(ts) / alpha
+    # alpha as a function of sigma_k on the train grid (for the midpoint)
+    a_grid = np.exp(sched.log_alpha_grid)
+    sigk_grid = np.sqrt(np.maximum(1.0 - a_grid**2, 1e-20)) / a_grid
+    x_ref = x.copy()
+    for i in range(steps):
+        xk = x_ref / alpha[i]
+        d1 = np.asarray(model(jnp.asarray(x_ref)))
+        s_mid = np.exp(0.5 * (np.log(sigk[i]) + np.log(sigk[i + 1])))
+        t_mid = np.interp(s_mid, sigk_grid, sched.t_grid)
+        a_mid = sched.marginal_alpha(t_mid)
+        xk2 = xk + (s_mid - sigk[i]) * d1
+        x2 = (a_mid * xk2).astype(np.float32)
+        d2 = np.asarray(model(jnp.asarray(x2)))
+        xk = xk + (sigk[i + 1] - sigk[i]) * d2
+        x_ref = (alpha[i + 1] * xk).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref, atol=2e-4)
+
+
+def test_two_eval_exact_trajectory(sched):
+    """Constant-x0* model: the ODE derivative is constant along the linear
+    solution, so Heun and DPM2 track the exact trajectory like Euler does."""
+    from sdtpu.samplers import dpm2, heun
+
+    x0_star = np.linspace(-1, 1, 16).reshape(4, 4).astype(np.float32)
+    ts = sched.sampling_times(12)
+    alphas = sched.marginal_alpha(ts)
+    sigmas = sched.marginal_sigma(ts)
+
+    for mod in (heun, dpm2):
+        p = mod.plan(sched, 12)
+        x_init = jax.random.normal(jax.random.PRNGKey(0), x0_star.shape,
+                                   jnp.float32)
+        c = (np.asarray(x_init) - alphas[0] * x0_star) / sigmas[0]
+
+        def model(xx, a, s):
+            return (xx - jnp.float32(a) * x0_star) / jnp.float32(s)
+
+        x, st = x_init, mod.init_state(x0_star.shape)
+        for i in range(12):
+            e1 = model(x, alphas[i], sigmas[i])
+            x_mid = mod.predictor(p, i, x, e1)
+            e2 = model(x_mid, p.alpha_m[i], p.sigma_m[i])
+            x, st = mod.step(p, i, x, e1, st, eps2=e2)
+        expected = alphas[-1] * x0_star + sigmas[-1] * c
+        err = np.abs(np.asarray(x) - expected).max()
+        assert err < 2e-4, f"{mod.__name__}: |x - exact| = {err}"
+
+
+def test_two_eval_samplers_e2e(sched):
+    """heun / dpm2 (+ Karras) drive the full Context pipeline: shape,
+    determinism, seed sensitivity, and batch-of-1 == single path."""
+    import sdtpu
+
+    for name in ("heun", "dpm2", "heun_karras", "dpm2_karras"):
+        ctx = sdtpu.Context(config="tiny", steps=4, sampler=name)
+        a = ctx.generate("the horse", seed=7)
+        assert a.shape == (16, 16, 3)
+        np.testing.assert_array_equal(a, ctx.generate("the horse", seed=7))
+        assert not np.array_equal(a, ctx.generate("the horse", seed=8))
+        bat = ctx.generate_batch(
+            [{"prompt": "the horse", "guidance": 7.5, "seed": 7}])
+        np.testing.assert_array_equal(a, bat[0])
