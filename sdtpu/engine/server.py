@@ -21,6 +21,8 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
                     (InstructPix2Pix editing; needs config sd15_ip2p —
                     the prompt is the edit instruction)
     GET /healthz    -> {"status": "ok", ...engine info, "lora_adapters": []}
+    GET /preview?tag=X  -> live latent-resolution preview PNG of an
+                    in-flight /generate that passed "tag" (stream mode)
 
 ``lora`` selects a named adapter from the Context registry
 (Context.load_lora / Context(lora={name: path})) per request — style or
@@ -42,6 +44,13 @@ size. depth2img/edit stay serialized through the device lock (rarer
 traffic). Request bodies above ``max_body_mb`` (default 32 MB) are
 rejected with 413. For production-scale serving put N processes behind a
 load balancer, one per chip/mesh.
+
+``serve(..., stream_slots=N)`` (CLI ``--stream-slots``) replaces the
+barrier micro-batcher for PLAIN /generate requests with the
+continuous-batching pool (engine/stream.StreamScheduler): one denoising
+step is the scheduling unit, requests join the moment a slot frees, and
+clients can watch progress via /preview. LoRA/PAG/ControlNet requests and
+the image endpoints keep their static paths either way.
 """
 
 from __future__ import annotations
@@ -170,6 +179,79 @@ class MicroBatcher:
                 pending = (batch, fetch)
 
 
+class StreamWorker:
+    """Continuous-batching serving worker over engine/stream.
+
+    Unlike the MicroBatcher's barrier batches, requests join the device
+    pool the moment a slot frees — one denoising step is the scheduling
+    unit, so a request's latency is queue-wait + steps*tick with no
+    batch-boundary waits (see engine/stream.StreamScheduler). Plain
+    txt2img only (prompt/negative/guidance/seed); LoRA/ControlNet/PAG and
+    the image endpoints keep their static paths. Clients that pass a
+    ``tag`` can poll ``GET /preview?tag=...`` for a live latent-resolution
+    preview while their request is in flight."""
+
+    def __init__(self, ctx, slots: int = 4):
+        from sdtpu.engine.stream import StreamScheduler
+
+        self.sched = StreamScheduler(ctx, slots)
+        self._cv = threading.Condition()
+        self._waiters: dict[int, dict] = {}
+        self._tags: dict[str, int] = {}
+        self._previews: dict[int, np.ndarray] = {}
+        threading.Thread(target=self._run, daemon=True,
+                         name="sdtpu-stream").start()
+
+    def submit(self, prompt: str, guidance: float, seed, negative_prompt,
+               tag: str | None = None) -> np.ndarray:
+        item = {"done": threading.Event(), "result": None, "error": None}
+        with self._cv:
+            rid = self.sched.submit(prompt, guidance=guidance, seed=seed,
+                                    negative_prompt=negative_prompt)
+            self._waiters[rid] = item
+            if tag:
+                self._tags[str(tag)] = rid
+            self._cv.notify_all()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def preview(self, tag: str):
+        with self._cv:
+            rid = self._tags.get(str(tag))
+            if rid is None:
+                return None
+            return self._previews.get(rid)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not (self.sched._queue or self.sched._live):
+                    self._cv.wait()
+                try:
+                    self.sched.tick()
+                    if self._tags:
+                        self._previews.update(self.sched.previews())
+                    done = self.sched.completed()
+                except Exception as e:  # noqa: BLE001 — fail the waiters
+                    for it in self._waiters.values():
+                        it["error"] = e
+                        it["done"].set()
+                    self._waiters.clear()
+                    self._tags.clear()
+                    self._previews.clear()
+                    continue
+                for rid, img in done.items():
+                    it = self._waiters.pop(rid, None)
+                    if it is not None:
+                        it["result"] = img
+                        it["done"].set()
+                    self._previews.pop(rid, None)
+                    self._tags = {t: r for t, r in self._tags.items()
+                                  if r != rid}
+
+
 def _decode_image(b64: str) -> np.ndarray:
     from PIL import Image
 
@@ -199,7 +281,8 @@ def _decode_depth(b64: str) -> np.ndarray:
 
 
 def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
-                 max_body: int = 32 << 20):
+                 max_body: int = 32 << 20,
+                 stream: "StreamWorker | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through engine logging
             ctx.logger.debug("http: " + fmt % args)
@@ -225,6 +308,22 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
             return self._send(200, buf.getvalue(), "image/png")
 
         def do_GET(self):
+            if self.path.startswith("/preview"):
+                # live in-flight preview (stream mode): the request's
+                # latent-resolution RGB approximation, refreshed per tick
+                from urllib.parse import parse_qs, urlparse
+
+                if stream is None:
+                    return self._json(404, {"error": "stream mode off"})
+                q = parse_qs(urlparse(self.path).query)
+                tag = (q.get("tag") or [None])[0]
+                if not tag:
+                    return self._json(400, {"error": "missing 'tag'"})
+                img = stream.preview(tag)
+                if img is None:
+                    return self._json(404, {"error": "unknown tag or no "
+                                                     "preview yet"})
+                return self._image(img, "png")
             if self.path != "/healthz":
                 return self._json(404, {"error": "not found"})
             import jax
@@ -236,6 +335,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 "steps": ctx.steps,
                 "sampler": ctx.sampler,
                 "max_batch": batcher.max_batch,
+                "stream_slots": stream.sched.slots if stream else 0,
                 "lora_adapters": ctx.lora_names(),
                 "controlnets": ctx.controlnet_names(),
             })
@@ -291,6 +391,13 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                                 control_image=hint,
                                 control=control,
                                 control_scale=scale)
+                        return self._image(img, fmt)
+                    pag0 = req.get("pag_scale")
+                    if (stream is not None and lora is None
+                            and pag0 is None):
+                        # continuous batching: join the step-level pool
+                        img = stream.submit(prompt, guidance, seed, neg,
+                                            tag=req.get("tag"))
                         return self._image(img, fmt)
                     # grouped by adapter AND by PAG on/off: the adapter
                     # changes the UNet weights; PAG selects a compiled
@@ -362,15 +469,20 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
 def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
           ready_event: threading.Event | None = None,
           max_batch: int = 4, max_wait_ms: float = 25.0,
-          max_body_mb: int = 32):
-    """Blocking serve loop. `ready_event` is set once the socket is bound."""
+          max_body_mb: int = 32, stream_slots: int = 0):
+    """Blocking serve loop. `ready_event` is set once the socket is bound.
+    ``stream_slots`` > 0 serves plain /generate requests through the
+    continuous-batching pool instead of the barrier micro-batcher."""
     lock = threading.Lock()
     batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms)
+    stream = StreamWorker(ctx, stream_slots) if stream_slots else None
     httpd = ThreadingHTTPServer(
         (host, port),
-        make_handler(ctx, lock, batcher, max_body=max_body_mb << 20))
+        make_handler(ctx, lock, batcher, max_body=max_body_mb << 20,
+                     stream=stream))
     ctx.logger.info(f"serving on http://{host}:{httpd.server_address[1]} "
-                    f"(max_batch={batcher.max_batch})")
+                    f"(max_batch={batcher.max_batch}, "
+                    f"stream_slots={stream_slots})")
     if ready_event is not None:
         serve.last_server = httpd  # test hook
         ready_event.set()

@@ -1,0 +1,372 @@
+"""Iteration-level (continuous) batching for diffusion serving.
+
+Static micro-batching (Context.generate_batch, engine/server.py) admits
+requests at a BARRIER: a batch forms, its whole ``steps``-step scan runs,
+everyone waits for the slowest batch-mate and late arrivals wait for the
+next batch. This module schedules at the granularity the hardware actually
+executes — ONE denoising step — the Orca-style "iteration-level
+scheduling" idea applied to diffusion:
+
+* a fixed pool of ``slots`` request slots lives on-device (latents, solver
+  state, text conditioning, per-slot trajectory position ``t_idx``);
+* every ``tick()`` runs ONE compiled step program over the whole pool —
+  each slot advances at its OWN trajectory position (the per-step solver
+  tables are gathered per sample, and the UNet takes per-sample time
+  embeddings, so mixed-phase pools are a single batched eval);
+* a slot that reaches ``steps`` dispatches its VAE decode + host fetch
+  asynchronously and is IMMEDIATELY re-admitted from the queue — no
+  barrier, no drained pipeline between batches.
+
+Consequences measured in tools/measure_stream.py: throughput matches the
+static batch-N path (the UNet eval is the same batched program), while a
+request's latency becomes ``queue_wait + steps * tick`` instead of
+``wait_for_batch + steps * tick * (pool utilization)`` — under continuous
+load the p50/p95 completion-time spread collapses because no request ever
+waits for a batch boundary.
+
+Numerical contract: every per-sample stream (latent init, solver tables,
+ancestral noise) depends only on the request key and its own step index,
+never on pool composition — a request's image reproduces the single
+Context.generate path to within ONE uint8 gray level (the pooled program
+compiles at a different UNet batch shape, so XLA's fusion/reduction order
+may differ at the f32 ulp level; tests/test_stream.py pins the bound).
+
+Scope: txt2img with per-request prompt/negative-prompt/guidance/seed, any
+registry sampler except the engine-driven ``plms_exact`` first-step
+special case; composes with guidance-embedded (LCM) configs — per-slot
+guidance rides the w embedding, making 4-step LCM requests flow through
+the pool at full occupancy. Long/weighted prompts, ControlNet, DeepCache
+and img2img stay on the static paths.
+
+The reference has no serving story at all (single blocking C-API call,
+reference: libsdod.cpp:235, context.cpp:292-403); this subsystem is a
+capability extension built on the same single-program design as
+engine/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.engine.pipeline import (
+    _ANCESTRAL_FOLD,
+    _add_embedding,
+    _unpack_context,
+    decode_latents,
+)
+from sdtpu.models import temb, unet
+from sdtpu.samplers import NoiseSchedule, get_sampler
+
+
+class _Slot(NamedTuple):
+    req_id: int
+    steps_done: int      # host mirror of t_idx (deterministic — no fetch)
+
+
+class StreamScheduler:
+    """Continuous-batching scheduler over a Context's model/params.
+
+    Usage::
+
+        sched = StreamScheduler(ctx, slots=4)
+        ids = [sched.submit("a fox", seed=i) for i in range(16)]
+        images = sched.drain()          # {req_id: uint8 [H, W, 3]}
+
+    or incrementally: ``submit()`` any time, ``tick()`` once per step,
+    ``completed()`` to harvest finished images without blocking new work.
+    """
+
+    def __init__(self, ctx, slots: int = 4):
+        if ctx.sampler == "plms_exact":
+            raise ValueError("plms_exact's engine-driven first step is not "
+                             "step-schedulable; use plms")
+        if ctx.cfg.deepcache_interval is not None:
+            raise ValueError("DeepCache's scan-carry cache is incompatible "
+                             "with iteration-level scheduling")
+        self.ctx = ctx
+        self.cfg = ctx.cfg
+        self.slots = int(slots)
+        self.steps = int(ctx.steps)
+        self._mod = get_sampler(ctx.sampler)
+        self._plan = self._mod.plan(NoiseSchedule.sd_v1(), self.steps)
+        self._needs_noise = getattr(self._mod, "NEEDS_NOISE", False)
+        self._needs_second = getattr(self._mod, "NEEDS_SECOND_EVAL", False)
+        self._lcm = bool(self.cfg.unet.time_cond_proj_dim)
+        self._use_cfg = not self._lcm
+
+        n = self.slots
+        cfg = self.cfg
+        shape = (n, cfg.latent_size, cfg.latent_size, cfg.latent_channels)
+        self._x = jnp.zeros(shape, jnp.float32)
+        st1 = self._mod.init_state(shape[1:])
+        # all registry samplers zero-init their state buffers; per-slot
+        # reset is therefore .at[slot].set(0) (asserted here, not assumed)
+        assert all(not np.any(np.asarray(leaf))
+                   for leaf in jax.tree.leaves(st1))
+        self._state = jax.tree.map(
+            lambda s: jnp.zeros((n,) + s.shape, s.dtype), st1)
+        probe = ctx._uncond  # [T', D'] (XL: packed pooled row included)
+        self._cond = jnp.zeros((n,) + probe.shape, probe.dtype)
+        self._un = jnp.zeros((n,) + probe.shape, probe.dtype)
+        # finished sentinel: t_idx == steps marks a free/inactive slot
+        self._t_idx = jnp.full((n,), self.steps, jnp.int32)
+        self._guidance = jnp.ones((n,), jnp.float32)
+        self._keys = jnp.zeros((n, 2), jnp.uint32)
+
+        self._free = list(range(n))
+        self._live: dict[int, _Slot] = {}          # slot -> record
+        self._queue: list[tuple] = []
+        self._pending: list[tuple[int, object]] = []   # (req_id, dev image)
+        self._done: dict[int, np.ndarray] = {}
+        self._next_id = 0
+        self.ticks = 0
+
+        self._step_fn = jax.jit(self._build_step())
+        self._admit_fn = jax.jit(self._admit_prog)
+        self._decode_fn = jax.jit(
+            lambda params, x, slot: decode_latents(
+                params, x[slot][None], cfg, self.ctx.kernels))
+
+    # ------------------------------------------------------------------
+    # compiled programs
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        cfg = self.cfg
+        mod, plan = self._mod, self._plan
+        steps = self.steps
+        use_cfg = self._use_cfg
+        needs_noise = self._needs_noise
+        needs_second = self._needs_second
+        lcm = self._lcm
+        kernels = self.ctx.kernels
+        n = self.slots
+        dtype = cfg.compute_dtype
+
+        def gather_te(params, t_idx, w_feats, second=False):
+            mt = plan.model_t2 if second else plan.model_t
+            if lcm:
+                # [steps, N, D] (per-slot guidance embedding) -> [N, D]
+                tab = temb.apply(params["temb"], mt, cfg.unet, dtype=dtype,
+                                 cond=w_feats)
+                return tab[t_idx, jnp.arange(n)]
+            tab = temb.apply(params["temb"], mt, cfg.unet, dtype=dtype)
+            return tab[t_idx]
+
+        def predict(params, x, t_idx, rows, te, add_emb, guidance, second):
+            """One pooled UNet eval; `rows` already CFG-stacked, `te` is
+            per-slot [N, D] and duplicates across the CFG halves here."""
+            r = 2 if use_cfg else 1
+            if r == 2:
+                te = jnp.concatenate([te, te], axis=0)
+            if add_emb is not None:
+                te = te + add_emb.astype(te.dtype)
+            x_in = (jnp.concatenate([x, x], axis=0) if r == 2
+                    else x).astype(dtype)
+            eps = unet.apply(params["unet"], x_in, te, rows, cfg.unet,
+                             kernels).astype(jnp.float32)
+            if cfg.prediction == "v":
+                a = (plan.alpha_m if second else plan.alpha_s)[t_idx]
+                s = (plan.sigma_m if second else plan.sigma_s)[t_idx]
+                a = jnp.concatenate([a, a]) if r == 2 else a
+                s = jnp.concatenate([s, s]) if r == 2 else s
+                bshape = (-1,) + (1,) * (eps.ndim - 1)
+                x_rep = jnp.concatenate([x, x], 0) if r == 2 else x
+                eps = a.reshape(bshape) * eps + s.reshape(bshape) * x_rep
+            if use_cfg:
+                g = guidance.reshape((-1,) + (1,) * (eps.ndim - 1))
+                e_cond = eps[:n]
+                eps = g * e_cond + (1.0 - g) * eps[n:]
+                if cfg.guidance_rescale:
+                    axes = tuple(range(1, eps.ndim))
+                    std_c = jnp.std(e_cond, axis=axes, keepdims=True)
+                    std_g = jnp.std(eps, axis=axes, keepdims=True)
+                    resc = eps * (std_c / jnp.maximum(std_g, 1e-8))
+                    rr = jnp.float32(cfg.guidance_rescale)
+                    eps = rr * resc + (1.0 - rr) * eps
+            return eps
+
+        if needs_noise:
+            def vstep(i, xi, epsi, sti, ni):
+                return mod.step(plan, i, xi, epsi, sti, noise=ni)
+        elif needs_second:
+            def vstep(i, xi, epsi, sti, e2i):
+                return mod.step(plan, i, xi, epsi, sti, eps2=e2i)
+        else:
+            def vstep(i, xi, epsi, sti, _unused):
+                return mod.step(plan, i, xi, epsi, sti)
+
+        vmapped_step = jax.vmap(vstep)
+
+        def step_prog(params, x, state, cond, un, t_idx, guidance, keys):
+            active = t_idx < steps
+            # clamp so inactive slots index valid tables (result discarded)
+            i = jnp.minimum(t_idx, steps - 1)
+            w_feats = (temb.guidance_scale_features(
+                guidance - 1.0, cfg.unet.time_cond_proj_dim) if lcm else None)
+            rows = jnp.concatenate([cond, un], axis=0) if use_cfg else cond
+            rows, pooled = _unpack_context(rows, cfg)
+            add_emb = (None if pooled is None
+                       else _add_embedding(params, pooled, cfg))
+            te = gather_te(params, i, w_feats)
+            eps = predict(params, x, i, rows, te, add_emb, guidance,
+                          second=False)
+            if needs_second:
+                x_mid = jax.vmap(mod.predictor, in_axes=(None, 0, 0, 0))(
+                    plan, i, x, eps)
+                te2 = gather_te(params, i, w_feats, second=True)
+                eps2 = predict(params, x_mid, i, rows, te2, add_emb,
+                               guidance, second=True)
+                x_new, st_new = vmapped_step(i, x, eps, state, eps2)
+            elif needs_noise:
+                # the single-path protocol: fold_in(key, base + i) PER
+                # SAMPLE — the stream depends on the request key and step
+                # index only, so pool composition never changes an image
+                noise = jax.vmap(
+                    lambda k, ii: jax.random.normal(
+                        jax.random.fold_in(k, _ANCESTRAL_FOLD + ii),
+                        x.shape[1:], jnp.float32))(keys, i)
+                x_new, st_new = vmapped_step(i, x, eps, state, noise)
+            else:
+                x_new, st_new = vmapped_step(i, x, eps, state, None)
+            bshape = (-1,) + (1,) * (x.ndim - 1)
+            keep = active.reshape(bshape)
+            x = jnp.where(keep, x_new, x)
+            state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    active.reshape((-1,) + (1,) * (old.ndim - 1)), new, old),
+                st_new, state)
+            t_idx = jnp.where(active, t_idx + 1, t_idx)
+            return x, state, t_idx
+
+        return step_prog
+
+    @staticmethod
+    def _admit_prog(x, state, cond, un, t_idx, guidance, keys, slot,
+                    new_cond, new_un, new_g, new_key):
+        """Install one request into `slot` (traced — one compiled program
+        serves every slot index). Latent init matches the single path:
+        ``normal(PRNGKey(seed))`` per request (pipeline.denoise)."""
+        noise = jax.random.normal(new_key, x.shape[1:], jnp.float32)
+        x = x.at[slot].set(noise)
+        state = jax.tree.map(lambda s: s.at[slot].set(jnp.zeros_like(s[0])),
+                             state)
+        cond = cond.at[slot].set(new_cond.astype(cond.dtype))
+        un = un.at[slot].set(new_un.astype(un.dtype))
+        t_idx = t_idx.at[slot].set(0)
+        guidance = guidance.at[slot].set(new_g)
+        keys = keys.at[slot].set(new_key)
+        return x, state, cond, un, t_idx, guidance, keys
+
+    # ------------------------------------------------------------------
+    # host-side scheduling
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: str, guidance: float = 7.5,
+               seed: Optional[int] = None,
+               negative_prompt: Optional[str] = None) -> int:
+        """Enqueue a request; returns its id (images keyed by it)."""
+        from sdtpu import text as text_mod
+
+        ctx = self.ctx
+        L = self.cfg.clip.context_len
+        for p in (prompt, negative_prompt or ""):
+            if text_mod.needs_chunking(ctx.tokenizer, p, L):
+                raise ValueError("long/weighted prompts are not stream-"
+                                 "schedulable; use Context.generate")
+        if seed is None:
+            seed = ctx.seed
+            ctx.seed += 1
+        cond = ctx._embed_prompt(
+            text_mod.strip_syntax(prompt)
+            if text_mod.has_attention_syntax(prompt) else prompt)
+        un = (ctx._embed_prompt(negative_prompt) if negative_prompt
+              else ctx._uncond)
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, cond, un, float(guidance), int(seed)))
+        return rid
+
+    def _admit_from_queue(self):
+        while self._free and self._queue:
+            slot = self._free.pop()
+            rid, cond, un, g, seed = self._queue.pop(0)
+            key = jax.random.PRNGKey(seed)
+            (self._x, self._state, self._cond, self._un, self._t_idx,
+             self._guidance, self._keys) = self._admit_fn(
+                self._x, self._state, self._cond, self._un, self._t_idx,
+                self._guidance, self._keys, jnp.int32(slot), cond, un,
+                jnp.float32(g), key)
+            self._live[slot] = _Slot(req_id=rid, steps_done=0)
+
+    def tick(self) -> None:
+        """One scheduling iteration: admit -> one pooled denoise step ->
+        retire finished slots (their decode is dispatched asynchronously;
+        fetch happens in completed()/drain())."""
+        self._admit_from_queue()
+        if not self._live:
+            return
+        self._x, self._state, self._t_idx = self._step_fn(
+            self.ctx.params, self._x, self._state, self._cond, self._un,
+            self._t_idx, self._guidance, self._keys)
+        self.ticks += 1
+        for slot, rec in list(self._live.items()):
+            done = rec.steps_done + 1
+            if done >= self.steps:
+                dev = self._decode_fn(self.ctx.params, self._x,
+                                      jnp.int32(slot))
+                self._pending.append((rec.req_id, dev))
+                del self._live[slot]
+                self._free.append(slot)
+            else:
+                self._live[slot] = rec._replace(steps_done=done)
+
+    def completed(self) -> dict[int, np.ndarray]:
+        """Harvest finished images (blocks only on their device fetches)."""
+        for rid, dev in self._pending:
+            self._done[rid] = np.asarray(dev)[0]
+        self._pending.clear()
+        out, self._done = self._done, {}
+        return out
+
+    def drain(self) -> dict[int, np.ndarray]:
+        """Run until the queue and pool are empty; return all images."""
+        out: dict[int, np.ndarray] = {}
+        while self._queue or self._live:
+            self.tick()
+            out.update(self.completed())
+        out.update(self.completed())
+        return out
+
+    # ------------------------------------------------------------------
+    # progressive previews
+    # ------------------------------------------------------------------
+
+    #: latent -> RGB linear approximation (the community "taesd-free"
+    #: preview map used by A1111's cheap live preview): rgb = L @ M, then
+    #: the usual [-1, 1] -> uint8 ramp. Rows are the 4 SD latent channels.
+    _PREVIEW_M = np.array(
+        [[0.298, 0.207, 0.208],
+         [0.187, 0.286, 0.173],
+         [-0.158, 0.189, 0.264],
+         [-0.184, -0.271, -0.473]], np.float32)
+
+    def previews(self) -> dict[int, np.ndarray]:
+        """Cheap in-flight previews for every live request: the linear
+        latent->RGB approximation at LATENT resolution (h x w x 3 uint8) —
+        a [h*w, 4] @ [4, 3] matmul per slot, no VAE. Fetches one small
+        array; intended for streaming progress to serving clients."""
+        if not self._live:
+            return {}
+        if self.cfg.latent_channels != self._PREVIEW_M.shape[0]:
+            raise ValueError("previews need 4-channel SD latents")
+        m = jnp.asarray(self._PREVIEW_M)
+        rgb = jnp.clip(jnp.round(
+            (jnp.einsum("nhwc,cd->nhwd", self._x / self.cfg.vae.scale_factor,
+                        m) + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+        arr = np.asarray(rgb)
+        return {rec.req_id: arr[slot] for slot, rec in self._live.items()}

@@ -440,3 +440,94 @@ def test_depth2img_and_edit_endpoints():
         assert np.array_equal(img, direct)
 
     with_server(ctx8, drive_edit)
+
+
+@pytest.fixture(scope="module")
+def stream_server():
+    ctx = sdtpu.Context(config="tiny", steps=6)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve, args=(ctx,),
+        kwargs={"port": 0, "ready_event": ready, "stream_slots": 2},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    httpd = serve.last_server
+    yield ctx, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_stream_mode_serving(stream_server):
+    """Continuous-batching mode: concurrent plain /generate requests flow
+    through the step-level pool; each raw image matches the single
+    Context path bit-for-bit."""
+    ctx, base = stream_server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["stream_slots"] == 2
+
+    outs = {}
+
+    def call(seed):
+        status, ctype, body = _post(
+            base + "/generate",
+            {"prompt": "the horse", "seed": seed, "format": "raw"})
+        assert status == 200, body
+        outs[seed] = np.frombuffer(body, np.uint8).reshape(
+            ctx.cfg.image_size, ctx.cfg.image_size, 3)
+
+    threads = [threading.Thread(target=call, args=(s,)) for s in (41, 42, 43)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for s in (41, 42, 43):
+        np.testing.assert_array_equal(
+            outs[s], ctx.generate("the horse", seed=s))
+
+
+def test_stream_mode_preview_and_fallbacks(stream_server):
+    """Tagged requests expose /preview while in flight; LoRA/PAG requests
+    fall back to the static paths and still serve."""
+    ctx, base = stream_server
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "the horse", "seed": 9,
+                             "pag_scale": 1.0, "format": "raw"})
+    assert status == 200, body
+    # preview for an unknown tag 404s; a finished tag is cleaned up
+    import urllib.error
+    try:
+        urllib.request.urlopen(base + "/preview?tag=nope", timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # live preview: fire a tagged request and poll until one succeeds
+    import time as _time
+    got_preview = {}
+
+    def call():
+        _post(base + "/generate", {"prompt": "the horse", "seed": 10,
+                                   "tag": "t1", "format": "raw"})
+
+    # filler traffic stretches the pool's busy window so the poll below
+    # reliably observes the tagged request in flight
+    fillers = [threading.Thread(
+        target=lambda s=s: _post(base + "/generate",
+                                 {"prompt": "the horse", "seed": s,
+                                  "format": "raw"})) for s in (100, 101, 102)]
+    t = threading.Thread(target=call)
+    t.start()
+    for f in fillers:
+        f.start()
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline and not got_preview:
+        try:
+            with urllib.request.urlopen(base + "/preview?tag=t1",
+                                        timeout=30) as r:
+                got_preview["png"] = r.read()
+        except urllib.error.HTTPError:
+            _time.sleep(0.01)
+    t.join()
+    for f in fillers:
+        f.join()
+    assert got_preview and got_preview["png"][:8] == b"\x89PNG\r\n\x1a\n"

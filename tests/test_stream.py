@@ -1,0 +1,128 @@
+"""Continuous (iteration-level) batching tests: the StreamScheduler's
+images must reproduce the single Context.generate path (within one uint8
+gray level — see assert_pixels_match) for the same (prompt, seed,
+guidance) regardless of pool composition or admission order, across
+sampler families (multistep state, ancestral noise, two-eval probes) and
+the LCM guidance-embedded config."""
+
+import numpy as np
+import pytest
+
+import sdtpu
+from sdtpu.engine.stream import StreamScheduler
+
+PROMPT = "the horse"
+
+
+def assert_pixels_match(a, b):
+    """The pooled step program compiles at a different UNet batch shape
+    than the single path, so XLA may fuse/reduce in a different order —
+    ulp-level f32 differences can flip a uint8 rounding boundary. The
+    contract is therefore per-pixel agreement within ONE gray level (the
+    per-sample noise/solver streams are identical by construction; any
+    larger deviation means a scheduling bug)."""
+    a = np.asarray(a, np.int16)
+    b = np.asarray(b, np.int16)
+    d = np.abs(a - b)
+    assert d.max() <= 1, f"max pixel delta {d.max()}"
+    assert (d > 0).mean() < 0.01, f"{(d > 0).mean():.2%} pixels differ"
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return sdtpu.Context(config="tiny", steps=4, sampler="dpm")
+
+
+def test_stream_matches_single_path(ctx):
+    """A full pool of distinct requests: every image equals the single
+    compiled path bit-for-bit."""
+    sched = StreamScheduler(ctx, slots=2)
+    ids = {}
+    for s, g in [(1, 7.5), (2, 5.0), (3, 7.5)]:
+        ids[sched.submit(PROMPT, guidance=g, seed=s)] = (s, g)
+    out = sched.drain()
+    assert set(out) == set(ids)
+    for rid, (s, g) in ids.items():
+        ref = ctx.generate(PROMPT, guidance=g, seed=s)
+        assert_pixels_match(out[rid], ref)
+
+
+def test_stream_mid_flight_admission(ctx):
+    """A request admitted while another is mid-trajectory (the barrier-free
+    property) still reproduces its single-path image exactly."""
+    sched = StreamScheduler(ctx, slots=2)
+    a = sched.submit(PROMPT, seed=11)
+    sched.tick()
+    sched.tick()          # a is now 2 steps in
+    b = sched.submit("a fox", seed=12)  # admitted into the second slot
+    out = sched.drain()
+    assert_pixels_match(out[a], ctx.generate(PROMPT, seed=11))
+    assert_pixels_match(out[b], ctx.generate("a fox", seed=12))
+    # pool stats: b joined while a was live; total ticks < sequential sum
+    assert sched.ticks < 2 * ctx.steps + 2
+
+
+def test_stream_slot_reuse_and_negative_prompt(ctx):
+    """More requests than slots: slots are re-admitted as they finish;
+    per-request negative prompts ride the per-slot uncond rows."""
+    sched = StreamScheduler(ctx, slots=2)
+    ids = [sched.submit(PROMPT, seed=20 + i,
+                        negative_prompt="blurry" if i % 2 else None)
+           for i in range(5)]
+    out = sched.drain()
+    assert len(out) == 5
+    for i, rid in enumerate(ids):
+        ref = ctx.generate(PROMPT, seed=20 + i,
+                           negative_prompt="blurry" if i % 2 else None)
+        assert_pixels_match(out[rid], ref)
+
+
+@pytest.mark.parametrize("sampler", ["euler_a", "heun", "plms"])
+def test_stream_sampler_families(sampler):
+    """Ancestral (per-step noise), two-eval (probe), and multistep-history
+    samplers all step-schedule exactly."""
+    c = sdtpu.Context(config="tiny", steps=3, sampler=sampler)
+    sched = StreamScheduler(c, slots=2)
+    r1 = sched.submit(PROMPT, seed=1)
+    r2 = sched.submit("a fox", seed=2)
+    out = sched.drain()
+    assert_pixels_match(out[r1], c.generate(PROMPT, seed=1))
+    assert_pixels_match(out[r2], c.generate("a fox", seed=2))
+
+
+def test_stream_lcm_guidance_embedded():
+    """The LCM config streams with per-slot guidance through the w
+    embedding (no CFG batch), mixed scales in one pool."""
+    c = sdtpu.Context(config="tiny_lcm", steps=4, sampler="lcm")
+    sched = StreamScheduler(c, slots=2)
+    r1 = sched.submit(PROMPT, guidance=8.0, seed=3)
+    r2 = sched.submit(PROMPT, guidance=2.0, seed=3)
+    out = sched.drain()
+    assert_pixels_match(out[r1], c.generate(PROMPT, guidance=8.0, seed=3))
+    assert_pixels_match(out[r2], c.generate(PROMPT, guidance=2.0, seed=3))
+    assert not np.array_equal(out[r1], out[r2])
+
+
+def test_stream_previews(ctx):
+    """In-flight previews: latent-resolution RGB for every live request,
+    changing as the trajectory advances."""
+    sched = StreamScheduler(ctx, slots=1)
+    rid = sched.submit(PROMPT, seed=5)
+    sched.tick()
+    p1 = sched.previews()
+    s = ctx.cfg.latent_size
+    assert p1[rid].shape == (s, s, 3) and p1[rid].dtype == np.uint8
+    sched.tick()
+    p2 = sched.previews()
+    assert not np.array_equal(p1[rid], p2[rid])
+    sched.drain()
+    assert sched.previews() == {}
+
+
+def test_stream_rejects_unsupported(ctx):
+    sched = StreamScheduler(ctx, slots=1)
+    with pytest.raises(ValueError, match="long/weighted"):
+        sched.submit("word " * 200)
+    with pytest.raises(ValueError, match="plms_exact"):
+        StreamScheduler(sdtpu.Context(config="tiny", steps=2,
+                                      sampler="plms_exact"))

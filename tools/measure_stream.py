@@ -1,0 +1,170 @@
+"""Measure continuous (iteration-level) batching vs barrier micro-batching
+on the real chip: throughput AND per-request latency under an arrival
+process (run on TPU; takes ~10-15 min including compiles).
+
+    python tools/measure_stream.py --slots 4 --requests 24 \
+        --arrival-ms 150 --legs stream,batch
+
+Two legs over the SAME arrival trace (request i arrives at i*arrival_ms):
+
+* ``stream``  — engine/stream.StreamScheduler with ``--slots`` slots:
+  requests join the pool the moment a slot frees; one denoising step is
+  the scheduling unit.
+* ``batch``   — the MicroBatcher policy (engine/server.py): collect up to
+  ``--slots`` same-kind requests for up to ``--max-wait-ms``, run the
+  batch as one compiled call, double-buffered (dispatch k+1 before
+  fetching k) — the production static path measured in BENCH_RESULTS
+  "Double-buffered serving loop".
+
+Reports per-leg: images/s, per-request completion latency p50/p90/max (from
+arrival to host-side pixels). arrival_ms=0 is the closed-loop saturation
+case (all requests queued upfront) where the two should match on
+throughput and differ on latency shape only via batch boundaries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+
+def _percentiles(xs):
+    xs = sorted(xs)
+    p = lambda q: xs[min(len(xs) - 1, int(q * (len(xs) - 1)))]  # noqa: E731
+    return {"p50": round(statistics.median(xs), 4), "p90": round(p(0.9), 4),
+            "max": round(max(xs), 4)}
+
+
+def leg_stream(ctx, arrivals, prompts, slots):
+    from sdtpu.engine.stream import StreamScheduler
+
+    sched = StreamScheduler(ctx, slots=slots)
+    # warm the compiled programs (admit + step + decode) outside the clock
+    wid = sched.submit("warmup", seed=0)
+    sched.drain()
+    del wid
+
+    done_at = {}
+    sub_at = {}
+    t0 = time.perf_counter()
+    i = 0
+    while len(done_at) < len(arrivals):
+        now = time.perf_counter() - t0
+        while i < len(arrivals) and arrivals[i] <= now:
+            rid = sched.submit(prompts[i % len(prompts)], seed=100 + i)
+            sub_at[rid] = arrivals[i]
+            i += 1
+        if sched._queue or sched._live:
+            sched.tick()
+            for rid, img in sched.completed().items():
+                done_at[rid] = time.perf_counter() - t0
+        else:
+            time.sleep(min(0.005, max(0.0, arrivals[i] - now)))
+    total = max(done_at.values())
+    lats = [done_at[r] - sub_at[r] for r in done_at]
+    return total, lats
+
+
+def leg_batch(ctx, arrivals, prompts, slots, max_wait_s):
+    """The MicroBatcher's collect policy + the double-buffered dispatch
+    schedule, inline (same policy as engine/server.MicroBatcher._run)."""
+    # warmup at the batch sizes the trace will produce (padded pow-2 sizes
+    # are what the server compiles; here we dispatch exact sizes 1..slots)
+    for b in range(1, slots + 1):
+        ctx.generate_batch([{"prompt": "warmup", "seed": i}
+                            for i in range(b)])
+
+    done_at = {}
+    t0 = time.perf_counter()
+    i = 0
+    pending = None  # (ids, fetch)
+    while len(done_at) < len(arrivals):
+        now = time.perf_counter() - t0
+        # collect: block for the first arrival, linger max_wait for mates
+        if i < len(arrivals):
+            if arrivals[i] > now and pending is None:
+                time.sleep(arrivals[i] - now)
+                now = time.perf_counter() - t0
+            batch = []
+            if arrivals[i] <= now:
+                deadline = now + max_wait_s
+                while len(batch) < slots and i < len(arrivals):
+                    now = time.perf_counter() - t0
+                    if arrivals[i] <= now:
+                        batch.append(i)
+                        i += 1
+                    elif arrivals[i] <= deadline and pending is None:
+                        time.sleep(arrivals[i] - now)
+                    else:
+                        break
+            if batch:
+                fetch = ctx.generate_batch_async(
+                    [{"prompt": prompts[j % len(prompts)], "seed": 100 + j}
+                     for j in batch])
+                if pending is not None:
+                    pids, pfetch = pending
+                    pfetch()
+                    tdone = time.perf_counter() - t0
+                    for j in pids:
+                        done_at[j] = tdone
+                pending = (batch, fetch)
+                continue
+        if pending is not None:
+            pids, pfetch = pending
+            pfetch()
+            tdone = time.perf_counter() - t0
+            for j in pids:
+                done_at[j] = tdone
+            pending = None
+    total = max(done_at.values())
+    lats = [done_at[j] - arrivals[j] for j in done_at]
+    return total, lats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="sd15")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--arrival-ms", type=float, default=150.0)
+    ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--legs", default="stream,batch")
+    args = ap.parse_args()
+
+    import sdtpu
+    from sdtpu.engine.logging import LogLevel
+
+    ctx = sdtpu.Context(model_dir=None, steps=args.steps,
+                        config=args.config, log_level=LogLevel.ERROR)
+    arrivals = [i * args.arrival_ms / 1e3 for i in range(args.requests)]
+    prompts = ["a photograph of an astronaut riding a horse",
+               "a watercolor painting of a fox in a forest",
+               "macro photo of a snowflake on dark wool",
+               "a city street at night in the rain"]
+
+    out = {"config": args.config, "steps": args.steps, "slots": args.slots,
+           "requests": args.requests, "arrival_ms": args.arrival_ms}
+    for leg in args.legs.split(","):
+        t0 = time.perf_counter()
+        if leg == "stream":
+            total, lats = leg_stream(ctx, arrivals, prompts, args.slots)
+        elif leg == "batch":
+            total, lats = leg_batch(ctx, arrivals, prompts, args.slots,
+                                    args.max_wait_ms / 1e3)
+        else:
+            raise SystemExit(f"unknown leg {leg!r}")
+        out[leg] = {
+            "total_s": round(total, 3),
+            "images_per_s": round(args.requests / total, 3),
+            "latency": _percentiles(lats),
+            "wall_incl_warmup_s": round(time.perf_counter() - t0, 1),
+        }
+        print(json.dumps({leg: out[leg]}), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
