@@ -85,6 +85,13 @@ def _cmd_generate(args) -> int:
                               strength=args.strength or 1.0,
                               guidance=args.guidance, seed=args.seed,
                               negative_prompt=args.negative_prompt)
+        elif ctx.cfg.unet.num_class_embeds and \
+                ctx.cfg.unet.in_channels == ctx.cfg.latent_channels + 3:
+            # 7-ch x4-upscaler config: --init-image is the LOW-RES input
+            img = ctx.upscale(
+                args.prompt, init, noise_level=args.noise_level,
+                guidance=args.guidance, seed=args.seed,
+                negative_prompt=args.negative_prompt)
         elif ctx.cfg.unet.in_channels == 2 * ctx.cfg.latent_channels:
             # 8-ch InstructPix2Pix config: the prompt is an edit instruction
             img = ctx.instruct_pix2pix(
@@ -415,6 +422,10 @@ def main(argv=None) -> int:
     g.add_argument("--mask-image", default=None,
                    help="inpainting: grayscale mask (white = repaint); "
                         "requires --init-image")
+    g.add_argument("--noise-level", type=int, default=20,
+                   help="x4 upscaler (config sd_x4): conditioning noise "
+                        "augmentation level in [0, max_noise_level); "
+                        "--init-image is the low-res input")
     g.add_argument("--depth-image", default=None,
                    help="depth2img (config sd2_depth): grayscale depth map "
                         "(any monotone scale, e.g. a MiDaS dump); requires "

@@ -67,6 +67,17 @@ class UNetConfig:
     # 0.0 = off (the bit-exact default). Set via Context(tome_ratio=...)
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    # SD x4-upscaler: levels whose transformer attn1 attends the TEXT
+    # context instead of self (LDM ``disable_self_attentions`` per level,
+    # x4-upscaling.yaml [True, True, True, False] -> the attention levels
+    # 1 and 2; the mid block keeps self-attention,
+    # ``disable_middle_self_attn: False``)
+    cross_only_levels: Tuple[int, ...] = ()
+    # noise-level class conditioning: a learned [num_class_embeds,
+    # time_embed_dim] embedding table whose selected row ADDS to the time
+    # embedding (LDM ``num_classes: 1000`` -> nn.Embedding; diffusers
+    # ``num_class_embeds``). 0 = none
+    num_class_embeds: int = 0
     # LCM guidance embedding (Luo et al. 2023, latent consistency models):
     # width of the sinusoidal guidance-scale feature that a distilled
     # model's time MLP consumes through an extra bias-free projection
@@ -133,6 +144,12 @@ class PipelineConfig:
     # overexposure v-prediction models show at high guidance. 0 = off
     # (bit-exact default). Set via Context(guidance_rescale=...)
     guidance_rescale: float = 0.0
+    # SD x4-upscaler noise augmentation cap: the low-res conditioning
+    # image is forward-diffused on an IMAGE-SPACE sqrt-linear schedule
+    # (1e-4 -> 2e-2) to a caller-chosen level < max_noise_level, and that
+    # level conditions the UNet through the class-embedding table
+    # (x4-upscaling.yaml low_scale_config max_noise_level: 350)
+    max_noise_level: int = 350
     # DeepCache (Ma et al. 2023, arXiv:2312.00858): every N-th denoising
     # step runs the full UNet and caches the slow-changing deep feature at
     # the branch-0 junction; the other steps recompute only the shallow
@@ -196,6 +213,26 @@ SD15_IP2P = dataclasses.replace(
 # batch). Architecture per the diffusers LCM UNet (time_cond_proj_dim=256).
 SD15_LCM = dataclasses.replace(
     SD15, unet=dataclasses.replace(SD15.unet, time_cond_proj_dim=256))
+
+# SD x4 latent upscaler (stabilityai/stable-diffusion-x4-upscaler,
+# x4-upscaling.yaml): the 7-channel UNet takes concat(latents 4,
+# noise-augmented low-res RGB 3) at the LOW-RES grid, conditions on the
+# augmentation level through a 1000-row class-embedding table, attends
+# text cross-only at levels 1-2 (disable_self_attentions), and decodes
+# through an f=4 VAE (ch_mult 1,2,4, scale_factor 0.08333) -> 4x output.
+# v-prediction; OpenCLIP ViT-H text tower (the SD2.x tower).
+# Serve with Context.upscale(prompt, low_res_image, noise_level).
+SD_X4 = PipelineConfig(
+    clip=CLIPConfig(hidden=1024, layers=23, heads=16, act="gelu"),
+    unet=UNetConfig(in_channels=7, model_channels=256,
+                    channel_mult=(1, 2, 2, 4), attn_levels=(1, 2, 3),
+                    num_heads=8, context_dim=1024, time_embed_dim=1024,
+                    cross_only_levels=(1, 2), num_class_embeds=1000),
+    vae=VAEConfig(channel_mult=(1, 2, 4), scale_factor=0.08333),
+    latent_size=128,
+    upscale=4,
+    prediction="v",
+)
 
 # Stable Diffusion XL base (1024x1024): dual text towers (CLIP-L penultimate
 # hidden + OpenCLIP bigG penultimate hidden, concat -> 2048-dim context),
@@ -292,6 +329,15 @@ TINY = PipelineConfig(
 # and 5-ch depth UNet code paths at TINY scale.
 TINY_LCM = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, time_cond_proj_dim=8))
+# Tiny x4-upscaler topology (CPU tests): 7-ch input, cross-only attn at
+# level 0 (self kept at level 1), 20-row class table, f=2 VAE
+TINY_X4 = dataclasses.replace(
+    TINY,
+    unet=dataclasses.replace(TINY.unet, in_channels=7,
+                             cross_only_levels=(0,), num_class_embeds=20),
+    max_noise_level=16,
+    prediction="v",
+)
 TINY_INPAINT = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=9))
 TINY_DEPTH = dataclasses.replace(
@@ -310,11 +356,13 @@ CONFIGS = {
     "sd21base": SD21_BASE,
     "sd21_inpaint": SD21_INPAINT,
     "sd2_depth": SD2_DEPTH,
+    "sd_x4": SD_X4,
     "sdxl": SDXL,
     "sdxl_refiner": SDXL_REFINER,
     "tiny": TINY,
     "tiny_inpaint": TINY_INPAINT,
     "tiny_lcm": TINY_LCM,
+    "tiny_x4": TINY_X4,
     "tiny_depth": TINY_DEPTH,
     "tiny_ip2p": TINY_IP2P,
     "tiny_xl": TINY_XL,

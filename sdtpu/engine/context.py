@@ -1812,9 +1812,37 @@ class Context:
             negative_prompt, lora, image_guidance=image_guidance,
         )
 
+    def upscale(
+        self,
+        prompt: str | list[str],
+        image: np.ndarray,
+        noise_level: int = 20,
+        guidance: float = 9.0,
+        seed: Optional[int] = None,
+        negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
+    ) -> np.ndarray:
+        """SD x4 latent upscaler (config ``sd_x4``): text-guided 4x
+        super-resolution. `image` is the LOW-RES uint8 input at the
+        latent grid size (cfg.latent_size, e.g. 128x128 -> 512x512);
+        `noise_level` (< cfg.max_noise_level, traced — no recompile)
+        sets the conditioning noise augmentation: higher frees the model
+        from the input's artifacts at the cost of fidelity. Capability
+        extension (the reference is fixed-resolution txt2img)."""
+        if not 0 <= int(noise_level) < self.cfg.max_noise_level:
+            raise SdtpuError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"noise_level must be in [0, {self.cfg.max_noise_level}), "
+                f"got {noise_level}", self.errors)
+        return self._image_conditioned(
+            "upsc", prompt, image, None, 1.0, guidance, seed,
+            negative_prompt, lora, noise_level=int(noise_level),
+        )
+
     def _image_conditioned(
         self, mode, prompt, image, mask, strength, guidance, seed,
         negative_prompt, lora=None, depth=None, image_guidance=None,
+        noise_level=None,
     ) -> np.ndarray:
         """Shared img2img/inpaint/depth2img/instruct-pix2pix path:
         validate, tokenize, build/reuse the compiled program, run."""
@@ -1838,7 +1866,9 @@ class Context:
             img = np.asarray(image)
             if img.ndim == 3:
                 img = img[None]
-            size = self.cfg.image_size
+            # the x4 upscaler consumes the LOW-RES input at the latent grid
+            size = (self.cfg.latent_size if mode == "upsc"
+                    else self.cfg.image_size)
             want = (len(prompts), size, size, 3)
             if img.shape != want or img.dtype != np.uint8:
                 raise SdtpuError(
@@ -1871,6 +1901,14 @@ class Context:
                     ErrorCode.INVALID_ARGUMENT,
                     f"instruct_pix2pix needs an {2 * lc}-ch UNet (config "
                     f"sd15_ip2p), this config has {ic}", self.errors)
+            if mode == "upsc" and (ic != lc + 3
+                                   or not self.cfg.unet.num_class_embeds):
+                raise SdtpuError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    f"upscale needs a {lc + 3}-ch noise-level-conditioned "
+                    f"UNet (config sd_x4), this config has {ic} channels/"
+                    f"{self.cfg.unet.num_class_embeds} class rows",
+                    self.errors)
             if mode == "inpaint":
                 m = np.asarray(mask)
                 if m.ndim == 2:
@@ -1910,11 +1948,14 @@ class Context:
             fn = self._gen_cache.get(cache_key)
             if fn is None:
                 base = {"inpaint": pl.inpaint,
-                        "ip2p": pl.instruct_pix2pix}.get(mode, pl.img2img)
+                        "ip2p": pl.instruct_pix2pix,
+                        "upsc": pl.upscale}.get(mode, pl.img2img)
                 pkw = dict(cfg=self.cfg, sampler=self.sampler,
                            steps=self.steps, use_cfg=use_cfg,
                            kernels=self.kernels)
-                if mode != "ip2p":  # ip2p always starts from pure noise
+                if mode == "upsc":  # full trajectory; no warm start
+                    pkw["cfg_interval"] = self.cfg_interval
+                elif mode != "ip2p":  # ip2p always starts from pure noise
                     pkw["start_step"] = start_step
                     pkw["cfg_interval"] = self.cfg_interval
                 part = functools.partial(base, **pkw)
@@ -1942,6 +1983,8 @@ class Context:
                         specs.append(P("data", None, None, None))  # mask
                     if mode == "ip2p":
                         specs.append(P())  # image_guidance scalar
+                    if mode == "upsc":
+                        specs.append(P())  # noise_level scalar
                     # in_shardings bind positionals; lift the kw-only
                     # depth planes / token_weights into the signature
                     kw_names = []
@@ -1972,6 +2015,8 @@ class Context:
                 args += (jnp.asarray(m),)
             if mode == "ip2p":
                 args += (jnp.float32(image_guidance),)
+            if mode == "upsc":
+                args += (jnp.int32(noise_level),)
             kw = {}
             if mode == "depth":
                 kw["depth"] = jnp.asarray(d)

@@ -185,6 +185,7 @@ def denoise(
     cond_schedule=None,
     pag_scale=None,
     pag_layers=None,
+    class_emb=None,
 ):
     """Run the full denoising scan. context: [B or 2B, T, D] prompt
     embeddings — when `use_cfg`, rows [0:B] are cond and [B:2B] uncond.
@@ -379,6 +380,11 @@ def denoise(
         te = jnp.broadcast_to(t_tab[i], (rows.shape[0], t_tab.shape[-1]))
         if add_emb is not None:  # SDXL pooled/microcond conditioning
             te = te + add_emb.astype(te.dtype)[: rows.shape[0]]
+        if class_emb is not None:
+            # x4-upscaler noise-level conditioning: the class-table row is
+            # per sample and timestep-independent (LDM emb + label_emb(y))
+            ce = class_emb.astype(te.dtype)
+            te = te + (jnp.concatenate([ce] * r, axis=0) if r > 1 else ce)
         x_in = (jnp.concatenate([x] * r, axis=0) if r > 1
                 else x).astype(dtype)
         if x_extra is not None:
@@ -967,6 +973,73 @@ def instruct_pix2pix(
     x = denoise(
         params, context, key, guidance, cfg, sampler, steps, True,
         kernels, x_extra=image_latents, image_guidance=image_guidance,
+    )
+    return decode_latents(params, x, cfg, kernels)
+
+
+#: fold_in tag for the x4-upscaler's low-res noise augmentation draw —
+#: its own bank, disjoint from the inpaint/posterior/ancestral streams
+_AUG_FOLD = 1 << 23
+
+
+def upscale(
+    params,
+    tokens,
+    uncond_embedding,
+    key,
+    guidance,
+    image,
+    noise_level,
+    *,
+    cfg: PipelineConfig,
+    sampler: str = "dpm",
+    steps: int = 20,
+    use_cfg: bool = True,
+    kernels: str = "xla",
+    token_weights=None,
+    cfg_interval=None,
+):
+    """SD x4 latent upscaler (config.SD_X4, x4-upscaling.yaml): 4x
+    super-resolution guided by a text prompt.
+
+    `image`: the LOW-RES input [B, h, w, 3] float in [-1, 1] at the
+    latent grid size (cfg.latent_size); the output is uint8
+    [B, 4h, 4w, 3] through the f=4 VAE. Per the LDM noise-augmentation
+    recipe (ImageConcatWithNoiseAugmentation), the conditioning image is
+    forward-diffused on an IMAGE-SPACE sqrt-linear schedule
+    (1e-4 -> 2e-2) to `noise_level` (traced int scalar or [B],
+    < cfg.max_noise_level; higher = more creative freedom), rides the
+    UNet's channel axis at every step (in_channels 4 + 3), and the level
+    itself conditions the UNet through the learned class-embedding table
+    (params["unet"]["label_emb"]). The augmentation draw is deterministic
+    per request key (fold_in tag _AUG_FOLD). Capability extension — the
+    reference is a fixed-resolution txt2img engine."""
+    from sdtpu.samplers import NoiseSchedule
+
+    context = _build_context(params, tokens, uncond_embedding, cfg, use_cfg,
+                             weights=token_weights)
+    nl = jnp.asarray(noise_level, jnp.int32)
+    # image-space augmentation schedule (LDM make_beta_schedule "linear" is
+    # sqrt-linear): alpha-bar table gathered at the traced level
+    aug = NoiseSchedule.sd_v1(lin_start=1e-4, lin_end=2e-2)
+    abar = jnp.asarray(aug.alphas_cumprod, jnp.float32)[nl]
+    if key.ndim == 2:  # batched serving: per-sample keys
+        noise = jax.vmap(lambda k: jax.random.normal(
+            jax.random.fold_in(k, _AUG_FOLD), image.shape[1:],
+            jnp.float32))(key)
+    else:
+        noise = jax.random.normal(jax.random.fold_in(key, _AUG_FOLD),
+                                  image.shape, jnp.float32)
+    ab = abar.reshape((-1,) + (1,) * (image.ndim - 1)) if abar.ndim \
+        else abar
+    z_lr = (jnp.sqrt(ab) * image.astype(jnp.float32)
+            + jnp.sqrt(1.0 - ab) * noise)
+    lab = params["unet"]["label_emb"][nl]          # [D] or [B, D]
+    if lab.ndim == 1:
+        lab = jnp.broadcast_to(lab[None], (image.shape[0], lab.shape[0]))
+    x = denoise(
+        params, context, key, guidance, cfg, sampler, steps, use_cfg,
+        kernels, x_extra=z_lr, cfg_interval=cfg_interval, class_emb=lab,
     )
     return decode_latents(params, x, cfg, kernels)
 

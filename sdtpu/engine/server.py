@@ -20,6 +20,9 @@ story is a service. This is a dependency-free (stdlib) HTTP front end:
     POST /edit      {..., "image_b64": ..., "image_guidance": 1.5}
                     (InstructPix2Pix editing; needs config sd15_ip2p —
                     the prompt is the edit instruction)
+    POST /upscale   {..., "image_b64": <low-res input at the latent grid
+                    size>, "noise_level": 20}  (SD x4 latent upscaler;
+                    needs config sd_x4)
     GET /healthz    -> {"status": "ok", ...engine info, "lora_adapters": []}
     GET /preview?tag=X  -> live latent-resolution preview PNG of an
                     in-flight /generate that passed "tag" (stream mode)
@@ -342,7 +345,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
 
         def do_POST(self):
             if self.path not in ("/generate", "/img2img", "/inpaint",
-                                 "/depth2img", "/edit"):
+                                 "/depth2img", "/edit", "/upscale"):
                 return self._json(404, {"error": "not found"})
             try:
                 try:
@@ -433,6 +436,15 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                             image_guidance=float(
                                 req.get("image_guidance", 1.5)),
                             seed=seed, negative_prompt=neg, lora=lora)
+                elif self.path == "/upscale":
+                    # SD x4 latent upscaler (config sd_x4): image_b64 is
+                    # the LOW-RES input at the latent grid size
+                    with lock:
+                        img = ctx.upscale(
+                            prompt, init,
+                            noise_level=int(req.get("noise_level", 20)),
+                            guidance=guidance, seed=seed,
+                            negative_prompt=neg, lora=lora)
                 elif self.path == "/depth2img":
                     if "depth_b64" not in req:
                         return self._json(400,

@@ -73,11 +73,22 @@ def fuse_attention_projections(params):
                     and "w" in node.get("attn1", {}).get("q", {})):
                 node = dict(node)
                 a1, a2 = node["attn1"], node["attn2"]
-                node["attn1"] = {
-                    "qkv": {"w": jnp.concatenate(
-                        [a1["q"]["w"], a1["k"]["w"], a1["v"]["w"]], axis=1)},
-                    "out": a1["out"],
-                }
+                if a1["k"]["w"].shape[0] == a1["q"]["w"].shape[0]:
+                    node["attn1"] = {
+                        "qkv": {"w": jnp.concatenate(
+                            [a1["q"]["w"], a1["k"]["w"], a1["v"]["w"]],
+                            axis=1)},
+                        "out": a1["out"],
+                    }
+                else:
+                    # cross-only attn1 (SD x4-upscaler): k/v take ctx_dim
+                    # inputs — fuse that pair like attn2's
+                    node["attn1"] = {
+                        "q": a1["q"],
+                        "kv": {"w": jnp.concatenate(
+                            [a1["k"]["w"], a1["v"]["w"]], axis=1)},
+                        "out": a1["out"],
+                    }
                 node["attn2"] = {
                     "q": a2["q"],
                     "kv": {"w": jnp.concatenate(

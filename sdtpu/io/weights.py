@@ -92,6 +92,10 @@ def unet_rules(cfg: PipelineConfig) -> list[Rule]:
         # ``time_embed.cond_proj`` (diffusers: time_embedding.cond_proj).
         rules.append(Rule(pre + "time_embed.cond_proj",
                           ("temb", "cond_proj"), "linear"))
+    if u.num_class_embeds:
+        # x4-upscaler noise-level class table (LDM num_classes ->
+        # nn.Embedding -> "label_emb.weight")
+        rules.append(Rule(pre + "label_emb", ("unet", "label_emb"), "embed"))
     ch = u.model_channels
     cur = ch
     idx = 1

@@ -58,15 +58,20 @@ def _init_resblock(key, c_in, c_out, temb_dim, zero_init_outs=True):
     return p
 
 
-def _init_basic(key, c, ctx_dim):
-    """One attn1/attn2/GEGLU-ff transformer block (the depth unit)."""
+def _init_basic(key, c, ctx_dim, cross_only=False):
+    """One attn1/attn2/GEGLU-ff transformer block (the depth unit).
+
+    ``cross_only`` (SD x4-upscaler, LDM ``disable_self_attentions``):
+    attn1 attends the TEXT context instead of self — its k/v projections
+    take ctx_dim inputs."""
     ks = jax.random.split(key, 11)
+    kv_in = ctx_dim if cross_only else c
     return {
         "ln1": init_norm(c),
         "attn1": {
             "q": init_dense(ks[0], c, c, bias=False),
-            "k": init_dense(ks[1], c, c, bias=False),
-            "v": init_dense(ks[2], c, c, bias=False),
+            "k": init_dense(ks[1], kv_in, c, bias=False),
+            "v": init_dense(ks[2], kv_in, c, bias=False),
             "out": init_dense(ks[3], c, c),
         },
         "ln2": init_norm(c),
@@ -82,7 +87,8 @@ def _init_basic(key, c, ctx_dim):
     }
 
 
-def _init_transformer(key, c, ctx_dim, zero_init_outs=True, depth=1):
+def _init_transformer(key, c, ctx_dim, zero_init_outs=True, depth=1,
+                      cross_only=False):
     """Spatial transformer: GN + proj_in, ``depth`` basic blocks, proj_out.
 
     depth == 1 keeps the historical FLAT layout (basic-block leaves live
@@ -96,9 +102,9 @@ def _init_transformer(key, c, ctx_dim, zero_init_outs=True, depth=1):
         "proj_out": init_conv(ks[1], 1, c, c, zero_init=zero_init_outs),
     }
     if depth == 1:
-        p.update(_init_basic(ks[2], c, ctx_dim))
+        p.update(_init_basic(ks[2], c, ctx_dim, cross_only))
     else:
-        p["blocks"] = [_init_basic(ks[2 + i], c, ctx_dim)
+        p["blocks"] = [_init_basic(ks[2 + i], c, ctx_dim, cross_only)
                        for i in range(depth)]
     return p
 
@@ -126,9 +132,10 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
                                          cfg.time_embed_dim, zero_init_outs)}
             cur = out_ch
             if lvl in cfg.attn_levels:
-                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
-                                              zero_init_outs,
-                                              depth=cfg.depth_at(lvl))
+                blk["st"] = _init_transformer(
+                    next(keys), cur, cfg.context_dim, zero_init_outs,
+                    depth=cfg.depth_at(lvl),
+                    cross_only=lvl in cfg.cross_only_levels)
             blocks.append(blk)
             skip_chs.append(cur)
         level = {"blocks": blocks}
@@ -162,9 +169,10 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
             }
             cur = out_ch
             if lvl in cfg.attn_levels:
-                blk["st"] = _init_transformer(next(keys), cur, cfg.context_dim,
-                                              zero_init_outs,
-                                              depth=cfg.depth_at(lvl))
+                blk["st"] = _init_transformer(
+                    next(keys), cur, cfg.context_dim, zero_init_outs,
+                    depth=cfg.depth_at(lvl),
+                    cross_only=lvl in cfg.cross_only_levels)
             blocks.append(blk)
         level = {"blocks": blocks}
         if lvl != 0:
@@ -172,6 +180,12 @@ def init(key, cfg: UNetConfig, zero_init_outs: bool = True):
         up.append(level)
     params["up"] = up
 
+    if cfg.num_class_embeds:
+        # noise-level class conditioning (LDM num_classes -> nn.Embedding,
+        # default N(0,1) init); the selected row adds to the time embedding
+        params["label_emb"] = jax.random.normal(
+            next(keys), (cfg.num_class_embeds, cfg.time_embed_dim),
+            jnp.float32)
     params["out_norm"] = init_norm(cur)
     params["conv_out"] = init_conv(next(keys), 3, cur, cfg.out_channels,
                                    zero_init=zero_init_outs)
@@ -237,7 +251,7 @@ def _resblock(p, x, emb, groups, kernels="xla"):
 
 
 def _transformer(p, x, context, heads, groups, kernels, perturb_self=False,
-                 tome=None):
+                 tome=None, cross_only=False):
     attn_kernel = "pallas" if kernels.startswith("pallas") else "xla"
     b, hh, ww, c = x.shape
     # ToMe-SD gate (static): merge only at levels with at least
@@ -268,15 +282,23 @@ def _transformer(p, x, context, heads, groups, kernels, perturb_self=False,
     # them flat in p (SD1.x/2.x checkpoint layout)
     for blk in p.get("blocks", (p,)):
         h = _basic_block(blk, h, context, heads, attn_kernel, perturb_self,
-                         tome)
+                         tome, cross_only)
 
     h = h.reshape(b, hh, ww, c)
     return x + conv2d(p["proj_out"], h, padding=0)
 
 
 def _basic_block(p, h, context, heads, attn_kernel, perturb_self=False,
-                 tome=None):
+                 tome=None, cross_only=False):
     """attn1 (self) -> attn2 (cross) -> GEGLU ff, each with a residual.
+
+    `cross_only` (static, SD x4-upscaler): attn1's keys/values come from
+    `context` instead of the hidden — the block has NO self-attention
+    (LDM ``disable_self_attentions``). PAG's identity-self-attention
+    perturbation is self-attention-specific, so it does not apply to
+    cross-only blocks (their attn1 is left untouched); ToMe merges only
+    the query rows here (keys/values are text tokens), which stays exact
+    under its unmerge.
 
     `perturb_self` (static): replace the self-attention map with the
     IDENTITY matrix — each token attends only to itself, so the attention
@@ -292,7 +314,25 @@ def _basic_block(p, h, context, heads, attn_kernel, perturb_self=False,
     quadratic term, so PAG's perturbed eval never merges."""
     a = p["attn1"]
     hn = _ln(p["ln1"], h)
-    if perturb_self:
+    if cross_only:
+        # x4-upscaler blocks: attn1 is a second CROSS attention
+        unmerge = None
+        if tome is not None:
+            from sdtpu.ops.tome import build
+
+            merge, unmerge, r_ = build(h, tome[0], tome[1], tome[2])
+            if r_:
+                hn = merge(hn)
+            else:
+                unmerge = None
+        if "kv" in a:  # fused cross projection (like attn2's)
+            k, v = jnp.split(dense(a["kv"], context), 2, axis=-1)
+        else:
+            k, v = dense(a["k"], context), dense(a["v"], context)
+        o = dense(a["out"], sdpa(dense(a["q"], hn), k, v, heads,
+                                 attn_kernel))
+        h = h + (unmerge(o) if unmerge is not None else o)
+    elif perturb_self:
         v = (jnp.split(dense(a["qkv"], hn), 3, axis=-1)[2] if "qkv" in a
              else dense(a["v"], hn))
         h = h + dense(a["out"], v)
@@ -452,7 +492,8 @@ def apply(
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
                                  _heads(cfg, h.shape[-1]), g, kernels,
-                                 perturb_self="down" in perturb, tome=tome)
+                                 perturb_self="down" in perturb, tome=tome,
+                                 cross_only=lvl in cfg.cross_only_levels)
             skips.append(h)
         if "down" in level and not shallow:
             h = constrain(conv2d(level["down"], h, stride=2))
@@ -483,7 +524,11 @@ def apply(
 
     cache = None
     up_levels = params["up"][-1:] if shallow else params["up"]
+    n_lvls = len(cfg.channel_mult)
     for uidx, level in enumerate(up_levels):
+        # params["up"] is stored deepest-first; recover the actual level
+        # index (the shallow DeepCache pass runs only level 0)
+        lvl = 0 if shallow else n_lvls - 1 - uidx
         if capture and uidx == len(up_levels) - 1:
             cache = h  # branch-0 junction: input to the last up level
         for blk in level["blocks"]:
@@ -497,7 +542,8 @@ def apply(
             if "st" in blk:
                 h = _transformer(blk["st"], h, context,
                                  _heads(cfg, h.shape[-1]), g, kernels,
-                                 perturb_self="up" in perturb, tome=tome)
+                                 perturb_self="up" in perturb, tome=tome,
+                                 cross_only=lvl in cfg.cross_only_levels)
         if "up" in level:
             h = _upsample_nearest(h)
             h = constrain(conv2d(level["up"], h))
