@@ -45,8 +45,10 @@ def main() -> int:
         lo, _, hi = interval.partition(",")
         interval = (float(lo), float(hi))
     deepcache = os.environ.get("SDTPU_BENCH_DEEPCACHE")  # e.g. "3"
+    steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
+    sampler = os.environ.get("SDTPU_BENCH_SAMPLER", "dpm")
     ctx = sdtpu.Context(
-        model_dir=None, steps=20, sampler="dpm", config=config,
+        model_dir=None, steps=steps, sampler=sampler, config=config,
         log_level=LogLevel.INFO,
         quantize="int8" if quant == "int8_static" else quant,
         kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
@@ -110,7 +112,8 @@ def main() -> int:
               f"{value:.3f}s/image min {min(times):.3f}s max "
               f"{max(times):.3f}s", file=sys.stderr)
         print(json.dumps({
-            "metric": f"txt2img_512_20step_s_per_image_batch{batch}_overlap",
+            "metric": (f"txt2img_{ctx.cfg.image_size}_{steps}step_"
+                       f"s_per_image_batch{batch}_overlap"),
             "value": round(value, 4),
             "unit": "s",
             "vs_baseline": round(TARGET_S / value, 4),
@@ -146,8 +149,8 @@ def main() -> int:
         file=sys.stderr,
     )
     size = ctx.cfg.image_size
-    metric = (f"txt2img_{size}_20step_s_per_image" if batch == 1
-              else f"txt2img_{size}_20step_s_per_image_batch{batch}")
+    metric = (f"txt2img_{size}_{steps}step_s_per_image" if batch == 1
+              else f"txt2img_{size}_{steps}step_s_per_image_batch{batch}")
     print(json.dumps({
         "metric": metric,
         "value": round(value, 4),

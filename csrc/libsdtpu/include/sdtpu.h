@@ -134,6 +134,16 @@ SDTPU_API int sdtpu_edit_image(void* context, const char* prompt,
                                float guidance, float image_guidance,
                                const uint8_t* image, size_t image_size,
                                void** image_buffer, size_t* buffer_size);
+/* SD x4 latent upscaler (7-ch noise-level-conditioned configs, e.g.
+ * "sd_x4"): `image` is the LOW-RES uint8 RGB HWC input at the LATENT
+ * grid size (context resolution / upscale factor; image_size bytes =
+ * h*w*3); the output image is at the context resolution. `noise_level`
+ * in [0, max_noise_level) sets the conditioning noise augmentation.
+ * Output protocol as sdtpu_generate_image. */
+SDTPU_API int sdtpu_upscale_image(void* context, const char* prompt,
+                                  float guidance, int noise_level,
+                                  const uint8_t* image, size_t image_size,
+                                  void** image_buffer, size_t* buffer_size);
 /* Textual-inversion embedding: register the trigger `word` from an
  * .npz/.safetensors vector artifact (Context.load_embedding). */
 SDTPU_API int sdtpu_load_embedding(void* context, const char* word,

@@ -527,6 +527,38 @@ int sdtpu_edit_image(void* context, const char* prompt, float guidance,
   });
 }
 
+int sdtpu_upscale_image(void* context, const char* prompt, float guidance,
+                        int noise_level, const uint8_t* image,
+                        size_t image_size, void** image_buffer,
+                        size_t* buffer_size) {
+  auto* h = retrieve(context);
+  if (!h) return SDTPU_INVALID_CONTEXT;
+  return guard(__func__, [&] {
+    if (!prompt || !image || !image_buffer || !buffer_size)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT, "null args");
+    Gil gil;
+    // the x4 upscaler consumes the low-res input at the LATENT grid
+    PyObject* cfg =
+        PyObject_GetAttrString(static_cast<PyObject*>(h->py_ctx), "cfg");
+    if (!cfg) raise_py(h, "cfg");
+    PyObject* o = PyObject_GetAttrString(cfg, "latent_size");
+    Py_DECREF(cfg);
+    if (!o) raise_py(h, "latent_size");
+    long ls = PyLong_AsLong(o);
+    Py_DECREF(o);
+    if (image_size != size_t(ls) * size_t(ls) * 3)
+      SDTPU_THROW_T(&h->errors, SDTPU_INVALID_ARGUMENT,
+                    "image must be h*w*3 bytes at the latent grid size");
+    PyObject* ctx = static_cast<PyObject*>(h->py_ctx);
+    PyObject* arr = bytes_to_array(h, image, image_size, 3, ls, ls, 3);
+    PyObject* img = PyObject_CallMethod(ctx, "upscale", "(sOid)", prompt,
+                                        arr, noise_level, double(guidance));
+    Py_DECREF(arr);
+    if (!img) raise_py(h, "upscale");
+    deliver_image(h, img, image_buffer, buffer_size);
+  });
+}
+
 int sdtpu_ref_context(void* context) {
   auto* h = retrieve(context);
   if (!h) return SDTPU_INVALID_CONTEXT;

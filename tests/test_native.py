@@ -422,3 +422,64 @@ def test_capi_quality_knobs(lib):
         assert np.array_equal(out, py.generate("the horse", seed=2))
     finally:
         lib.sdtpu_release(handle)
+
+
+def test_capi_upscale(lib):
+    """C ABI for the x4-upscaler family: sdtpu_upscale_image consumes the
+    low-res input at the LATENT grid and matches the Python Context
+    bit-for-bit; wrong-size inputs error cleanly."""
+    import ctypes
+
+    import sdtpu
+
+    c_void_p, c_char_p = ctypes.c_void_p, ctypes.c_char_p
+    lib.sdtpu_setup.argtypes = [
+        ctypes.POINTER(c_void_p), c_char_p, c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.sdtpu_upscale_image.argtypes = [
+        c_void_p, c_char_p, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+    lib.sdtpu_release.argtypes = [c_void_p]
+    lib.sdtpu_free_buffer.argtypes = [c_void_p]
+
+    py = sdtpu.Context(config="tiny_x4", steps=2)
+    ls = py.cfg.latent_size
+    size = py.cfg.image_size
+    low = np.random.default_rng(3).integers(
+        0, 256, (ls, ls, 3)).astype(np.uint8)
+    want = py.upscale("a castle", low, noise_level=5, guidance=9.0, seed=0)
+
+    handle = c_void_p()
+    rc = lib.sdtpu_setup(ctypes.byref(handle), None, b"tiny_x4", 2, 0, 0)
+    if rc == 6:
+        pytest.skip("libsdtpu built without SDTPU_EMBED_PYTHON")
+    assert rc == 0
+    try:
+        buf, n = c_void_p(), ctypes.c_size_t()
+        low_c = np.ascontiguousarray(low)
+        rc = lib.sdtpu_upscale_image(
+            handle, b"a castle", 9.0, 5,
+            low_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            low_c.size, ctypes.byref(buf), ctypes.byref(n))
+        assert rc == 0, rc
+        got = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+            (n.value,)).copy().reshape(size, size, 3)
+        lib.sdtpu_free_buffer(buf)
+        assert np.array_equal(got, want)
+        # wrong grid size (full-res input) -> clean error, context live
+        big = np.zeros((size, size, 3), np.uint8)
+        rc = lib.sdtpu_upscale_image(
+            handle, b"x", 9.0, 5,
+            big.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            big.size, ctypes.byref(buf), ctypes.byref(n))
+        assert rc != 0
+        # out-of-range noise level -> clean error
+        rc = lib.sdtpu_upscale_image(
+            handle, b"x", 9.0, 999,
+            low_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            low_c.size, ctypes.byref(buf), ctypes.byref(n))
+        assert rc != 0
+    finally:
+        lib.sdtpu_release(handle)
