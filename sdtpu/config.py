@@ -251,6 +251,13 @@ SDXL = PipelineConfig(
     latent_size=128,
 )
 
+# SDXL inpainting (diffusers stable-diffusion-xl-1.0-inpainting: the XL
+# graph with the RunwayML 9-channel conv_in — latents 4 + latent-res mask
+# 1 + VAE-encoded masked image 4). Context.inpaint routes to the
+# concat-conditioned program automatically (in_channels == 2*lc + 1).
+SDXL_INPAINT = dataclasses.replace(
+    SDXL, unet=dataclasses.replace(SDXL.unet, in_channels=9))
+
 # SDXL refiner (1024x1024, the second stage of the XL two-stage pipeline):
 # ONE text tower (OpenCLIP bigG penultimate hidden -> 1280-dim context),
 # pooled bigG + (size, crop, aesthetic-score) microconds through the
@@ -344,6 +351,8 @@ TINY_DEPTH = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=5))
 TINY_IP2P = dataclasses.replace(
     TINY, unet=dataclasses.replace(TINY.unet, in_channels=8))
+TINY_XL_INPAINT = dataclasses.replace(
+    TINY_XL, unet=dataclasses.replace(TINY_XL.unet, in_channels=9))
 
 
 #: name -> config registry (Context(config=...), CLI --config, tests)
@@ -358,6 +367,7 @@ CONFIGS = {
     "sd2_depth": SD2_DEPTH,
     "sd_x4": SD_X4,
     "sdxl": SDXL,
+    "sdxl_inpaint": SDXL_INPAINT,
     "sdxl_refiner": SDXL_REFINER,
     "tiny": TINY,
     "tiny_inpaint": TINY_INPAINT,
@@ -366,5 +376,6 @@ CONFIGS = {
     "tiny_depth": TINY_DEPTH,
     "tiny_ip2p": TINY_IP2P,
     "tiny_xl": TINY_XL,
+    "tiny_xl_inpaint": TINY_XL_INPAINT,
     "tiny_xl_ref": TINY_XL_REF,
 }

@@ -202,3 +202,28 @@ def test_inpaint_depth_weights_roundtrip():
         for path, arr in flat_a:
             np.testing.assert_array_equal(
                 arr, flat_b[tuple(str(k) for k in path)], err_msg=str(path))
+
+
+def test_sdxl_inpaint_config_e2e():
+    """SDXL-inpainting (9-ch XL conv_in): Context.inpaint routes to the
+    concat-conditioned program on the XL graph — packed dual-tower
+    conditioning + mask/masked-latent planes compose."""
+    import sdtpu
+
+    ctx = sdtpu.Context(config="tiny_xl_inpaint", steps=2)
+    size = ctx.cfg.image_size
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
+    mask = np.zeros((size, size), np.uint8)
+    mask[: size // 2] = 255
+    out = ctx.inpaint("a harbor", image, mask, seed=1)
+    assert out.shape == (size, size, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(
+        out, ctx.inpaint("a harbor", image, mask, seed=1))
+    assert not np.array_equal(out, ctx.inpaint("a harbor", image, mask,
+                                               seed=2))
+    from sdtpu.config import SDXL, SDXL_INPAINT
+
+    assert SDXL_INPAINT.unet.in_channels == 9
+    assert SDXL_INPAINT.clip2 is not None
+    assert SDXL_INPAINT.unet.context_dim == SDXL.unet.context_dim
