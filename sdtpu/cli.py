@@ -384,7 +384,10 @@ def _cmd_train(args) -> int:
     kernels = args.kernels
     if kernels == "auto":
         kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
-    step = jit_train_step(cfg, opt, kernels=kernels, remat=args.remat)
+    step = jit_train_step(cfg, opt, kernels=kernels, remat=args.remat,
+                          objective=args.objective,
+                          snr_gamma=args.snr_gamma,
+                          noise_offset=args.noise_offset)
 
     key = jax.random.PRNGKey(args.seed + 17)
     t0 = time.time()
@@ -618,6 +621,16 @@ def main(argv=None) -> int:
     t.add_argument("--lr", type=float, default=1e-5)
     t.add_argument("--ema", action="store_true",
                    help="track EMA weights (decay 0.9999)")
+    t.add_argument("--objective", default="auto",
+                   choices=["auto", "eps", "v"],
+                   help="regression target: eps (SD1.x) or v-prediction "
+                        "(SD2.x-768); auto follows the config")
+    t.add_argument("--snr-gamma", type=float, default=0.0,
+                   help="min-SNR loss weighting gamma (arXiv:2303.09556; "
+                        "5.0 is the paper default, 0 disables)")
+    t.add_argument("--noise-offset", type=float, default=0.0,
+                   help="offset-noise strength: per-channel constant "
+                        "shift added to eps (community full-range recipe)")
     t.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the UNet (memory for FLOPs)")
     t.add_argument("--kernels", default="auto",

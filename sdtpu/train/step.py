@@ -75,7 +75,9 @@ def init_train_state(unet_params, optimizer,
 
 
 def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
-             kernels: str = "xla", remat: bool = False):
+             kernels: str = "xla", remat: bool = False,
+             objective: str = "auto", snr_gamma: float = 0.0,
+             noise_offset: float = 0.0):
     """batch: ``tokens`` [B,T] int32 plus either ``latents`` [B,h,w,4]
     clean UNSCALED VAE latents (the posterior sample; scale-factor applied
     here) or ``images`` [B,H,W,3] float in [-1,1] — the images path runs
@@ -88,14 +90,36 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     precision — grads flow back through the cast as float32), while the
     optimizer update and EMA stay in float32. Training bf16 params directly
     silently loses lr-scale updates (below the bf16 ulp of typical weights)
-    and freezes the EMA (0.9999 rounds to 1.0 in bf16)."""
+    and freezes the EMA (0.9999 rounds to 1.0 in bf16).
+
+    ``objective``: "eps" (SD1.x noise regression), "v" (Salimans &
+    Ho 2022 v-prediction, the SD2.x-768 target: v = a*eps - s*x0), or
+    "auto" — follow ``cfg.prediction`` so fine-tuning a v-model keeps
+    its released objective and the checkpoint drops into the v-pred
+    samplers unchanged.
+
+    ``snr_gamma`` > 0 enables min-SNR loss weighting (Hang et al. 2023,
+    arXiv:2303.09556): per-sample weight min(SNR,gamma)/SNR for eps and
+    min(SNR,gamma)/(SNR+1) for v — down-weights the near-noiseless
+    timesteps that otherwise dominate gradient variance (gamma=5 is the
+    paper's default).
+
+    ``noise_offset`` > 0 adds a per-(sample,channel) constant shift to
+    eps (Guttenberg 2023 "offset noise", the community recipe for
+    full-brightness-range fine-tunes): eps += offset * N(0,1)[b,1,1,c].
+    Only the forward-diffusion input is shifted; the regression target
+    keeps the shifted eps, matching the diffusers trainer semantics."""
     from sdtpu.io.params import cast_params
     sched = NoiseSchedule.sd_v1()
     abar = jnp.asarray(sched.alphas_cumprod, jnp.float32)
     n_train = sched.num_train_steps
 
+    if objective == "auto":
+        objective = cfg.prediction
+    assert objective in ("eps", "v"), objective
+
     b = batch["tokens"].shape[0]
-    kt, ke, kp = jax.random.split(key, 3)
+    kt, ke, kp, ko = jax.random.split(key, 4)
     if "latents" in batch:
         latents = batch["latents"].astype(jnp.float32)
     else:
@@ -109,11 +133,15 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
                    * jax.random.normal(kp, mean.shape, jnp.float32))
     t_idx = jax.random.randint(kt, (b,), 0, n_train)
     eps = jax.random.normal(ke, latents.shape, jnp.float32)
+    if noise_offset:
+        eps = eps + noise_offset * jax.random.normal(
+            ko, (b, 1, 1, latents.shape[-1]), jnp.float32)
 
     x0 = latents * cfg.vae.scale_factor
     a = jnp.sqrt(abar[t_idx])[:, None, None, None]
     s = jnp.sqrt(1.0 - abar[t_idx])[:, None, None, None]
     x_t = a * x0 + s * eps
+    target = eps if objective == "eps" else a * eps - s * x0
 
     if cfg.clip2 is None:
         ctx = clip.apply(frozen["clip"], batch["tokens"], cfg.clip,
@@ -140,15 +168,23 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     compute_params = cast_params(unet_params, cfg.compute_dtype)
     pred = apply(compute_params, x_t.astype(cfg.compute_dtype), te, ctx,
                  cfg.unet, kernels)
-    return jnp.mean(jnp.square(pred.astype(jnp.float32) - eps))
+    err = jnp.square(pred.astype(jnp.float32) - target)
+    if snr_gamma > 0.0:
+        snr = abar[t_idx] / (1.0 - abar[t_idx])
+        w = (jnp.minimum(snr, snr_gamma)
+             / (snr + (1.0 if objective == "v" else 0.0)))
+        return jnp.mean(w * jnp.mean(err, axis=(1, 2, 3)))
+    return jnp.mean(err)
 
 
 def train_step(state: TrainState, frozen, batch, key, cfg: PipelineConfig,
                optimizer, kernels: str = "xla", remat: bool = False,
-               ema_decay: float = 0.9999):
+               ema_decay: float = 0.9999, objective: str = "auto",
+               snr_gamma: float = 0.0, noise_offset: float = 0.0):
     """One optimizer step; returns (new_state, metrics)."""
     loss, grads = jax.value_and_grad(ldm_loss)(
-        state.params, frozen, batch, key, cfg, kernels, remat)
+        state.params, frozen, batch, key, cfg, kernels, remat,
+        objective, snr_gamma, noise_offset)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
@@ -202,7 +238,9 @@ def load_train_state(path, like: TrainState) -> TrainState:
 
 
 def jit_train_step(cfg: PipelineConfig, optimizer, kernels: str = "xla",
-                   remat: bool = False, donate: bool = True):
+                   remat: bool = False, donate: bool = True,
+                   objective: str = "auto", snr_gamma: float = 0.0,
+                   noise_offset: float = 0.0):
     """Compiled train step. Single-chip or multi-chip is decided by where
     the operands live: pass a state whose params were placed with
     `parallel.sharding.shard_params` and a batch placed with
@@ -213,5 +251,7 @@ def jit_train_step(cfg: PipelineConfig, optimizer, kernels: str = "xla",
     import functools
 
     fn = functools.partial(train_step, cfg=cfg, optimizer=optimizer,
-                           kernels=kernels, remat=remat)
+                           kernels=kernels, remat=remat,
+                           objective=objective, snr_gamma=snr_gamma,
+                           noise_offset=noise_offset)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
