@@ -5,11 +5,28 @@ README.md:61, simple_app.cpp:23).
 
 Prints ONE JSON line:
     {"metric": "txt2img_512_20step_s_per_image", "value": <median s/image>,
-     "unit": "s", "vs_baseline": <target_s / value>}
+     "unit": "s", "vs_baseline": <target_s / value>, "env": {...}, ...}
 
 `vs_baseline` >= 1.0 means the BASELINE.md target (< 1 s/image on one TPU
-v5e chip) is met; higher is better. The reference publishes no figures
-(BASELINE.md), so the target is the yardstick.
+v5e chip) is met; higher is better.
+
+Environment hardening (VERDICT r3 #1 — the round-3 driver capture ran in a
+degraded environment and recorded 11.7 s/image for a 0.53 s build with no
+warning): before loading any model this script probes the session — trivial
+jitted-op compile + dispatch latency, first host-fetch (transfer-channel
+setup), small-transfer round-trip — and embeds that fingerprint plus init
+and warmup times in the emitted JSON. For the default headline config the
+median is checked against the committed steady-state band
+(docs/BENCH_RESULTS.md "Headline history": p10-p90 0.511-0.562, widened to
+0.45-0.70); an out-of-band-slow result triggers ONE extra measurement block,
+and if still slow AND the probe shows anomalous overhead, the JSON carries
+"degraded_env": true with the evidence, so a broken session can never be
+mistaken for a broken build.
+
+MFU accounting (VERDICT r3 #2): for configs with committed per-part FLOP
+constants (compiled cost_analysis captured on the real chip by
+tools/extract_flops.py) the JSON also reports tflop_per_image, tflop_per_s
+and mfu_pct against the device's bf16 peak.
 
 Run on the real chip (default platform). Weights are random-init (no
 checkpoints in this environment) — latency is weight-agnostic: identical
@@ -19,6 +36,7 @@ graph, shapes, and dtypes as real SD v1.5 weights.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -27,16 +45,118 @@ TARGET_S = 1.0  # BASELINE.md: < 1 s/image, 1x TPU v5e
 # reference protocol is warmup=20/iters=100 (benchmark.py:41-45); compiles
 # are cached so warmup is cheap — default to a 25-iter median for stable
 # stats within a bounded wall-clock
-WARMUP = int(__import__("os").environ.get("SDTPU_BENCH_WARMUP", "3"))
-ITERS = int(__import__("os").environ.get("SDTPU_BENCH_ITERS", "25"))
+WARMUP = int(os.environ.get("SDTPU_BENCH_WARMUP", "3"))
+ITERS = int(os.environ.get("SDTPU_BENCH_ITERS", "25"))
+
+# Committed steady-state band for the DEFAULT headline config only
+# (sd15, 512, 20-step dpm, batch 1, bf16, no quality knobs) — from
+# docs/BENCH_RESULTS.md "Headline history": strict-protocol p10-p90 was
+# 0.511-0.562 across 120 calls; band widened for session variance.
+HEALTHY_BAND_S = (0.40, 0.70)
+
+# Per-part FLOPs from compiled-executable cost_analysis on TPU v5e
+# (tools/extract_flops.py, 2026-08-19, kernels=pallas). unet_cfg is the
+# batch-2 cond+uncond hot-loop shape, i.e. per CFG step per image.
+PART_FLOPS = {
+    "sd15": {"unet_cfg": 1.552361193472e12, "clip": 1.3363400704e10,
+             "vae_dec": 2.578692702208e12, "temb": 8.214352e7},
+}
+
+# bf16 peak TFLOP/s by device kind (first token match wins)
+PEAK_TFLOPS = [("v5 lite", 197.0), ("v5e", 197.0), ("v6 lite", 918.0),
+               ("v6e", 918.0), ("v4", 275.0), ("v5p", 459.0)]
+
+
+def probe_env() -> dict:
+    """Fingerprint the session BEFORE any model work: is the device tunnel
+    healthy? Cheap signals, measured not assumed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fp = {}
+    t0 = time.perf_counter()
+    dev = jax.devices()[0]
+    fp["backend"] = jax.default_backend()
+    fp["device"] = dev.device_kind
+    fp["n_devices"] = jax.device_count()
+    fp["jax"] = jax.__version__
+    fp["devices_s"] = round(time.perf_counter() - t0, 3)
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    t0 = time.perf_counter()
+    f(x).block_until_ready()
+    fp["trivial_compile_s"] = round(time.perf_counter() - t0, 3)
+    ts = []
+    for _ in range(20):
+        t = time.perf_counter()
+        f(x).block_until_ready()
+        ts.append((time.perf_counter() - t) * 1e3)
+    fp["dispatch_ms"] = round(statistics.median(ts), 3)
+
+    # first host fetch opens the transfer channel — expensive one-time cost
+    # on tunneled devices; pay it here so warmup timings are clean
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    fp["first_fetch_s"] = round(time.perf_counter() - t0, 3)
+    buf = np.zeros((128, 128), np.float32)  # 64 KB
+    ts = []
+    for _ in range(5):
+        t = time.perf_counter()
+        np.asarray(jax.device_put(buf))
+        ts.append((time.perf_counter() - t) * 1e3)
+    fp["transfer_ms_64kb"] = round(statistics.median(ts), 1)
+    return fp
+
+
+def env_evidence(fp: dict, init_s: float) -> list[str]:
+    """Anomalous-overhead evidence that the SESSION (not the build) is slow.
+    Healthy reference points on this chip: trivial compile 0.4-2 s,
+    dispatch 0.03-0.05 ms, init ~21 s (round-3 degraded capture: init 580 s)."""
+    ev = []
+    if fp.get("dispatch_ms", 0) > 1.0:
+        ev.append(f"dispatch_ms {fp['dispatch_ms']} > 1.0 (healthy ~0.05)")
+    if fp.get("trivial_compile_s", 0) > 30:
+        ev.append(f"trivial_compile_s {fp['trivial_compile_s']} > 30")
+    if fp.get("transfer_ms_64kb", 0) > 2000:
+        ev.append(f"transfer_ms_64kb {fp['transfer_ms_64kb']} > 2000")
+    if init_s > 180:
+        ev.append(f"init_s {init_s:.0f} > 180 (healthy ~21)")
+    return ev
+
+
+def mfu_fields(config: str, steps: int, value_s: float, batch: int,
+               device_kind: str, pure: bool) -> dict:
+    """Analytic MFU from committed per-part FLOP constants. Only emitted for
+    the full-UNet-per-step path (no deepcache/cfg-interval/ToMe/quant, which
+    change the per-step FLOPs)."""
+    pf = PART_FLOPS.get(config)
+    if pf is None or not pure or value_s <= 0:
+        return {}
+    flops = (pf["unet_cfg"] * steps + pf["clip"] * 2 + pf["vae_dec"]
+             + pf["temb"])
+    tflop = flops / 1e12
+    tflops_s = tflop / value_s
+    out = {"tflop_per_image": round(tflop, 2),
+           "tflop_per_s": round(tflops_s, 1)}
+    kind = device_kind.lower()
+    for token, peak in PEAK_TFLOPS:
+        if token in kind:
+            out["mfu_pct"] = round(100.0 * tflops_s / peak, 1)
+            out["peak_tflops_bf16"] = peak
+            break
+    return out
 
 
 def main() -> int:
+    fingerprint = probe_env()
+    print(f"# env: {json.dumps(fingerprint)}", file=sys.stderr)
+
     import sdtpu
     from sdtpu.engine.logging import LogLevel
 
     t0 = time.perf_counter()
-    import os
 
     quant = os.environ.get("SDTPU_BENCH_QUANT", "none")
     config = os.environ.get("SDTPU_BENCH_CONFIG", "sd15")
@@ -47,16 +167,19 @@ def main() -> int:
     deepcache = os.environ.get("SDTPU_BENCH_DEEPCACHE")  # e.g. "3"
     steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
     sampler = os.environ.get("SDTPU_BENCH_SAMPLER", "dpm")
+    tome = float(os.environ.get("SDTPU_BENCH_TOME", "0"))
+    kernels = os.environ.get("SDTPU_BENCH_KERNELS", "auto")
     ctx = sdtpu.Context(
         model_dir=None, steps=steps, sampler=sampler, config=config,
         log_level=LogLevel.INFO,
         quantize="int8" if quant == "int8_static" else quant,
-        kernels=os.environ.get("SDTPU_BENCH_KERNELS", "auto"),
+        kernels=kernels,
         cfg_interval=interval or None,
         deepcache=int(deepcache) if deepcache else None,
-        tome_ratio=float(os.environ.get("SDTPU_BENCH_TOME", "0")),
+        tome_ratio=tome,
     )
-    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    init_s = time.perf_counter() - t0
+    print(f"# init: {init_s:.1f}s", file=sys.stderr)
     if quant == "int8_static":
         # per-tensor static activation scales from a real-prompt jitted
         # calibration pass (quant/ptq.calibrate, VERDICT r1 #6)
@@ -86,6 +209,18 @@ def main() -> int:
     batch = int(os.environ.get("SDTPU_BENCH_BATCH", "1"))
     overlap = os.environ.get("SDTPU_BENCH_OVERLAP", "0") == "1"
     seed = [0]
+
+    # is this the DEFAULT headline run (band + MFU applicable)?
+    default_knobs = (config == "sd15" and steps == 20 and sampler == "dpm"
+                     and quant == "none" and not interval and not deepcache
+                     and tome == 0)
+    headline = default_knobs and batch == 1 and not overlap
+
+    extra = {
+        "env": fingerprint,
+        "init_s": round(init_s, 1),
+        "warmup": WARMUP, "iters": ITERS,
+    }
 
     if overlap and batch >= 1:
         def reqs():
@@ -117,6 +252,9 @@ def main() -> int:
             "value": round(value, 4),
             "unit": "s",
             "vs_baseline": round(TARGET_S / value, 4),
+            **mfu_fields(config, steps, value, batch,
+                         fingerprint["device"], default_knobs),
+            **extra,
         }))
         return 0
 
@@ -131,16 +269,23 @@ def main() -> int:
             ])
             seed[0] += batch
 
+    warmup_s = []
     for i in range(WARMUP):
         t = time.perf_counter()
         one_call()
-        print(f"# warmup {i}: {time.perf_counter() - t:.3f}s", file=sys.stderr)
+        warmup_s.append(round(time.perf_counter() - t, 3))
+        print(f"# warmup {i}: {warmup_s[-1]:.3f}s", file=sys.stderr)
+    extra["warmup_s"] = warmup_s
 
-    times = []
-    for i in range(ITERS):
-        t = time.perf_counter()
-        one_call()
-        times.append((time.perf_counter() - t) / batch)
+    def block(n):
+        times = []
+        for _ in range(n):
+            t = time.perf_counter()
+            one_call()
+            times.append((time.perf_counter() - t) / batch)
+        return times
+
+    times = block(ITERS)
     value = statistics.median(times)
     p90 = sorted(times)[int(0.9 * (len(times) - 1))]
     print(
@@ -148,6 +293,30 @@ def main() -> int:
         f"p90 {p90:.3f}s min {min(times):.3f}s max {max(times):.3f}s",
         file=sys.stderr,
     )
+
+    if headline:
+        extra["band_s"] = list(HEALTHY_BAND_S)
+        if value > HEALTHY_BAND_S[1]:
+            # anomaly: out-of-band slow. Re-measure once (VERDICT r3 #1d) —
+            # a transient stall should not become the round's number.
+            rerun = block(min(ITERS, 10))
+            extra["rerun_median_s"] = round(statistics.median(rerun), 4)
+            extra["first_median_s"] = round(value, 4)
+            if extra["rerun_median_s"] < value:
+                value = extra["rerun_median_s"]
+                times = rerun
+                p90 = sorted(times)[int(0.9 * (len(times) - 1))]
+            print(f"# anomaly rerun: median {extra['rerun_median_s']:.3f}s",
+                  file=sys.stderr)
+        if value > HEALTHY_BAND_S[1]:
+            ev = env_evidence(fingerprint, init_s)
+            extra["degraded_env"] = bool(ev)
+            extra["degraded_evidence"] = ev or [
+                "median out of band but probe shows no env anomaly — "
+                "treat as a real regression"]
+        else:
+            extra["degraded_env"] = False
+
     size = ctx.cfg.image_size
     metric = (f"txt2img_{size}_{steps}step_s_per_image" if batch == 1
               else f"txt2img_{size}_{steps}step_s_per_image_batch{batch}")
@@ -155,7 +324,11 @@ def main() -> int:
         "metric": metric,
         "value": round(value, 4),
         "unit": "s",
+        "p90_s": round(p90, 4),
         "vs_baseline": round(TARGET_S / value, 4),
+        **mfu_fields(config, steps, value, batch, fingerprint["device"],
+                     default_knobs),
+        **extra,
     }))
     return 0
 
