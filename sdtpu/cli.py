@@ -302,6 +302,15 @@ def _cmd_train(args) -> int:
     from sdtpu.config import CONFIGS
 
     cfg = CONFIGS[args.config]
+    if args.objective != "auto" and args.objective != cfg.prediction:
+        # a checkpoint trained against the "wrong" objective silently
+        # disagrees with cfg.prediction at inference — the samplers would
+        # decode it with the wrong transfer rule (ADVICE r3)
+        print(f"WARNING: --objective {args.objective} differs from the "
+              f"{args.config} config's prediction={cfg.prediction!r}; the "
+              f"resulting checkpoint will NOT sample correctly under "
+              f"config={args.config} unless you know what you are doing",
+              file=sys.stderr)
 
     t0 = time.time()
     if args.model_dir is None:

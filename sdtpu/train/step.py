@@ -107,8 +107,10 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     ``noise_offset`` > 0 adds a per-(sample,channel) constant shift to
     eps (Guttenberg 2023 "offset noise", the community recipe for
     full-brightness-range fine-tunes): eps += offset * N(0,1)[b,1,1,c].
-    Only the forward-diffusion input is shifted; the regression target
-    keeps the shifted eps, matching the diffusers trainer semantics."""
+    The shifted eps is used both to forward-diffuse x_t and as the
+    regression target, matching the diffusers trainer semantics. The
+    offset key is derived by fold_in only when enabled, so runs with
+    noise_offset=0 reproduce the historical 3-way RNG stream."""
     from sdtpu.io.params import cast_params
     sched = NoiseSchedule.sd_v1()
     abar = jnp.asarray(sched.alphas_cumprod, jnp.float32)
@@ -119,7 +121,7 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     assert objective in ("eps", "v"), objective
 
     b = batch["tokens"].shape[0]
-    kt, ke, kp, ko = jax.random.split(key, 4)
+    kt, ke, kp = jax.random.split(key, 3)
     if "latents" in batch:
         latents = batch["latents"].astype(jnp.float32)
     else:
@@ -134,6 +136,7 @@ def ldm_loss(unet_params, frozen, batch, key, cfg: PipelineConfig,
     t_idx = jax.random.randint(kt, (b,), 0, n_train)
     eps = jax.random.normal(ke, latents.shape, jnp.float32)
     if noise_offset:
+        ko = jax.random.fold_in(key, 1)
         eps = eps + noise_offset * jax.random.normal(
             ko, (b, 1, 1, latents.shape[-1]), jnp.float32)
 
