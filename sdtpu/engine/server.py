@@ -59,13 +59,29 @@ the image endpoints keep their static paths either way.
 from __future__ import annotations
 
 import base64
+import binascii
 import io
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class QueueFull(RuntimeError):
+    """Backpressure signal: the serving queue is at capacity. The HTTP
+    layer maps this to 503 + Retry-After so load balancers shed load
+    instead of piling unbounded work onto the device (the reference's C
+    API gets this for free by being a single blocking call,
+    reference: libsdod.cpp:235; a network server must bound its queue)."""
+
+
+class BadRequest(ValueError):
+    """Client-input validation failure -> HTTP 400 (vs 500 for engine
+    faults). Raised only during the request-parse phase, before any
+    device work is enqueued."""
 
 
 class MicroBatcher:
@@ -79,11 +95,12 @@ class MicroBatcher:
     """
 
     def __init__(self, ctx, device_lock, max_batch: int = 4,
-                 max_wait_ms: float = 25.0):
+                 max_wait_ms: float = 25.0, max_queue: int = 64):
         self.ctx = ctx
         self.device_lock = device_lock
         self.max_batch = max(1, int(max_batch))
         self.max_wait = max_wait_ms / 1e3
+        self.max_queue = max(1, int(max_queue))
         self._cv = threading.Condition()
         # FIFO of items; each carries its group key — the worker drains the
         # oldest group's items first (bounded unfairness: one group's batch
@@ -97,6 +114,9 @@ class MicroBatcher:
         item = {"req": req, "group": group, "done": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
+            if len(self._queue) >= self.max_queue:
+                raise QueueFull(
+                    f"serving queue full ({self.max_queue} waiting)")
             self._queue.append(item)
             self._cv.notify_all()
         item["done"].wait()
@@ -194,14 +214,19 @@ class StreamWorker:
     ``tag`` can poll ``GET /preview?tag=...`` for a live latent-resolution
     preview while their request is in flight."""
 
-    def __init__(self, ctx, slots: int = 4):
+    def __init__(self, ctx, slots: int = 4, max_queue: int = 64):
         from sdtpu.engine.stream import StreamScheduler
 
         self.sched = StreamScheduler(ctx, slots)
+        self.max_queue = max(1, int(max_queue))
         self._cv = threading.Condition()
         self._waiters: dict[int, dict] = {}
         self._tags: dict[str, int] = {}
         self._previews: dict[int, np.ndarray] = {}
+        # a short job can finish between two client polls; keep its LAST
+        # preview for a grace window so /preview answers instead of 404ing
+        self._recent: dict[str, tuple[float, np.ndarray]] = {}
+        self.preview_grace_s = 5.0
         threading.Thread(target=self._run, daemon=True,
                          name="sdtpu-stream").start()
 
@@ -209,6 +234,9 @@ class StreamWorker:
                tag: str | None = None) -> np.ndarray:
         item = {"done": threading.Event(), "result": None, "error": None}
         with self._cv:
+            if len(self.sched._queue) >= self.max_queue:
+                raise QueueFull(
+                    f"stream queue full ({self.max_queue} waiting)")
             rid = self.sched.submit(prompt, guidance=guidance, seed=seed,
                                     negative_prompt=negative_prompt)
             self._waiters[rid] = item
@@ -222,10 +250,14 @@ class StreamWorker:
 
     def preview(self, tag: str):
         with self._cv:
-            rid = self._tags.get(str(tag))
-            if rid is None:
-                return None
-            return self._previews.get(rid)
+            tag = str(tag)
+            rid = self._tags.get(tag)
+            if rid is not None and rid in self._previews:
+                return self._previews[rid]
+            ent = self._recent.get(tag)
+            if ent is not None and ent[0] > time.monotonic():
+                return ent[1]
+            return None
 
     def _run(self):
         while True:
@@ -245,42 +277,75 @@ class StreamWorker:
                     self._tags.clear()
                     self._previews.clear()
                     continue
+                now = time.monotonic()
+                self._recent = {t: e for t, e in self._recent.items()
+                                if e[0] > now}
                 for rid, img in done.items():
                     it = self._waiters.pop(rid, None)
                     if it is not None:
                         it["result"] = img
                         it["done"].set()
-                    self._previews.pop(rid, None)
-                    self._tags = {t: r for t, r in self._tags.items()
-                                  if r != rid}
+                    last = self._previews.pop(rid, None)
+                    for t in [t for t, r in self._tags.items() if r == rid]:
+                        if last is not None:
+                            self._recent[t] = (
+                                now + self.preview_grace_s, last)
+                        del self._tags[t]
 
 
-def _decode_image(b64: str) -> np.ndarray:
+def _b64_bytes(field: str, b64) -> bytes:
+    if not isinstance(b64, str):
+        raise BadRequest(f"'{field}' must be a base64 string")
+    try:
+        return base64.b64decode(b64, validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise BadRequest(f"'{field}' is not valid base64: {e}") from None
+
+
+def _open_image(field: str, b64):
     from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64)))
-                      .convert("RGB"))
+    try:
+        im = Image.open(io.BytesIO(_b64_bytes(field, b64)))
+        im.load()
+        return im
+    except BadRequest:
+        raise
+    except Exception as e:  # noqa: BLE001 — PIL raises many types
+        raise BadRequest(f"'{field}' is not a decodable image: {e}") from None
 
 
-def _decode_mask(b64: str) -> np.ndarray:
-    from PIL import Image
-
-    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64)))
-                      .convert("L"))
+def _decode_image(b64: str, field: str = "image_b64") -> np.ndarray:
+    return np.asarray(_open_image(field, b64).convert("RGB"))
 
 
-def _decode_depth(b64: str) -> np.ndarray:
+def _decode_mask(b64: str, field: str = "mask_b64") -> np.ndarray:
+    return np.asarray(_open_image(field, b64).convert("L"))
+
+
+def _decode_depth(b64: str, field: str = "depth_b64") -> np.ndarray:
     """Grayscale depth map, 8- or 16-bit png (any monotone scale — the
     program min/max-normalizes per sample)."""
-    from PIL import Image
-
-    im = Image.open(io.BytesIO(base64.b64decode(b64)))
+    im = _open_image(field, b64)
     if im.mode not in ("I", "I;16", "F", "L"):
         im = im.convert("L")
     d = np.asarray(im, np.float32)
     if d.ndim == 3:
         d = d.mean(axis=-1)
     return d
+
+
+def _finite(field: str, v, default: float) -> float:
+    """Parse an optional numeric JSON field; non-numeric / NaN / inf -> 400
+    (a NaN guidance would silently poison every image in its batch)."""
+    if v is None:
+        return float(default)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise BadRequest(f"'{field}' must be a number")
+    v = float(v)
+    if not math.isfinite(v):
+        raise BadRequest(f"'{field}' must be finite")
+    return v
 
 
 def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
@@ -355,19 +420,40 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 if n < 0 or n > max_body:
                     return self._json(413, {
                         "error": f"request body {n} exceeds {max_body} bytes"})
-                req = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as e:
+                    return self._json(400, {"error": f"invalid JSON: {e}"})
+                if not isinstance(req, dict):
+                    return self._json(400,
+                                      {"error": "body must be a JSON object"})
                 prompt = req.get("prompt")
                 if not isinstance(prompt, str) or not prompt.strip():
                     return self._json(400, {"error": "missing 'prompt'"})
                 fmt = req.get("format", "png")
-                guidance = float(req.get("guidance", 7.5))
+                if fmt not in ("png", "raw"):
+                    return self._json(400, {"error": "'format' must be "
+                                                     "'png' or 'raw'"})
+                guidance = _finite("guidance", req.get("guidance"), 7.5)
                 seed = req.get("seed")
-                seed = int(seed) if seed is not None else None
+                if seed is not None:
+                    if isinstance(seed, bool) or not isinstance(
+                            seed, (int, float)) or int(seed) != seed:
+                        return self._json(400,
+                                          {"error": "'seed' must be an int"})
+                    seed = int(seed)
                 neg = req.get("negative_prompt")
+                if neg is not None and not isinstance(neg, str):
+                    return self._json(400, {"error": "'negative_prompt' "
+                                                     "must be a string"})
                 lora = req.get("lora")
                 if lora is not None and not isinstance(lora, str):
                     return self._json(400, {"error": "'lora' must be a "
                                                      "string adapter name"})
+                if lora and lora not in ctx.lora_names():
+                    return self._json(400, {
+                        "error": f"unknown lora adapter {lora!r} "
+                                 f"(loaded: {ctx.lora_names()})"})
                 if self.path == "/generate":
                     if "control_image_b64" in req or \
                             "control_images_b64" in req:
@@ -376,17 +462,24 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                         # tensors don't batch across requests). Lists give
                         # multi-ControlNet composition (summed residuals).
                         if "control_images_b64" in req:
-                            hint = [_decode_image(b)
-                                    for b in req["control_images_b64"]]
+                            imgs = req["control_images_b64"]
+                            if not isinstance(imgs, list) or not imgs:
+                                return self._json(400, {
+                                    "error": "'control_images_b64' must be "
+                                             "a non-empty list"})
+                            hint = [_decode_image(b, "control_images_b64")
+                                    for b in imgs]
                             control = req.get("controls") or req.get(
                                 "control")
                             scale = req.get(
                                 "control_scales",
                                 req.get("control_scale", 1.0))
                         else:
-                            hint = _decode_image(req["control_image_b64"])
+                            hint = _decode_image(req["control_image_b64"],
+                                                 "control_image_b64")
                             control = req.get("control")
-                            scale = float(req.get("control_scale", 1.0))
+                            scale = _finite("control_scale",
+                                            req.get("control_scale"), 1.0)
                         with lock:
                             img = ctx.generate(
                                 prompt, guidance=guidance, seed=seed,
@@ -421,7 +514,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     # micro-batched: same-strength same-adapter requests
                     # share one compiled call (strength selects the start
                     # step, so it is part of the group key)
-                    strength = float(req.get("strength", 0.6))
+                    strength = _finite("strength", req.get("strength"), 0.6)
                     img = batcher.submit(
                         {"prompt": prompt, "image": init,
                          "guidance": guidance, "seed": seed,
@@ -433,8 +526,9 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     with lock:
                         img = ctx.instruct_pix2pix(
                             prompt, init, guidance=guidance,
-                            image_guidance=float(
-                                req.get("image_guidance", 1.5)),
+                            image_guidance=_finite(
+                                "image_guidance",
+                                req.get("image_guidance"), 1.5),
                             seed=seed, negative_prompt=neg, lora=lora)
                 elif self.path == "/upscale":
                     # SD x4 latent upscaler (config sd_x4): image_b64 is
@@ -442,7 +536,9 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     with lock:
                         img = ctx.upscale(
                             prompt, init,
-                            noise_level=int(req.get("noise_level", 20)),
+                            noise_level=int(_finite(
+                                "noise_level",
+                                req.get("noise_level"), 20)),
                             guidance=guidance, seed=seed,
                             negative_prompt=neg, lora=lora)
                 elif self.path == "/depth2img":
@@ -453,7 +549,8 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     with lock:
                         img = ctx.depth2img(
                             prompt, init, depth,
-                            strength=float(req.get("strength", 0.8)),
+                            strength=_finite("strength",
+                                             req.get("strength"), 0.8),
                             guidance=guidance, seed=seed,
                             negative_prompt=neg, lora=lora)
                 else:
@@ -463,7 +560,7 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                     mask = _decode_mask(req["mask_b64"])
                     # micro-batched like img2img: same-strength same-adapter
                     # inpaints fuse into one compiled call
-                    strength = float(req.get("strength", 1.0))
+                    strength = _finite("strength", req.get("strength"), 1.0)
                     img = batcher.submit(
                         {"prompt": prompt, "image": init, "mask": mask,
                          "guidance": guidance, "seed": seed,
@@ -471,6 +568,18 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                         group=("inp", strength, lora),
                     )
                 return self._image(img, fmt)
+            except BadRequest as e:
+                return self._json(400, {"error": str(e)})
+            except QueueFull as e:
+                # backpressure: bounded queue is full — shed load upstream
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             except Exception as e:  # noqa: BLE001
                 ctx.logger.error(f"{self.path} failed: {e}")
                 return self._json(500, {"error": str(e)})
@@ -481,13 +590,18 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
 def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
           ready_event: threading.Event | None = None,
           max_batch: int = 4, max_wait_ms: float = 25.0,
-          max_body_mb: int = 32, stream_slots: int = 0):
+          max_body_mb: int = 32, stream_slots: int = 0,
+          max_queue: int = 64):
     """Blocking serve loop. `ready_event` is set once the socket is bound.
     ``stream_slots`` > 0 serves plain /generate requests through the
-    continuous-batching pool instead of the barrier micro-batcher."""
+    continuous-batching pool instead of the barrier micro-batcher.
+    ``max_queue`` bounds the number of waiting requests per worker; excess
+    requests get 503 + Retry-After (backpressure, not unbounded buildup)."""
     lock = threading.Lock()
-    batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms)
-    stream = StreamWorker(ctx, stream_slots) if stream_slots else None
+    batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms,
+                           max_queue=max_queue)
+    stream = (StreamWorker(ctx, stream_slots, max_queue=max_queue)
+              if stream_slots else None)
     httpd = ThreadingHTTPServer(
         (host, port),
         make_handler(ctx, lock, batcher, max_body=max_body_mb << 20,
@@ -496,7 +610,9 @@ def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
                     f"(max_batch={batcher.max_batch}, "
                     f"stream_slots={stream_slots})")
     if ready_event is not None:
-        serve.last_server = httpd  # test hook
+        serve.last_server = httpd    # test hooks
+        serve.last_batcher = batcher
+        serve.last_stream = stream
         ready_event.set()
     try:
         httpd.serve_forever()

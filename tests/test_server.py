@@ -259,6 +259,186 @@ def test_body_size_cap(server):
     assert " 413 " in head.splitlines()[0], head
 
 
+def _post_raw(url, data: bytes):
+    """POST arbitrary bytes (for malformed-JSON fuzzing)."""
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"},
+        method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_malformed_payloads_rejected_400(server):
+    """Fuzz the parse phase (VERDICT r3 #7): every malformed client input
+    must come back 400 with a JSON error — never 500 (engine fault), never
+    a hung worker. The device queue must stay clean: a valid request after
+    the fuzz batch still succeeds."""
+    import base64
+
+    ctx, base = server
+    gen = base + "/generate"
+    bad = [
+        (gen, b'{"prompt": "x", '),                      # truncated JSON
+        (gen, b"[1, 2, 3]"),                             # non-object body
+        (gen, b'"just a string"'),                       # non-object body
+        (gen, json.dumps({"prompt": ""}).encode()),      # empty prompt
+        (gen, json.dumps({"prompt": 7}).encode()),       # non-string prompt
+        (gen, json.dumps({"no_prompt": "x"}).encode()),
+        (gen, json.dumps({"prompt": "x",
+                          "guidance": "high"}).encode()),
+        (gen, b'{"prompt": "x", "guidance": NaN}'),      # NaN poisons batch
+        (gen, b'{"prompt": "x", "guidance": Infinity}'),
+        (gen, json.dumps({"prompt": "x", "seed": 1.5}).encode()),
+        (gen, json.dumps({"prompt": "x", "seed": True}).encode()),
+        (gen, json.dumps({"prompt": "x",
+                          "negative_prompt": 7}).encode()),
+        (gen, json.dumps({"prompt": "x", "lora": 3}).encode()),
+        (gen, json.dumps({"prompt": "x",
+                          "lora": "never-loaded"}).encode()),
+        (gen, json.dumps({"prompt": "x", "format": "jpeg"}).encode()),
+        (gen, json.dumps({"prompt": "x",
+                          "control_images_b64": {}}).encode()),
+        (base + "/img2img", json.dumps({"prompt": "x"}).encode()),
+        (base + "/img2img", json.dumps(
+            {"prompt": "x", "image_b64": "!!!not-base64!!!"}).encode()),
+        (base + "/img2img", json.dumps(
+            {"prompt": "x", "image_b64": base64.b64encode(
+                b"not an image at all").decode()}).encode()),
+        (base + "/img2img", json.dumps(
+            {"prompt": "x", "image_b64": 12345}).encode()),
+        (base + "/inpaint", json.dumps(
+            {"prompt": "x", "image_b64": base64.b64encode(
+                b"x").decode()}).encode()),  # missing mask (bad image wins
+                                             # or missing-mask — either 400)
+    ]
+    for url, body in bad:
+        status, resp = _post_raw(url, body)
+        assert status == 400, (url, body[:80], status, resp[:200])
+        assert b"error" in resp, resp[:200]
+    # the server survives the fuzz batch and still serves valid work
+    status, ctype, body = _post(gen, {"prompt": "the horse", "seed": 3})
+    assert status == 200 and ctype == "image/png"
+
+
+def test_bad_content_length_header(server):
+    """A non-numeric Content-Length is a protocol error -> 400, read no
+    body (the reference's C API validates inputs before touching the
+    engine, libsdod.cpp:48-63 — same rigor on the network surface)."""
+    import socket
+
+    _, base = server
+    host, port = base.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(
+            f"POST /generate HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: abc\r\n\r\n".encode())
+        head = s.recv(4096).decode(errors="replace")
+    assert " 400 " in head.splitlines()[0], head
+
+
+def test_concurrent_client_load(server):
+    """12 concurrent clients against max_batch=4: every request is served
+    (multiple dispatch waves), every image matches its own single-request
+    output (padding + per-sample conditioning keep batching invisible)."""
+    ctx, base = server
+    size = ctx.cfg.image_size
+    results = {}
+
+    def one(i):
+        status, _, body = _post(
+            base + "/generate",
+            {"prompt": "the horse" if i % 2 else "a cat",
+             "seed": 500 + i, "format": "raw"})
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 12
+    for i in range(12):
+        status, body = results[i]
+        assert status == 200, body[:200]
+        img = np.frombuffer(body, np.uint8).reshape(size, size, 3)
+        direct = ctx.generate("the horse" if i % 2 else "a cat",
+                              seed=500 + i)
+        diff = np.abs(img.astype(int) - direct.astype(int)).max()
+        assert diff <= 1, f"request {i} diverged (maxdiff {diff})"
+
+
+def test_microbatcher_queue_full(server):
+    """Backpressure unit: with the dispatch path blocked (device lock
+    held), the bounded queue refuses the excess request with QueueFull
+    instead of buffering unboundedly, and drains cleanly on release."""
+    import time as _time
+
+    from sdtpu.engine.server import MicroBatcher, QueueFull
+
+    ctx, _ = server
+    lock = threading.Lock()
+    b = MicroBatcher(ctx, lock, max_batch=1, max_wait_ms=1.0, max_queue=1)
+    outs = {}
+
+    def bg(i):
+        outs[i] = b.submit({"prompt": "the horse", "seed": i})
+
+    with lock:  # block _dispatch; the worker holds request 0 in flight
+        t0 = threading.Thread(target=bg, args=(0,), daemon=True)
+        t0.start()
+        deadline = _time.monotonic() + 10
+        while b._queue and _time.monotonic() < deadline:
+            _time.sleep(0.01)  # worker takes req 0 off the queue
+        assert not b._queue
+        t1 = threading.Thread(target=bg, args=(1,), daemon=True)
+        t1.start()
+        while not b._queue and _time.monotonic() < deadline:
+            _time.sleep(0.01)  # req 1 parks in the queue (capacity 1)
+        assert len(b._queue) == 1
+        with pytest.raises(QueueFull):
+            b.submit({"prompt": "the horse", "seed": 2})
+    t0.join(120)
+    t1.join(120)
+    assert outs[0].shape == outs[1].shape == (
+        ctx.cfg.image_size, ctx.cfg.image_size, 3)
+
+
+def test_backpressure_http_503(server):
+    """The HTTP layer maps QueueFull to 503 + Retry-After and recovers
+    as soon as capacity frees."""
+    ctx, _ = server
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve, args=(ctx,),
+        kwargs={"port": 0, "ready_event": ready, "max_queue": 1},
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    httpd = serve.last_server
+    batcher = serve.last_batcher
+    base2 = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        batcher.max_queue = 0  # saturate: every enqueue refuses
+        req = urllib.request.Request(
+            base2 + "/generate",
+            data=json.dumps({"prompt": "the horse"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After") == "1"
+        batcher.max_queue = 1  # capacity restored -> next request lands
+        status, ctype, _ = _post(base2 + "/generate",
+                                 {"prompt": "the horse", "seed": 5})
+        assert status == 200 and ctype == "image/png"
+    finally:
+        httpd.shutdown()
+
+
 def _make_adapter_npz(ctx, path, seed):
     """Build a small NONZERO LoRA adapter artifact for the ctx's UNet."""
     import jax
@@ -324,10 +504,10 @@ def test_lora_per_request_routing(server, tmp_path):
         got = np.frombuffer(body, np.uint8).reshape(size, size, 3)
         assert np.array_equal(got, want), f"adapter routing broke for {k!r}"
 
-    # unknown adapter -> clean 500 with the registry in the message
+    # unknown adapter -> 400 (client input error) with the registry named
     status, _, body = _post(base + "/generate",
                             {"prompt": "x", "lora": "nope"})
-    assert status == 500 and b"nope" in body
+    assert status == 400 and b"nope" in body and b"styleA" in body
 
 
 def test_controlnet_endpoint(server):
