@@ -258,8 +258,95 @@ def _cmd_serve(args) -> int:
     )
     serve(ctx, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          stream_slots=args.stream_slots)
+          stream_slots=args.stream_slots, max_queue=args.max_queue)
     return 0
+
+
+def _cmd_warmup(args) -> int:
+    """Prebuild the persistent XLA compile cache and optionally pack it as
+    a deployable artifact (VERDICT r3 #8) — the true analogue of the
+    reference's serialized HTP context blobs (qnn_context.cpp:894-956):
+    compile once at build time, ship the executables, warm-start in
+    seconds. The artifact is valid for the same jax/backend version pair
+    it was built with (the cache key includes the compiler fingerprint);
+    the emitted JSON records both."""
+    import gc
+    import json
+    import tarfile
+    from pathlib import Path
+
+    cache_dir = Path(args.cache_dir).expanduser()
+    if args.unpack:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        root = cache_dir.resolve()
+        with tarfile.open(args.unpack, "r:gz") as tf:
+            for m in tf.getmembers():
+                p = (cache_dir / m.name).resolve()
+                if not m.isfile() or not str(p).startswith(str(root)):
+                    raise SystemExit(f"unsafe archive member {m.name!r}")
+            tf.extractall(cache_dir)
+        n = sum(1 for _ in cache_dir.iterdir())
+        print(json.dumps({"unpacked_to": str(cache_dir), "entries": n}))
+        return 0
+
+    _select_platform(args.platform)
+    import jax
+
+    import sdtpu
+    from sdtpu.engine.logging import LogLevel
+
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    # force-point the persistent cache at the artifact dir (Context only
+    # sets it when unset, and warmup's whole job is building THIS dir)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    # cache EVERYTHING (no min-compile-time floor): the artifact must be a
+    # superset of whatever a deploy process would write, or sub-threshold
+    # programs re-cache at first serve and the "no new entries" warm-start
+    # guarantee breaks on compile-time jitter around the threshold
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # and keep keys relocatable (same rationale as Context): jax's default
+    # GPU sub-cache injects the cache dir's ABSOLUTE PATH into every key,
+    # which would pin the packed artifact to its build path
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
+
+    batches = [int(x) for x in args.batch_sizes.split(",")]
+    report = []
+    for name in args.configs.split(","):
+        t0 = time.perf_counter()
+        try:
+            ctx = sdtpu.Context(
+                model_dir=args.model_dir, steps=args.steps,
+                sampler=args.sampler, config=name,
+                log_level=LogLevel(args.log_level),
+                compile_cache=str(cache_dir))
+            init_s = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            for b in batches:
+                if b == 1:
+                    ctx.generate("warmup", seed=0)
+                else:
+                    ctx.generate_batch(
+                        [{"prompt": "warmup", "seed": i} for i in range(b)])
+            r = {"config": name, "init_s": init_s,
+                 "compile_and_generate_s":
+                     round(time.perf_counter() - t0, 1)}
+            del ctx
+        except Exception as e:  # noqa: BLE001 — fleet continues per config
+            r = {"config": name, "error": f"{type(e).__name__}: {e}"}
+        report.append(r)
+        print(json.dumps(r), flush=True)
+        gc.collect()
+    entries = sorted(p for p in cache_dir.iterdir() if p.is_file())
+    out = {"cache_dir": str(cache_dir), "entries": len(entries),
+           "bytes": sum(p.stat().st_size for p in entries),
+           "jax": jax.__version__, "backend": jax.default_backend()}
+    if args.pack:
+        with tarfile.open(args.pack, "w:gz") as tf:
+            for p in entries:
+                tf.add(p, arcname=p.name)
+        out["artifact"] = args.pack
+    print(json.dumps(out))
+    return 0 if not any("error" in r for r in report) else 1
 
 
 def _cmd_info(args) -> int:
@@ -605,6 +692,9 @@ def main(argv=None) -> int:
                          "requests through an N-slot iteration-level pool "
                          "(no batch barriers; live /preview support); 0 "
                          "keeps the barrier micro-batcher")
+    sv.add_argument("--max-queue", type=int, default=64,
+                    help="backpressure: max waiting requests per worker; "
+                         "excess requests get 503 + Retry-After")
     sv.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     sv.set_defaults(fn=_cmd_serve)
@@ -653,6 +743,31 @@ def main(argv=None) -> int:
     t.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"])
     t.set_defaults(fn=_cmd_train)
+
+    wu = sub.add_parser(
+        "warmup",
+        help="prebuild the persistent compile cache; optionally pack it "
+             "into a deployable artifact (or --unpack one)")
+    wu.add_argument("--configs", default="sd15",
+                    help="comma list of configs to prebuild (txt2img "
+                         "program per config; other programs cache on "
+                         "first use into the same dir)")
+    wu.add_argument("--steps", type=int, default=20)
+    wu.add_argument("--sampler", default="dpm", choices=SAMPLER_CHOICES)
+    wu.add_argument("--batch-sizes", default="1",
+                    help="comma list of serving batch sizes to prebuild "
+                         "(the micro-batcher pads to powers of two: 1,2,4)")
+    wu.add_argument("--model-dir", default=None)
+    wu.add_argument("--cache-dir", default="~/.cache/sdtpu/xla")
+    wu.add_argument("--pack", default=None, metavar="TAR_GZ",
+                    help="write the cache dir as a gzip tar artifact")
+    wu.add_argument("--unpack", default=None, metavar="TAR_GZ",
+                    help="deploy: extract a packed artifact into "
+                         "--cache-dir and exit")
+    wu.add_argument("--log-level", type=int, default=2)
+    wu.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
+    wu.set_defaults(fn=_cmd_warmup)
 
     i = sub.add_parser("info", help="print version/backend/config info")
     i.set_defaults(fn=_cmd_info)

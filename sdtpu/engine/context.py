@@ -256,6 +256,16 @@ class Context:
             if not jax.config.jax_compilation_cache_dir:
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                # keep cache keys independent of the cache dir's absolute
+                # path: by default jax injects GPU-only sub-cache paths
+                # (xla_gpu_per_fusion_autotune_cache_dir, rooted under the
+                # cache dir) into the compile options, which are hashed
+                # into every cache key — so the same program keyed from a
+                # different dir MISSES and a packed warm-start artifact
+                # (`sdtpu warmup --pack`) would only work at its build
+                # path. Those sub-caches do nothing on CPU/TPU; drop them.
+                jax.config.update("jax_persistent_cache_enable_xla_caches",
+                                  "")
 
         with slog.logger_scope(self.logger):
             t0 = time.perf_counter()

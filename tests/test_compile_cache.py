@@ -15,6 +15,15 @@ REPO = Path(__file__).resolve().parents[1]
 CHILD = r"""
 import json, sys, time
 cache = sys.argv[1]
+import jax
+# cache EVERYTHING: with the default 1s min-compile-time floor, a program
+# compiling at ~1s gets cached in one process but not another (compile-time
+# jitter on a loaded 1-core box), making "no new entries" assertions flaky
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# relocatable keys (see Context): the default GPU sub-cache flag bakes the
+# cache dir's absolute path into every key
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
 import sdtpu
 t0 = time.perf_counter()
 ctx = sdtpu.Context(model_dir=None, steps=2, sampler="dpm", config="tiny",
@@ -49,3 +58,42 @@ def test_second_process_hits_persistent_cache(tmp_path):
     # a cache HIT adds no new executables; a miss would re-serialize under
     # a different key
     assert entries_after_second == entries_after_first
+
+
+def _cli(args, cwd, home):
+    return subprocess.run(
+        [sys.executable, "-m", "sdtpu.cli", *args],
+        capture_output=True, text=True, cwd=str(cwd), timeout=900,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PYTHONPATH": str(REPO), "HOME": str(home)},
+    )
+
+
+def test_warmup_packed_artifact_round_trip(tmp_path):
+    """VERDICT r3 #8: `sdtpu warmup --pack` builds a deployable compile-
+    cache artifact; a FRESH process pointed at the UNPACKED artifact must
+    warm-start (cache hit: its generate adds no new executables) — the
+    analogue of shipping the reference's serialized HTP blobs
+    (qnn_context.cpp:894-956)."""
+    build = tmp_path / "build-cache"
+    artifact = tmp_path / "warmcache.tar.gz"
+    r = _cli(["warmup", "--configs", "tiny", "--steps", "2",
+              "--cache-dir", str(build), "--pack", str(artifact),
+              "--platform", "cpu", "--log-level", "4"],
+             cwd=REPO, home=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    assert lines[-1]["entries"] > 0
+    assert lines[-1]["artifact"] == str(artifact)
+    assert artifact.exists() and artifact.stat().st_size > 0
+
+    deploy = tmp_path / "deploy-cache"
+    r = _cli(["warmup", "--unpack", str(artifact),
+              "--cache-dir", str(deploy)], cwd=REPO, home=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    shipped = {p.name for p in deploy.iterdir()}
+    assert shipped == {p.name for p in build.iterdir() if p.is_file()}
+
+    # fresh-process first-generate from the shipped cache: HIT, not rebuild
+    _run(deploy)
+    assert {p.name for p in deploy.iterdir()} == shipped
