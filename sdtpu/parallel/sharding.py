@@ -206,6 +206,7 @@ def jit_program_sharded(cfg, mesh: Mesh, *, kind: str = "generate",
             extra = list(pos) + [kw[n] for n in want]
             return jfn(params, tokens, uncond, key, guidance, *extra)
 
+        call.jfn = jfn  # underlying jax.jit object (lower()/compile() access)
         return call
 
     return build

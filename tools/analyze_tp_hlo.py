@@ -15,9 +15,15 @@ tools/analyze_tp_hlo.py [--spatial]
 
 from __future__ import annotations
 
-import collections
-import re
+import os
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
@@ -41,25 +47,16 @@ def main() -> int:
     build = sh.jit_generate_sharded(TINY, mesh, "dpm", 3, True,
                                     spatial=spatial)
     fn = build(params)
-    compiled = fn.lower(params, tokens, uncond, jax.random.PRNGKey(0),
-                        jnp.float32(7.5)).compile()
+    jfn = getattr(fn, "jfn", fn)
+    compiled = jfn.lower(params, tokens, uncond, jax.random.PRNGKey(0),
+                         jnp.float32(7.5)).compile()
     hlo = compiled.as_text()
 
-    counts = collections.Counter()
-    conv_shapes = collections.Counter()
-    dot_shapes = collections.Counter()
-    for line in hlo.splitlines():
-        s = line.strip()
-        m = re.match(r"%?[\w.-]+ = (\S+) (all-reduce|all-gather|"
-                     r"collective-permute|reduce-scatter|all-to-all)\(", s)
-        if m:
-            counts[m.group(2)] += 1
-        m = re.match(r"%?[\w.-]+ = (\S+) convolution\(", s)
-        if m:
-            conv_shapes[m.group(1)] += 1
-        m = re.match(r"%?[\w.-]+ = (\S+) dot\(", s)
-        if m:
-            dot_shapes[m.group(1)] += 1
+    from sdtpu.parallel.hlo import collective_counts, op_output_shapes
+
+    counts = collective_counts(hlo)
+    shapes = op_output_shapes(hlo)
+    conv_shapes, dot_shapes = shapes["convolution"], shapes["dot"]
     # collectives inside fusions/while bodies still appear as op lines; also
     # count raw occurrences as a cross-check
     raw = {k: hlo.count(f" {k}(") for k in
@@ -67,7 +64,7 @@ def main() -> int:
             "reduce-scatter")}
 
     print(f"mesh: {dict(mesh.shape)}  spatial={spatial}")
-    print(f"collectives (op-def lines): {dict(counts)}")
+    print(f"collectives (op-def lines): {counts}")
     print(f"collectives (raw mentions): {raw}")
     print("convolution per-shard output shapes (count):")
     for shp, n in conv_shapes.most_common():
