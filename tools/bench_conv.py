@@ -11,6 +11,11 @@ Prints one line per shape: xla_ms, pallas_ms (per conv), speedup.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

@@ -19,6 +19,11 @@ Usage: python tools/bench_init.py [--legs warm,cold] [--steps 20]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import subprocess

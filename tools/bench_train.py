@@ -8,6 +8,11 @@ has no training story; this is the TPU-native extension's hardware proof.
 Usage: python tools/bench_train.py   (needs the real TPU chip)
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import jax, jax.numpy as jnp, numpy as np

@@ -14,6 +14,11 @@ through an 8-deep stack so they cannot be parked in VMEM across iterations.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import jax

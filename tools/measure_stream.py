@@ -24,6 +24,11 @@ throughput and differ on latency shape only via batch boundaries.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import statistics
@@ -130,6 +135,11 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--arrival-ms", type=float, default=150.0)
+    ap.add_argument("--poisson", type=int, default=None, metavar="SEED",
+                    help="draw exponential inter-arrival gaps (mean "
+                         "--arrival-ms) from this seed instead of the "
+                         "uniform i*arrival_ms trace; both legs replay "
+                         "the SAME trace")
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
     ap.add_argument("--legs", default="stream,batch")
     args = ap.parse_args()
@@ -139,14 +149,25 @@ def main():
 
     ctx = sdtpu.Context(model_dir=None, steps=args.steps,
                         config=args.config, log_level=LogLevel.ERROR)
-    arrivals = [i * args.arrival_ms / 1e3 for i in range(args.requests)]
+    if args.poisson is not None:
+        import random
+
+        rng = random.Random(args.poisson)
+        t, arrivals = 0.0, []
+        for _ in range(args.requests):
+            arrivals.append(t)
+            t += rng.expovariate(1e3 / max(args.arrival_ms, 1e-6))
+    else:
+        arrivals = [i * args.arrival_ms / 1e3 for i in range(args.requests)]
     prompts = ["a photograph of an astronaut riding a horse",
                "a watercolor painting of a fox in a forest",
                "macro photo of a snowflake on dark wool",
                "a city street at night in the rain"]
 
     out = {"config": args.config, "steps": args.steps, "slots": args.slots,
-           "requests": args.requests, "arrival_ms": args.arrival_ms}
+           "requests": args.requests, "arrival_ms": args.arrival_ms,
+           "trace": ("poisson" if args.poisson is not None else "uniform"),
+           "poisson_seed": args.poisson}
     for leg in args.legs.split(","):
         t0 = time.perf_counter()
         if leg == "stream":

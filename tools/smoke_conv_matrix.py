@@ -11,6 +11,11 @@ any change to the kernel or its planner.
 Usage: python tools/smoke_conv_matrix.py   (needs the real TPU chip)
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import jax
