@@ -256,9 +256,12 @@ def _cmd_serve(args) -> int:
         cfg_interval=interval, deepcache=args.deepcache,
         tome_ratio=args.tome_ratio,
     )
+    stream_steps = (tuple(int(s) for s in args.stream_steps.split(","))
+                    if args.stream_steps else ())
     serve(ctx, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          stream_slots=args.stream_slots, max_queue=args.max_queue)
+          stream_slots=args.stream_slots, max_queue=args.max_queue,
+          stream_steps=stream_steps)
     return 0
 
 
@@ -692,6 +695,10 @@ def main(argv=None) -> int:
                          "requests through an N-slot iteration-level pool "
                          "(no batch barriers; live /preview support); 0 "
                          "keeps the barrier micro-batcher")
+    sv.add_argument("--stream-steps", default=None, metavar="K1,K2,...",
+                    help="stream mode: extra per-request step counts the "
+                         "pool schedules (clients pass \"steps\"); mixed "
+                         "step counts share one pooled eval")
     sv.add_argument("--max-queue", type=int, default=64,
                     help="backpressure: max waiting requests per worker; "
                          "excess requests get 503 + Retry-After")

@@ -214,10 +214,11 @@ class StreamWorker:
     ``tag`` can poll ``GET /preview?tag=...`` for a live latent-resolution
     preview while their request is in flight."""
 
-    def __init__(self, ctx, slots: int = 4, max_queue: int = 64):
+    def __init__(self, ctx, slots: int = 4, max_queue: int = 64,
+                 step_choices: tuple = ()):
         from sdtpu.engine.stream import StreamScheduler
 
-        self.sched = StreamScheduler(ctx, slots)
+        self.sched = StreamScheduler(ctx, slots, step_choices=step_choices)
         self.max_queue = max(1, int(max_queue))
         self._cv = threading.Condition()
         self._waiters: dict[int, dict] = {}
@@ -231,14 +232,16 @@ class StreamWorker:
                          name="sdtpu-stream").start()
 
     def submit(self, prompt: str, guidance: float, seed, negative_prompt,
-               tag: str | None = None) -> np.ndarray:
+               tag: str | None = None,
+               steps: int | None = None) -> np.ndarray:
         item = {"done": threading.Event(), "result": None, "error": None}
         with self._cv:
             if len(self.sched._queue) >= self.max_queue:
                 raise QueueFull(
                     f"stream queue full ({self.max_queue} waiting)")
             rid = self.sched.submit(prompt, guidance=guidance, seed=seed,
-                                    negative_prompt=negative_prompt)
+                                    negative_prompt=negative_prompt,
+                                    steps=steps)
             self._waiters[rid] = item
             if tag:
                 self._tags[str(tag)] = rid
@@ -404,6 +407,8 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 "sampler": ctx.sampler,
                 "max_batch": batcher.max_batch,
                 "stream_slots": stream.sched.slots if stream else 0,
+                "stream_step_choices": (
+                    list(stream.sched.step_choices) if stream else []),
                 "lora_adapters": ctx.lora_names(),
                 "controlnets": ctx.controlnet_names(),
             })
@@ -489,11 +494,34 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                                 control_scale=scale)
                         return self._image(img, fmt)
                     pag0 = req.get("pag_scale")
+                    steps_req = req.get("steps")
+                    if steps_req is not None:
+                        # per-request step counts are a stream-pool feature:
+                        # each choice has a precompiled per-slot solver plan
+                        if (isinstance(steps_req, bool)
+                                or not isinstance(steps_req, (int, float))
+                                or int(steps_req) != steps_req):
+                            return self._json(
+                                400, {"error": "'steps' must be an int"})
+                        steps_req = int(steps_req)
+                        if stream is None or lora is not None \
+                                or pag0 is not None:
+                            return self._json(400, {
+                                "error": "per-request 'steps' requires "
+                                         "stream mode (--stream-slots) and "
+                                         "no lora/pag_scale"})
+                        if steps_req not in stream.sched.step_choices:
+                            return self._json(400, {
+                                "error": f"'steps' must be one of "
+                                         f"{list(stream.sched.step_choices)}"
+                                         f" (--stream-steps), got "
+                                         f"{steps_req}"})
                     if (stream is not None and lora is None
                             and pag0 is None):
                         # continuous batching: join the step-level pool
                         img = stream.submit(prompt, guidance, seed, neg,
-                                            tag=req.get("tag"))
+                                            tag=req.get("tag"),
+                                            steps=steps_req)
                         return self._image(img, fmt)
                     # grouped by adapter AND by PAG on/off: the adapter
                     # changes the UNet weights; PAG selects a compiled
@@ -591,16 +619,19 @@ def serve(ctx, host: str = "127.0.0.1", port: int = 8000,
           ready_event: threading.Event | None = None,
           max_batch: int = 4, max_wait_ms: float = 25.0,
           max_body_mb: int = 32, stream_slots: int = 0,
-          max_queue: int = 64):
+          max_queue: int = 64, stream_steps: tuple = ()):
     """Blocking serve loop. `ready_event` is set once the socket is bound.
     ``stream_slots`` > 0 serves plain /generate requests through the
-    continuous-batching pool instead of the barrier micro-batcher.
+    continuous-batching pool instead of the barrier micro-batcher;
+    ``stream_steps`` lists additional per-request step counts the pool
+    schedules (heterogeneous traffic: clients pass ``"steps"``).
     ``max_queue`` bounds the number of waiting requests per worker; excess
     requests get 503 + Retry-After (backpressure, not unbounded buildup)."""
     lock = threading.Lock()
     batcher = MicroBatcher(ctx, lock, max_batch, max_wait_ms,
                            max_queue=max_queue)
-    stream = (StreamWorker(ctx, stream_slots, max_queue=max_queue)
+    stream = (StreamWorker(ctx, stream_slots, max_queue=max_queue,
+                           step_choices=stream_steps)
               if stream_slots else None)
     httpd = ThreadingHTTPServer(
         (host, port),

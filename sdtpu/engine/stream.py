@@ -31,12 +31,18 @@ Context.generate path to within ONE uint8 gray level (the pooled program
 compiles at a different UNet batch shape, so XLA's fusion/reduction order
 may differ at the f32 ulp level; tests/test_stream.py pins the bound).
 
-Scope: txt2img with per-request prompt/negative-prompt/guidance/seed, any
-registry sampler except the engine-driven ``plms_exact`` first-step
-special case; composes with guidance-embedded (LCM) configs — per-slot
-guidance rides the w embedding, making 4-step LCM requests flow through
-the pool at full occupancy. Long/weighted prompts, ControlNet, DeepCache
-and img2img stay on the static paths.
+Scope: txt2img with per-request prompt/negative-prompt/guidance/seed —
+and per-request STEP COUNT: ``StreamScheduler(ctx, step_choices=(4, 20,
+50))`` precomputes one solver plan per choice and the pooled step program
+gathers per-slot coefficient rows, so a 4-step draft and a 50-step final
+render share the same batched UNet eval (the heterogeneous-traffic case
+the barrier micro-batcher can only serve as separate per-step-count
+batches — measured in tools/measure_stream.py --steps-mix). Any registry
+sampler works except the engine-driven ``plms_exact`` first-step special
+case; composes with guidance-embedded (LCM) configs — per-slot guidance
+rides the w embedding, making 4-step LCM requests flow through the pool
+at full occupancy. Long/weighted prompts, ControlNet, DeepCache and
+img2img stay on the static paths.
 
 The reference has no serving story at all (single blocking C-API call,
 reference: libsdod.cpp:235, context.cpp:292-403); this subsystem is a
@@ -65,6 +71,7 @@ from sdtpu.samplers import NoiseSchedule, get_sampler
 class _Slot(NamedTuple):
     req_id: int
     steps_done: int      # host mirror of t_idx (deterministic — no fetch)
+    steps: int           # this request's step count (one of step_choices)
 
 
 class StreamScheduler:
@@ -80,7 +87,8 @@ class StreamScheduler:
     ``completed()`` to harvest finished images without blocking new work.
     """
 
-    def __init__(self, ctx, slots: int = 4):
+    def __init__(self, ctx, slots: int = 4,
+                 step_choices: Optional[tuple] = None):
         if ctx.sampler == "plms_exact":
             raise ValueError("plms_exact's engine-driven first step is not "
                              "step-schedulable; use plms")
@@ -92,7 +100,31 @@ class StreamScheduler:
         self.slots = int(slots)
         self.steps = int(ctx.steps)
         self._mod = get_sampler(ctx.sampler)
-        self._plan = self._mod.plan(NoiseSchedule.sd_v1(), self.steps)
+        # Heterogeneous pools: every step count in `step_choices` gets its
+        # own solver plan; the per-step coefficient tables are padded to the
+        # longest plan (padding rows are never EXECUTED — `t_idx < n_steps`
+        # gates every slot) and stacked into [P, max_steps, ...] lookup
+        # tables the compiled step program gathers per slot. A 4-step LCM-
+        # style request and a 50-step request then share one pooled UNet
+        # eval — the heterogeneous traffic case barrier batching can only
+        # serve as separate per-step-count batches.
+        choices = {self.steps} | {int(s) for s in (step_choices or ())}
+        if min(choices) < 1:
+            raise ValueError(f"step counts must be >= 1, got {choices}")
+        self.step_choices = tuple(sorted(choices))
+        plans = [self._mod.plan(NoiseSchedule.sd_v1(), s)
+                 for s in self.step_choices]
+        self.max_steps = max(self.step_choices)
+
+        def _pad(t):
+            t = np.asarray(t)
+            if t.shape[0] < self.max_steps:
+                reps = np.repeat(t[-1:], self.max_steps - t.shape[0], axis=0)
+                t = np.concatenate([t, reps], axis=0)
+            return t
+
+        self._plans = jax.tree.map(
+            lambda *ts: jnp.asarray(np.stack([_pad(t) for t in ts])), *plans)
         self._needs_noise = getattr(self._mod, "NEEDS_NOISE", False)
         self._needs_second = getattr(self._mod, "NEEDS_SECOND_EVAL", False)
         self._lcm = bool(self.cfg.unet.time_cond_proj_dim)
@@ -112,8 +144,11 @@ class StreamScheduler:
         probe = ctx._uncond  # [T', D'] (XL: packed pooled row included)
         self._cond = jnp.zeros((n,) + probe.shape, probe.dtype)
         self._un = jnp.zeros((n,) + probe.shape, probe.dtype)
-        # finished sentinel: t_idx == steps marks a free/inactive slot
-        self._t_idx = jnp.full((n,), self.steps, jnp.int32)
+        # inactive sentinel: t_idx >= n_steps marks a free slot (free slots
+        # carry n_steps == 0, so they are inactive at any t_idx)
+        self._t_idx = jnp.zeros((n,), jnp.int32)
+        self._n_steps = jnp.zeros((n,), jnp.int32)
+        self._plan_idx = jnp.zeros((n,), jnp.int32)
         self._guidance = jnp.ones((n,), jnp.float32)
         self._keys = jnp.zeros((n, 2), jnp.uint32)
 
@@ -137,8 +172,7 @@ class StreamScheduler:
 
     def _build_step(self):
         cfg = self.cfg
-        mod, plan = self._mod, self._plan
-        steps = self.steps
+        mod, plans = self._mod, self._plans
         use_cfg = self._use_cfg
         needs_noise = self._needs_noise
         needs_second = self._needs_second
@@ -146,18 +180,20 @@ class StreamScheduler:
         kernels = self.ctx.kernels
         n = self.slots
         dtype = cfg.compute_dtype
+        lanes = jnp.arange(n)
 
-        def gather_te(params, t_idx, w_feats, second=False):
-            mt = plan.model_t2 if second else plan.model_t
+        def gather_te(params, plan_n, t_idx, w_feats, second=False):
+            # per-slot UNet-facing timestep: each slot reads ITS plan's row
+            mt = (plan_n.model_t2 if second else plan_n.model_t)[lanes, t_idx]
             if lcm:
-                # [steps, N, D] (per-slot guidance embedding) -> [N, D]
-                tab = temb.apply(params["temb"], mt, cfg.unet, dtype=dtype,
-                                 cond=w_feats)
-                return tab[t_idx, jnp.arange(n)]
-            tab = temb.apply(params["temb"], mt, cfg.unet, dtype=dtype)
-            return tab[t_idx]
+                # per-slot [N] timesteps zipped with per-slot [N, F]
+                # guidance features -> [N, D]
+                return temb.apply(params["temb"], mt, cfg.unet, dtype=dtype,
+                                  cond=w_feats, cond_align="aligned")
+            return temb.apply(params["temb"], mt, cfg.unet, dtype=dtype)
 
-        def predict(params, x, t_idx, rows, te, add_emb, guidance, second):
+        def predict(params, x, plan_n, t_idx, rows, te, add_emb, guidance,
+                    second):
             """One pooled UNet eval; `rows` already CFG-stacked, `te` is
             per-slot [N, D] and duplicates across the CFG halves here."""
             r = 2 if use_cfg else 1
@@ -170,8 +206,10 @@ class StreamScheduler:
             eps = unet.apply(params["unet"], x_in, te, rows, cfg.unet,
                              kernels).astype(jnp.float32)
             if cfg.prediction == "v":
-                a = (plan.alpha_m if second else plan.alpha_s)[t_idx]
-                s = (plan.sigma_m if second else plan.sigma_s)[t_idx]
+                a = (plan_n.alpha_m if second
+                     else plan_n.alpha_s)[lanes, t_idx]
+                s = (plan_n.sigma_m if second
+                     else plan_n.sigma_s)[lanes, t_idx]
                 a = jnp.concatenate([a, a]) if r == 2 else a
                 s = jnp.concatenate([s, s]) if r == 2 else s
                 bshape = (-1,) + (1,) * (eps.ndim - 1)
@@ -191,37 +229,42 @@ class StreamScheduler:
             return eps
 
         if needs_noise:
-            def vstep(i, xi, epsi, sti, ni):
-                return mod.step(plan, i, xi, epsi, sti, noise=ni)
+            def vstep(pl, i, xi, epsi, sti, ni):
+                return mod.step(pl, i, xi, epsi, sti, noise=ni)
         elif needs_second:
-            def vstep(i, xi, epsi, sti, e2i):
-                return mod.step(plan, i, xi, epsi, sti, eps2=e2i)
+            def vstep(pl, i, xi, epsi, sti, e2i):
+                return mod.step(pl, i, xi, epsi, sti, eps2=e2i)
         else:
-            def vstep(i, xi, epsi, sti, _unused):
-                return mod.step(plan, i, xi, epsi, sti)
+            def vstep(pl, i, xi, epsi, sti, _unused):
+                return mod.step(pl, i, xi, epsi, sti)
 
+        # the per-slot plan rides the vmap: inside a lane the sampler sees
+        # an ordinary [max_steps]-table Plan, exactly as on the single path
         vmapped_step = jax.vmap(vstep)
 
-        def step_prog(params, x, state, cond, un, t_idx, guidance, keys):
-            active = t_idx < steps
+        def step_prog(params, x, state, cond, un, t_idx, guidance, keys,
+                      plan_idx, n_steps):
+            active = t_idx < n_steps
             # clamp so inactive slots index valid tables (result discarded)
-            i = jnp.minimum(t_idx, steps - 1)
+            i = jnp.minimum(t_idx, jnp.maximum(n_steps - 1, 0))
+            # [N, max_steps, ...] per-slot coefficient tables (P is tiny;
+            # XLA fuses these gathers into the surrounding elementwise work)
+            plan_n = jax.tree.map(lambda t: t[plan_idx], plans)
             w_feats = (temb.guidance_scale_features(
                 guidance - 1.0, cfg.unet.time_cond_proj_dim) if lcm else None)
             rows = jnp.concatenate([cond, un], axis=0) if use_cfg else cond
             rows, pooled = _unpack_context(rows, cfg)
             add_emb = (None if pooled is None
                        else _add_embedding(params, pooled, cfg))
-            te = gather_te(params, i, w_feats)
-            eps = predict(params, x, i, rows, te, add_emb, guidance,
+            te = gather_te(params, plan_n, i, w_feats)
+            eps = predict(params, x, plan_n, i, rows, te, add_emb, guidance,
                           second=False)
             if needs_second:
-                x_mid = jax.vmap(mod.predictor, in_axes=(None, 0, 0, 0))(
-                    plan, i, x, eps)
-                te2 = gather_te(params, i, w_feats, second=True)
-                eps2 = predict(params, x_mid, i, rows, te2, add_emb,
+                x_mid = jax.vmap(mod.predictor)(plan_n, i, x, eps)
+                te2 = gather_te(params, plan_n, i, w_feats, second=True)
+                eps2 = predict(params, x_mid, plan_n, i, rows, te2, add_emb,
                                guidance, second=True)
-                x_new, st_new = vmapped_step(i, x, eps, state, eps2)
+                x_new, st_new = vmapped_step(plan_n, i, x, eps, state, eps2)
             elif needs_noise:
                 # the single-path protocol: fold_in(key, base + i) PER
                 # SAMPLE — the stream depends on the request key and step
@@ -230,9 +273,9 @@ class StreamScheduler:
                     lambda k, ii: jax.random.normal(
                         jax.random.fold_in(k, _ANCESTRAL_FOLD + ii),
                         x.shape[1:], jnp.float32))(keys, i)
-                x_new, st_new = vmapped_step(i, x, eps, state, noise)
+                x_new, st_new = vmapped_step(plan_n, i, x, eps, state, noise)
             else:
-                x_new, st_new = vmapped_step(i, x, eps, state, None)
+                x_new, st_new = vmapped_step(plan_n, i, x, eps, state, None)
             bshape = (-1,) + (1,) * (x.ndim - 1)
             keep = active.reshape(bshape)
             x = jnp.where(keep, x_new, x)
@@ -246,8 +289,9 @@ class StreamScheduler:
         return step_prog
 
     @staticmethod
-    def _admit_prog(x, state, cond, un, t_idx, guidance, keys, slot,
-                    new_cond, new_un, new_g, new_key):
+    def _admit_prog(x, state, cond, un, t_idx, n_steps, plan_idx, guidance,
+                    keys, slot, new_cond, new_un, new_g, new_key,
+                    new_plan_idx, new_steps):
         """Install one request into `slot` (traced — one compiled program
         serves every slot index). Latent init matches the single path:
         ``normal(PRNGKey(seed))`` per request (pipeline.denoise)."""
@@ -258,9 +302,11 @@ class StreamScheduler:
         cond = cond.at[slot].set(new_cond.astype(cond.dtype))
         un = un.at[slot].set(new_un.astype(un.dtype))
         t_idx = t_idx.at[slot].set(0)
+        n_steps = n_steps.at[slot].set(new_steps)
+        plan_idx = plan_idx.at[slot].set(new_plan_idx)
         guidance = guidance.at[slot].set(new_g)
         keys = keys.at[slot].set(new_key)
-        return x, state, cond, un, t_idx, guidance, keys
+        return x, state, cond, un, t_idx, n_steps, plan_idx, guidance, keys
 
     # ------------------------------------------------------------------
     # host-side scheduling
@@ -268,11 +314,21 @@ class StreamScheduler:
 
     def submit(self, prompt: str, guidance: float = 7.5,
                seed: Optional[int] = None,
-               negative_prompt: Optional[str] = None) -> int:
-        """Enqueue a request; returns its id (images keyed by it)."""
+               negative_prompt: Optional[str] = None,
+               steps: Optional[int] = None) -> int:
+        """Enqueue a request; returns its id (images keyed by it).
+
+        `steps`: per-request step count — must be one of the scheduler's
+        ``step_choices`` (each choice has a precompiled solver plan in the
+        pooled step program); defaults to the context's step count."""
         from sdtpu import text as text_mod
 
         ctx = self.ctx
+        steps = self.steps if steps is None else int(steps)
+        if steps not in self.step_choices:
+            raise ValueError(
+                f"steps={steps} is not schedulable; this pool was built "
+                f"with step_choices={self.step_choices}")
         L = self.cfg.clip.context_len
         for p in (prompt, negative_prompt or ""):
             if text_mod.needs_chunking(ctx.tokenizer, p, L):
@@ -288,20 +344,24 @@ class StreamScheduler:
               else ctx._uncond)
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, cond, un, float(guidance), int(seed)))
+        self._queue.append((rid, cond, un, float(guidance), int(seed),
+                            steps))
         return rid
 
     def _admit_from_queue(self):
         while self._free and self._queue:
             slot = self._free.pop()
-            rid, cond, un, g, seed = self._queue.pop(0)
+            rid, cond, un, g, seed, steps = self._queue.pop(0)
             key = jax.random.PRNGKey(seed)
             (self._x, self._state, self._cond, self._un, self._t_idx,
-             self._guidance, self._keys) = self._admit_fn(
+             self._n_steps, self._plan_idx, self._guidance,
+             self._keys) = self._admit_fn(
                 self._x, self._state, self._cond, self._un, self._t_idx,
-                self._guidance, self._keys, jnp.int32(slot), cond, un,
-                jnp.float32(g), key)
-            self._live[slot] = _Slot(req_id=rid, steps_done=0)
+                self._n_steps, self._plan_idx, self._guidance, self._keys,
+                jnp.int32(slot), cond, un, jnp.float32(g), key,
+                jnp.int32(self.step_choices.index(steps)),
+                jnp.int32(steps))
+            self._live[slot] = _Slot(req_id=rid, steps_done=0, steps=steps)
 
     def tick(self) -> None:
         """One scheduling iteration: admit -> one pooled denoise step ->
@@ -312,11 +372,12 @@ class StreamScheduler:
             return
         self._x, self._state, self._t_idx = self._step_fn(
             self.ctx.params, self._x, self._state, self._cond, self._un,
-            self._t_idx, self._guidance, self._keys)
+            self._t_idx, self._guidance, self._keys, self._plan_idx,
+            self._n_steps)
         self.ticks += 1
         for slot, rec in list(self._live.items()):
             done = rec.steps_done + 1
-            if done >= self.steps:
+            if done >= rec.steps:
                 dev = self._decode_fn(self.ctx.params, self._x,
                                       jnp.int32(slot))
                 self._pending.append((rec.req_id, dev))

@@ -32,18 +32,23 @@ def init(key, cfg: UNetConfig):
     return p
 
 
-def apply(params, t, cfg: UNetConfig, dtype=None, cond=None):
+def apply(params, t, cfg: UNetConfig, dtype=None, cond=None,
+          cond_align: str = "outer"):
     """t: [...] float timesteps -> [..., time_embed_dim] embeddings.
 
     `cond`: optional guidance-scale features [time_cond_proj_dim] (scalar
     guidance) or [B, time_cond_proj_dim] (per-sample, batched serving) —
     projected bias-free and added to the fourier features before the MLP
     (the diffusers LCM convention). With a [B, ...] cond and t of shape
-    [steps], the result broadcasts to [steps, B, time_embed_dim]."""
+    [steps], the result broadcasts to [steps, B, time_embed_dim] when
+    ``cond_align="outer"`` (the default). ``cond_align="aligned"`` instead
+    adds elementwise — for callers whose t is already PER SAMPLE ([B]
+    timesteps zipped with [B, F] cond, e.g. the continuous-batching pool
+    where every slot sits at its own trajectory position)."""
     feats = timestep_features(t, cfg.model_channels)
     if cond is not None:
         proj = dense(params["cond_proj"], cond.astype(feats.dtype))
-        if proj.ndim == 2 and feats.ndim == 2:
+        if cond_align == "outer" and proj.ndim == 2 and feats.ndim == 2:
             # [steps, F] + [B, F] -> [steps, B, F]
             feats = feats[:, None, :] + proj[None, :, :]
         else:

@@ -36,12 +36,41 @@ assert jax.default_backend() == _platform, (
 )
 
 
+# Sub-minute smoke tier (VERDICT r3 #6): the modules below are each a few
+# seconds on the 1-core CPU backend; together they cover the tokenizer, all
+# sampler families, TINY end-to-end pipelines, and the engine infrastructure
+# (errors/logging/config).  Everything in them EXCEPT tests already marked
+# `slow` is auto-marked `smoke`, so `pytest -m smoke` is the fast gate:
+#   python -m pytest tests/ -m smoke -q        (<60 s target)
+#   python -m pytest tests/ -m "not slow" -q   (<5 min target)
+_SMOKE_MODULES = {
+    "test_tokenizer",
+    "test_samplers",
+    "test_pipeline",
+    "test_engine_infra",
+    "test_text",
+    "test_cfg_interval",
+}
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: multi-minute test (production-width golden parity); runs by "
         "default, deselect with -m 'not slow' for fast iteration",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: sub-minute fast gate (tokenizer/samplers/pipeline-TINY/"
+        "engine-infra); select with -m smoke",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _SMOKE_MODULES
+                and item.get_closest_marker("slow") is None):
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture(scope="session")

@@ -628,7 +628,8 @@ def stream_server():
     ready = threading.Event()
     t = threading.Thread(
         target=serve, args=(ctx,),
-        kwargs={"port": 0, "ready_event": ready, "stream_slots": 2},
+        kwargs={"port": 0, "ready_event": ready, "stream_slots": 2,
+                "stream_steps": (3,)},
         daemon=True,
     )
     t.start()
@@ -664,6 +665,51 @@ def test_stream_mode_serving(stream_server):
     for s in (41, 42, 43):
         np.testing.assert_array_equal(
             outs[s], ctx.generate("the horse", seed=s))
+
+
+def test_stream_mode_per_request_steps(stream_server):
+    """Heterogeneous traffic over HTTP: a client's "steps" rides the
+    pool's per-slot solver plans; invalid step counts get typed 400s."""
+    ctx, base = stream_server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["stream_step_choices"] == [3, 6]
+
+    status, ctype, body = _post(
+        base + "/generate",
+        {"prompt": "the horse", "seed": 77, "steps": 3, "format": "raw"})
+    assert status == 200, body
+    img = np.frombuffer(body, np.uint8).reshape(
+        ctx.cfg.image_size, ctx.cfg.image_size, 3)
+    old = ctx.steps
+    ctx.set_steps(3)
+    try:
+        ref = ctx.generate("the horse", seed=77)
+    finally:
+        ctx.set_steps(old)
+    d = np.abs(img.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+    # not in the pool's plan set -> typed 400 naming the choices
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "x", "steps": 5, "format": "raw"})
+    assert status == 400 and b"[3, 6]" in body
+    # steps must be an int
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "x", "steps": 3.5, "format": "raw"})
+    assert status == 400 and b"must be an int" in body
+    # steps is stream-pool-only: a PAG request takes the static path
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "x", "steps": 3, "pag_scale": 1.0,
+                             "format": "raw"})
+    assert status == 400 and b"stream mode" in body
+
+
+def test_steps_rejected_without_stream_mode(server):
+    """The barrier-batcher server has no per-request steps: typed 400."""
+    _, base = server
+    status, _, body = _post(base + "/generate",
+                            {"prompt": "x", "steps": 4, "format": "raw"})
+    assert status == 400 and b"stream mode" in body
 
 
 def test_stream_mode_preview_and_fallbacks(stream_server):

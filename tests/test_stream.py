@@ -119,6 +119,54 @@ def test_stream_previews(ctx):
     assert sched.previews() == {}
 
 
+def test_stream_mixed_steps(ctx):
+    """Heterogeneous pool: requests with DIFFERENT step counts share one
+    pooled step program (per-slot solver plans); each image reproduces the
+    single path at ITS step count."""
+    sched = StreamScheduler(ctx, slots=2, step_choices=(2, 4, 6))
+    ra = sched.submit(PROMPT, seed=31, steps=2)
+    rb = sched.submit("a fox", seed=32, steps=6)
+    rc = sched.submit(PROMPT, seed=33)          # default = ctx.steps (4)
+    out = sched.drain()
+    assert set(out) == {ra, rb, rc}
+    for rid, (prompt, seed, steps) in {
+            ra: (PROMPT, 31, 2), rb: ("a fox", 32, 6),
+            rc: (PROMPT, 33, 4)}.items():
+        old = ctx.steps
+        ctx.set_steps(steps)
+        try:
+            ref = ctx.generate(prompt, seed=seed)
+        finally:
+            ctx.set_steps(old)
+        assert_pixels_match(out[rid], ref)
+    # the 2-step request retired early and freed its slot while the 6-step
+    # one was still mid-trajectory: total ticks < sum of sequential runs
+    assert sched.ticks < 2 + 6 + 4
+
+
+def test_stream_mixed_steps_multistep_history():
+    """Multistep solvers (per-slot State history) under heterogeneous
+    plans: the solver's i2r/coefficient rows come from the REQUEST's plan,
+    not the pool's longest one."""
+    c = sdtpu.Context(config="tiny", steps=3, sampler="unipc")
+    sched = StreamScheduler(c, slots=2, step_choices=(3, 5))
+    r1 = sched.submit(PROMPT, seed=41, steps=5)
+    r2 = sched.submit("a fox", seed=42, steps=3)
+    out = sched.drain()
+    c.set_steps(5)
+    ref1 = c.generate(PROMPT, seed=41)
+    c.set_steps(3)
+    ref2 = c.generate("a fox", seed=42)
+    assert_pixels_match(out[r1], ref1)
+    assert_pixels_match(out[r2], ref2)
+
+
+def test_stream_mixed_steps_rejects_unplanned(ctx):
+    sched = StreamScheduler(ctx, slots=1, step_choices=(4, 8))
+    with pytest.raises(ValueError, match="step_choices"):
+        sched.submit(PROMPT, steps=6)
+
+
 def test_stream_rejects_unsupported(ctx):
     sched = StreamScheduler(ctx, slots=1)
     with pytest.raises(ValueError, match="long/weighted"):

@@ -42,10 +42,11 @@ def _percentiles(xs):
             "max": round(max(xs), 4)}
 
 
-def leg_stream(ctx, arrivals, prompts, slots):
+def leg_stream(ctx, arrivals, prompts, slots, steps_of):
     from sdtpu.engine.stream import StreamScheduler
 
-    sched = StreamScheduler(ctx, slots=slots)
+    sched = StreamScheduler(ctx, slots=slots,
+                            step_choices=tuple(set(steps_of)))
     # warm the compiled programs (admit + step + decode) outside the clock
     wid = sched.submit("warmup", seed=0)
     sched.drain()
@@ -58,7 +59,8 @@ def leg_stream(ctx, arrivals, prompts, slots):
     while len(done_at) < len(arrivals):
         now = time.perf_counter() - t0
         while i < len(arrivals) and arrivals[i] <= now:
-            rid = sched.submit(prompts[i % len(prompts)], seed=100 + i)
+            rid = sched.submit(prompts[i % len(prompts)], seed=100 + i,
+                               steps=steps_of[i])
             sub_at[rid] = arrivals[i]
             i += 1
         if sched._queue or sched._live:
@@ -72,50 +74,62 @@ def leg_stream(ctx, arrivals, prompts, slots):
     return total, lats
 
 
-def leg_batch(ctx, arrivals, prompts, slots, max_wait_s):
+def leg_batch(ctx, arrivals, prompts, slots, max_wait_s, steps_of):
     """The MicroBatcher's collect policy + the double-buffered dispatch
-    schedule, inline (same policy as engine/server.MicroBatcher._run)."""
+    schedule, inline (same policy as engine/server.MicroBatcher._run).
+
+    With a mixed-steps trace, only SAME-step-count requests share a batch
+    (the server's kind-keyed grouping: the step count is baked into the
+    compiled batch program) — the structural disadvantage vs the stream
+    pool, which mixes step counts inside one eval."""
     # warmup at the batch sizes the trace will produce (padded pow-2 sizes
     # are what the server compiles; here we dispatch exact sizes 1..slots)
-    for b in range(1, slots + 1):
-        ctx.generate_batch([{"prompt": "warmup", "seed": i}
-                            for i in range(b)])
+    for k in sorted(set(steps_of)):
+        ctx.set_steps(k)
+        for b in range(1, slots + 1):
+            ctx.generate_batch([{"prompt": "warmup", "seed": i}
+                                for i in range(b)])
 
     done_at = {}
     t0 = time.perf_counter()
-    i = 0
-    pending = None  # (ids, fetch)
+    i = 0            # next arrival not yet absorbed
+    ready = []       # arrived, unbatched request indices (FIFO)
+    pending = None   # (ids, fetch)
+
+    def absorb(now):
+        nonlocal i
+        while i < len(arrivals) and arrivals[i] <= now:
+            ready.append(i)
+            i += 1
+
     while len(done_at) < len(arrivals):
         now = time.perf_counter() - t0
-        # collect: block for the first arrival, linger max_wait for mates
-        if i < len(arrivals):
-            if arrivals[i] > now and pending is None:
-                time.sleep(arrivals[i] - now)
-                now = time.perf_counter() - t0
-            batch = []
-            if arrivals[i] <= now:
-                deadline = now + max_wait_s
-                while len(batch) < slots and i < len(arrivals):
-                    now = time.perf_counter() - t0
-                    if arrivals[i] <= now:
-                        batch.append(i)
-                        i += 1
-                    elif arrivals[i] <= deadline and pending is None:
-                        time.sleep(arrivals[i] - now)
-                    else:
-                        break
-            if batch:
-                fetch = ctx.generate_batch_async(
-                    [{"prompt": prompts[j % len(prompts)], "seed": 100 + j}
-                     for j in batch])
-                if pending is not None:
-                    pids, pfetch = pending
-                    pfetch()
-                    tdone = time.perf_counter() - t0
-                    for j in pids:
-                        done_at[j] = tdone
-                pending = (batch, fetch)
-                continue
+        absorb(now)
+        if ready:
+            # head-of-line kind; collect same-kind mates, linger max_wait
+            kind = steps_of[ready[0]]
+            deadline = now + max_wait_s
+            batch = [j for j in ready if steps_of[j] == kind][:slots]
+            while (len(batch) < slots and i < len(arrivals)
+                   and pending is None and arrivals[i] <= deadline):
+                time.sleep(max(0.0, arrivals[i]
+                               - (time.perf_counter() - t0)))
+                absorb(time.perf_counter() - t0)
+                batch = [j for j in ready if steps_of[j] == kind][:slots]
+            for j in batch:
+                ready.remove(j)
+            ctx.set_steps(kind)
+            fetch = ctx.generate_batch_async(
+                [{"prompt": prompts[j % len(prompts)], "seed": 100 + j}
+                 for j in batch])
+            if pending is not None:
+                pids, pfetch = pending
+                pfetch()
+                tdone = time.perf_counter() - t0
+                for j in pids:
+                    done_at[j] = tdone
+            pending = (batch, fetch)
+            continue
         if pending is not None:
             pids, pfetch = pending
             pfetch()
@@ -123,6 +137,8 @@ def leg_batch(ctx, arrivals, prompts, slots, max_wait_s):
             for j in pids:
                 done_at[j] = tdone
             pending = None
+        elif i < len(arrivals):
+            time.sleep(max(0.0, arrivals[i] - now))
     total = max(done_at.values())
     lats = [done_at[j] - arrivals[j] for j in done_at]
     return total, lats
@@ -141,6 +157,11 @@ def main():
                          "uniform i*arrival_ms trace; both legs replay "
                          "the SAME trace")
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--steps-mix", default=None, metavar="K1,K2,...",
+                    help="heterogeneous traffic: request i uses the i-th "
+                         "step count (cycled). The stream pool mixes step "
+                         "counts inside one eval; the batcher groups by "
+                         "step count (kind-keyed), its production policy")
     ap.add_argument("--legs", default="stream,batch")
     args = ap.parse_args()
 
@@ -163,18 +184,23 @@ def main():
                "a watercolor painting of a fox in a forest",
                "macro photo of a snowflake on dark wool",
                "a city street at night in the rain"]
+    mix = ([int(s) for s in args.steps_mix.split(",")]
+           if args.steps_mix else [args.steps])
+    steps_of = [mix[i % len(mix)] for i in range(args.requests)]
 
     out = {"config": args.config, "steps": args.steps, "slots": args.slots,
            "requests": args.requests, "arrival_ms": args.arrival_ms,
            "trace": ("poisson" if args.poisson is not None else "uniform"),
-           "poisson_seed": args.poisson}
+           "poisson_seed": args.poisson,
+           "steps_mix": (mix if args.steps_mix else None)}
     for leg in args.legs.split(","):
         t0 = time.perf_counter()
         if leg == "stream":
-            total, lats = leg_stream(ctx, arrivals, prompts, args.slots)
+            total, lats = leg_stream(ctx, arrivals, prompts, args.slots,
+                                     steps_of)
         elif leg == "batch":
             total, lats = leg_batch(ctx, arrivals, prompts, args.slots,
-                                    args.max_wait_ms / 1e3)
+                                    args.max_wait_ms / 1e3, steps_of)
         else:
             raise SystemExit(f"unknown leg {leg!r}")
         out[leg] = {
