@@ -36,20 +36,18 @@ assert jax.default_backend() == _platform, (
 )
 
 
-# Sub-minute smoke tier (VERDICT r3 #6): the modules below are each a few
-# seconds on the 1-core CPU backend; together they cover the tokenizer, all
-# sampler families, TINY end-to-end pipelines, and the engine infrastructure
-# (errors/logging/config).  Everything in them EXCEPT tests already marked
-# `slow` is auto-marked `smoke`, so `pytest -m smoke` is the fast gate:
-#   python -m pytest tests/ -m smoke -q        (<60 s target)
-#   python -m pytest tests/ -m "not slow" -q   (<5 min target)
+# Sub-minute smoke tier (VERDICT r3 #6): `pytest -m smoke` is the fast
+# gate — tokenizer + engine infrastructure (the modules below, auto-marked)
+# plus individually `@pytest.mark.smoke`-decorated fast tests in
+# test_samplers.py (plan math, no torch goldens) and test_pipeline.py
+# (TINY end-to-end + error surfaces). Measured ~60 s on this 1-core CPU
+# host (timings in README "Tests"); the torch-golden and wide-shape tests
+# stay out.
+#   python -m pytest tests/ -m smoke -q        (~1 min)
+#   python -m pytest tests/ -m "not slow" -q   (fuller, several minutes)
 _SMOKE_MODULES = {
     "test_tokenizer",
-    "test_samplers",
-    "test_pipeline",
     "test_engine_infra",
-    "test_text",
-    "test_cfg_interval",
 }
 
 

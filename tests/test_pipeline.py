@@ -16,6 +16,7 @@ def ctx():
     return sdtpu.Context(config="tiny", steps=4, threads=3)
 
 
+@pytest.mark.smoke
 def test_generate_shape_dtype(ctx):
     img = ctx.generate(PROMPT, guidance=7.5, seed=42)
     size = ctx.cfg.image_size
@@ -23,6 +24,7 @@ def test_generate_shape_dtype(ctx):
     assert img.dtype == np.uint8
 
 
+@pytest.mark.smoke
 def test_fixed_seed_determinism(ctx):
     a = ctx.generate(PROMPT, guidance=7.5, seed=123)
     b = ctx.generate(PROMPT, guidance=7.5, seed=123)
@@ -85,6 +87,7 @@ def test_set_steps_recompiles(ctx):
         ctx.set_steps(4)
 
 
+@pytest.mark.smoke
 def test_error_surfaces():
     with pytest.raises(SdtpuError) as ei:
         sdtpu.Context(config="tiny", steps=0)
@@ -101,6 +104,7 @@ def test_failed_context_gives_up(ctx_cls=sdtpu.Context):
         pytest.fail("expected failure")
 
 
+@pytest.mark.smoke
 def test_empty_prompt_list(ctx):
     with pytest.raises(SdtpuError) as ei:
         ctx.generate([])

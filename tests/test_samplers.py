@@ -16,6 +16,7 @@ def sched():
     return NoiseSchedule.sd_v1()
 
 
+@pytest.mark.smoke
 def test_schedule_tables(sched):
     # beta schedule endpoints (reference: dpm_solver.cpp:84-97 constants)
     betas = np.linspace(np.sqrt(0.00085), np.sqrt(0.0120), 1000) ** 2
@@ -31,6 +32,7 @@ def test_schedule_tables(sched):
     assert np.allclose(sched.marginal_lambda(t), np.log(a / s), atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_sampling_time_grids(sched):
     ts = sched.sampling_times(20)
     assert ts.shape == (21,)
@@ -308,6 +310,7 @@ def test_new_samplers_e2e_and_cross_path_determinism():
         np.testing.assert_array_equal(a, bat[0])
 
 
+@pytest.mark.smoke
 def test_cli_sampler_choices_match_registry():
     """cli.SAMPLER_CHOICES is a jax-import-free literal; keep it in sync."""
     from sdtpu.cli import SAMPLER_CHOICES
@@ -328,6 +331,7 @@ def test_plms_ab_coefficients(sched):
     assert np.allclose(c.sum(-1), 1.0)
 
 
+@pytest.mark.smoke
 def test_steps_are_scannable_and_jittable(sched):
     """The whole denoise loop must trace into a single lax.scan under jit —
     this is the core TPU design requirement (no host round-trips,
