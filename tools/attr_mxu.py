@@ -155,7 +155,10 @@ def attribute(ops_us: dict, mxu: dict, comp_ops: dict, fusion_calls: dict):
     for ev_name, rec in ops_us.items():
         us = rec["total_us"]
         total_us += us
-        name = ev_name.lstrip("%")
+        # device events on the TPU backend are named with the full HLO def
+        # text ("%fusion.3 = f32[...] fusion(...), calls=..."); the op name
+        # is the token before " = "
+        name = ev_name.split(" = ")[0].strip().lstrip("%")
         targets = []
         if name in mxu:
             targets = [name]
