@@ -284,10 +284,13 @@ def _cmd_warmup(args) -> int:
         root = cache_dir.resolve()
         with tarfile.open(args.unpack, "r:gz") as tf:
             for m in tf.getmembers():
+                # --pack writes flat arcnames, so a legitimate member must
+                # resolve to a DIRECT child of the cache dir; a str-prefix
+                # check would admit '../xla2/f' next to '.../xla'
                 p = (cache_dir / m.name).resolve()
-                if not m.isfile() or not str(p).startswith(str(root)):
+                if not m.isfile() or p.parent != root:
                     raise SystemExit(f"unsafe archive member {m.name!r}")
-            tf.extractall(cache_dir)
+            tf.extractall(cache_dir, filter="data")
         n = sum(1 for _ in cache_dir.iterdir())
         print(json.dumps({"unpacked_to": str(cache_dir), "entries": n}))
         return 0

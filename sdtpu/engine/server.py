@@ -442,8 +442,13 @@ def make_handler(ctx, lock: threading.Lock, batcher: MicroBatcher,
                 guidance = _finite("guidance", req.get("guidance"), 7.5)
                 seed = req.get("seed")
                 if seed is not None:
+                    # reject non-finite floats BEFORE int(): 1e999 parses to
+                    # inf and int(inf) raises OverflowError, which would fall
+                    # through to the generic 500 instead of the typed 400
                     if isinstance(seed, bool) or not isinstance(
-                            seed, (int, float)) or int(seed) != seed:
+                            seed, (int, float)) or (
+                            isinstance(seed, float)
+                            and not math.isfinite(seed)) or int(seed) != seed:
                         return self._json(400,
                                           {"error": "'seed' must be an int"})
                     seed = int(seed)

@@ -17,16 +17,20 @@ import re
 COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all")
 
+# Real-TPU compiles can emit collectives as fusion ROOTs or in async form
+# (all-reduce-start / all-reduce-done); match the ROOT prefix and count a
+# start/done pair once (the -start carries the op, -done is bookkeeping).
 _OP_DEF = re.compile(
-    r"%?[\w.-]+ = (\S+) (" + "|".join(COLLECTIVES) + r")\(")
-_CONV_DEF = re.compile(r"%?[\w.-]+ = (\S+) convolution\(")
-_DOT_DEF = re.compile(r"%?[\w.-]+ = (\S+) dot\(")
+    r"(?:ROOT )?%?[\w.-]+ = (\S+) ("
+    + "|".join(COLLECTIVES) + r")(-start)?\(")
+_CONV_DEF = re.compile(r"(?:ROOT )?%?[\w.-]+ = (\S+) convolution\(")
+_DOT_DEF = re.compile(r"(?:ROOT )?%?[\w.-]+ = (\S+) dot\(")
 
 
 def collective_counts(hlo_text: str) -> dict[str, int]:
     """Count collective op DEFINITIONS (one per op, including inside fusions
-    and while bodies) in compiled HLO text. Ops that were never emitted
-    appear with count 0."""
+    and while bodies, sync or async-start form) in compiled HLO text. Ops
+    that were never emitted appear with count 0."""
     counts = collections.Counter({k: 0 for k in COLLECTIVES})
     for line in hlo_text.splitlines():
         m = _OP_DEF.match(line.strip())

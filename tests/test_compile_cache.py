@@ -97,3 +97,38 @@ def test_warmup_packed_artifact_round_trip(tmp_path):
     # fresh-process first-generate from the shipped cache: HIT, not rebuild
     _run(deploy)
     assert {p.name for p in deploy.iterdir()} == shipped
+
+
+def test_warmup_unpack_rejects_traversal(tmp_path):
+    """ADVICE r4 (medium): a tampered artifact whose member escapes the
+    cache dir — including the str-prefix trap '../<dir>2/f' that resolves
+    to a SIBLING sharing the path prefix — must be rejected, and nothing
+    may be written outside --cache-dir."""
+    import tarfile
+
+    cache = tmp_path / "xla"
+    cache.mkdir()
+    sibling_trap = tmp_path / "xla2"  # str-startswith would admit this
+    for member in ("../xla2/pwned", "../outside", "/abs/path", "a/../../b"):
+        art = tmp_path / "evil.tar.gz"
+        with tarfile.open(art, "w:gz") as tf:
+            p = tmp_path / "payload"
+            p.write_bytes(b"x")
+            tf.add(p, arcname=member)
+        r = _cli(["warmup", "--unpack", str(art), "--cache-dir", str(cache)],
+                 cwd=REPO, home=tmp_path)
+        assert r.returncode != 0, (member, r.stdout)
+        assert "unsafe archive member" in (r.stdout + r.stderr), member
+        assert not sibling_trap.exists()
+        assert not (tmp_path / "outside").exists()
+        assert not any(cache.iterdir())
+    # a well-formed flat member still unpacks
+    art = tmp_path / "good.tar.gz"
+    with tarfile.open(art, "w:gz") as tf:
+        p = tmp_path / "entry"
+        p.write_bytes(b"ok")
+        tf.add(p, arcname="entry")
+    r = _cli(["warmup", "--unpack", str(art), "--cache-dir", str(cache)],
+             cwd=REPO, home=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (cache / "entry").read_bytes() == b"ok"

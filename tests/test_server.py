@@ -293,6 +293,8 @@ def test_malformed_payloads_rejected_400(server):
         (gen, b'{"prompt": "x", "guidance": Infinity}'),
         (gen, json.dumps({"prompt": "x", "seed": 1.5}).encode()),
         (gen, json.dumps({"prompt": "x", "seed": True}).encode()),
+        (gen, b'{"prompt": "x", "seed": 1e999}'),        # inf: int() raises
+        (gen, b'{"prompt": "x", "seed": -1e999}'),
         (gen, json.dumps({"prompt": "x",
                           "negative_prompt": 7}).encode()),
         (gen, json.dumps({"prompt": "x", "lora": 3}).encode()),

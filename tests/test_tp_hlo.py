@@ -92,3 +92,31 @@ def test_convs_replicate_dots_shard(compiled_hlo):
     assert not (sharded_widths & conv_channels), (
         "conv outputs shrank by the model axis — the replicate-convs "
         "design regressed", sharded_widths & conv_channels)
+
+
+def test_collective_counts_root_and_async_forms():
+    """ADVICE r4: real-TPU compiles emit collectives as fusion ROOTs and in
+    async start/done form; the counter must see both and count a
+    start/done pair exactly once (pure text-parsing unit test, no mesh)."""
+    hlo = "\n".join([
+        "ENTRY %main (p0: f32[8]) -> f32[8] {",
+        "  %p0 = f32[8]{0} parameter(0)",
+        "  %ar0 = f32[8]{0} all-reduce(%p0), replica_groups={}",
+        "  %ars = f32[8]{0} all-reduce-start(%ar0), replica_groups={}",
+        "  %ard = f32[8]{0} all-reduce-done(%ars)",
+        "  %ags = f32[16]{0} all-gather-start(%ard), dimensions={0}",
+        "  %agd = f32[16]{0} all-gather-done(%ags)",
+        "  ROOT %cp = f32[8]{0} collective-permute(%ard), "
+        "source_target_pairs={{0,1}}",
+        "}",
+    ])
+    counts = collective_counts(hlo)
+    assert counts["all-reduce"] == 2      # sync + start (done not counted)
+    assert counts["all-gather"] == 1      # start only
+    assert counts["collective-permute"] == 1  # ROOT-prefixed
+    assert counts["reduce-scatter"] == 0
+    shapes = op_output_shapes(
+        "ROOT %c = f32[1,4,4,8]{3,2,1,0} convolution(%a, %b), dims\n"
+        "%d = f32[2,8]{1,0} dot(%x, %y), contracting_dims={1}")
+    assert shapes["convolution"]["f32[1,4,4,8]{3,2,1,0}"] == 1
+    assert shapes["dot"]["f32[2,8]{1,0}"] == 1

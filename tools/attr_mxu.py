@@ -174,7 +174,11 @@ def attribute(ops_us: dict, mxu: dict, comp_ops: dict, fusion_calls: dict):
         for t, f in zip(targets, fl):
             k = mxu[t]["key"]
             per_key[k]["us"] += us * f / tot
-            per_key[k]["flops"] += f * rec["count"] / max(rec["count"], 1)
+            # accumulate total EXECUTED flops directly: several distinct HLO
+            # ops share one shape key (repeated UNet blocks), so a
+            # flops-per-exec * count-at-print scheme would multiply by the
+            # number of distinct ops and inflate TFLOP/s by that factor
+            per_key[k]["flops"] += f * rec["count"]
             per_key[k]["count"] += rec["count"]
     return per_key, matched_us, total_us
 
@@ -277,12 +281,12 @@ def main():
           "GFLOP | TFLOP/s | %peak |")
     print("|---|---|---|---|---|---|")
     for key, r in rows[: args.top]:
-        tflops = r["flops"] * r["count"] / max(r["us"] * 1e-6, 1e-12) / 1e12
+        tflops = r["flops"] / max(r["us"] * 1e-6, 1e-12) / 1e12
         pk = f"{100 * tflops / peak:.0f}%" if peak else "-"
         print(f"| {key} | {r['us']/1e3:.3f} | "
               f"{100*r['us']/max(total_us,1):.1f}% | "
-              f"{r['flops']*r['count']/1e9:.1f} | {tflops:.1f} | {pk} |")
-    mxu_fl = sum(r["flops"] * r["count"] for r in per_key.values())
+              f"{r['flops']/1e9:.1f} | {tflops:.1f} | {pk} |")
+    mxu_fl = sum(r["flops"] for r in per_key.values())
     if total_us:
         eff = mxu_fl / (total_us * 1e-6) / 1e12
         print(f"\n# whole-part: {mxu_fl/1e12:.2f} TFLOP / "
