@@ -54,17 +54,9 @@ ITERS = int(os.environ.get("SDTPU_BENCH_ITERS", "25"))
 # 0.511-0.562 across 120 calls; band widened for session variance.
 HEALTHY_BAND_S = (0.40, 0.70)
 
-# Per-part FLOPs from compiled-executable cost_analysis on TPU v5e
-# (tools/extract_flops.py, 2026-08-19, kernels=pallas). unet_cfg is the
-# batch-2 cond+uncond hot-loop shape, i.e. per CFG step per image.
-PART_FLOPS = {
-    "sd15": {"unet_cfg": 1.552361193472e12, "clip": 1.3363400704e10,
-             "vae_dec": 2.578692702208e12, "temb": 8.214352e7},
-}
-
-# bf16 peak TFLOP/s by device kind (first token match wins)
-PEAK_TFLOPS = [("v5 lite", 197.0), ("v5e", 197.0), ("v6 lite", 918.0),
-               ("v6e", 918.0), ("v4", 275.0), ("v5p", 459.0)]
+# Per-part FLOP constants + MFU arithmetic live in sdtpu/bench/flops.py
+# (shared with tools/measure_families.py and pinned against live
+# cost_analysis by tests/test_flops_pinned.py).
 
 
 def probe_env() -> dict:
@@ -126,27 +118,38 @@ def env_evidence(fp: dict, init_s: float) -> list[str]:
     return ev
 
 
+def probe_tax_ms(fp: dict, image_size: int) -> float:
+    """Probe-predicted per-generate tunnel overhead (VERDICT r4 weak #4):
+    one program dispatch plus the host fetch of the uint8 HWC image, scaled
+    from the measured 64 KB round-trip. Recorded so medians from different
+    sessions can be compared net of session transport."""
+    img_kb64 = (image_size * image_size * 3) / 65536.0
+    return round(fp.get("dispatch_ms", 0.0)
+                 + fp.get("transfer_ms_64kb", 0.0) * img_kb64, 2)
+
+
+def cache_entry_count() -> int:
+    """Number of entries in the persistent XLA compile cache directory (the
+    hit/miss signal: a generate that compiles new HLO writes new entries).
+    Falls back to Context's default cache dir before jax config is set."""
+    import jax
+
+    d = (jax.config.jax_compilation_cache_dir
+         or os.environ.get("SDTPU_COMPILE_CACHE", "~/.cache/sdtpu/xla"))
+    p = os.path.expanduser(d)
+    if not os.path.isdir(p):
+        return 0
+    return sum(1 for _ in os.scandir(p))
+
+
 def mfu_fields(config: str, steps: int, value_s: float, batch: int,
                device_kind: str, pure: bool) -> dict:
-    """Analytic MFU from committed per-part FLOP constants. Only emitted for
-    the full-UNet-per-step path (no deepcache/cfg-interval/ToMe/quant, which
-    change the per-step FLOPs)."""
-    pf = PART_FLOPS.get(config)
-    if pf is None or not pure or value_s <= 0:
-        return {}
-    flops = (pf["unet_cfg"] * steps + pf["clip"] * 2 + pf["vae_dec"]
-             + pf["temb"])
-    tflop = flops / 1e12
-    tflops_s = tflop / value_s
-    out = {"tflop_per_image": round(tflop, 2),
-           "tflop_per_s": round(tflops_s, 1)}
-    kind = device_kind.lower()
-    for token, peak in PEAK_TFLOPS:
-        if token in kind:
-            out["mfu_pct"] = round(100.0 * tflops_s / peak, 1)
-            out["peak_tflops_bf16"] = peak
-            break
-    return out
+    """Analytic MFU from committed per-part FLOP constants
+    (sdtpu/bench/flops.py). Only emitted for the full-UNet-per-step path
+    (no deepcache/cfg-interval/ToMe/quant, which change per-step FLOPs)."""
+    from sdtpu.bench import flops as fl
+
+    return fl.mfu_fields(config, steps, value_s, device_kind, pure=pure)
 
 
 def main() -> int:
@@ -169,6 +172,7 @@ def main() -> int:
     sampler = os.environ.get("SDTPU_BENCH_SAMPLER", "dpm")
     tome = float(os.environ.get("SDTPU_BENCH_TOME", "0"))
     kernels = os.environ.get("SDTPU_BENCH_KERNELS", "auto")
+    cache_before = cache_entry_count()
     ctx = sdtpu.Context(
         model_dir=None, steps=steps, sampler=sampler, config=config,
         log_level=LogLevel.INFO,
@@ -220,6 +224,13 @@ def main() -> int:
         "env": fingerprint,
         "init_s": round(init_s, 1),
         "warmup": WARMUP, "iters": ITERS,
+        # VERDICT r4 weak #4: surface anomalous probe signals EVEN when the
+        # median lands in band — a uniformly ~25% degraded session must not
+        # pass silently — plus the probe-predicted per-call tunnel tax so
+        # medians from different sessions are comparable net of transport.
+        "env_warnings": env_evidence(fingerprint, init_s),
+        "probe_tax_per_call_ms": probe_tax_ms(fingerprint,
+                                              ctx.cfg.image_size),
     }
 
     if overlap and batch >= 1:
@@ -243,6 +254,10 @@ def main() -> int:
             pending = fetch
         pending()
         value = statistics.median(times)
+        cache_after = cache_entry_count()
+        extra["compile_cache"] = {"entries_before": cache_before,
+                                  "new_entries": cache_after - cache_before,
+                                  "miss": cache_after > cache_before}
         print(f"# overlap n={len(times)} batch={batch} median "
               f"{value:.3f}s/image min {min(times):.3f}s max "
               f"{max(times):.3f}s", file=sys.stderr)
@@ -276,6 +291,15 @@ def main() -> int:
         warmup_s.append(round(time.perf_counter() - t, 3))
         print(f"# warmup {i}: {warmup_s[-1]:.3f}s", file=sys.stderr)
     extra["warmup_s"] = warmup_s
+    # VERDICT r4 weak #3: distinguish "new HLO this round" (expected after a
+    # model change: warmup pays a real compile AND writes new cache entries)
+    # from "cache never shipped" (same HLO, but the driver env lost the
+    # persistent cache). warmup_s[0] >> steady + miss=false would mean the
+    # cache exists but did not load — a third failure worth seeing.
+    cache_after = cache_entry_count()
+    extra["compile_cache"] = {"entries_before": cache_before,
+                              "new_entries": cache_after - cache_before,
+                              "miss": cache_after > cache_before}
 
     def block(n):
         times = []
@@ -309,7 +333,7 @@ def main() -> int:
             print(f"# anomaly rerun: median {extra['rerun_median_s']:.3f}s",
                   file=sys.stderr)
         if value > HEALTHY_BAND_S[1]:
-            ev = env_evidence(fingerprint, init_s)
+            ev = extra["env_warnings"]
             extra["degraded_env"] = bool(ev)
             extra["degraded_evidence"] = ev or [
                 "median out of band but probe shows no env anomaly — "

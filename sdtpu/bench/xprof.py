@@ -73,8 +73,17 @@ def profile_ops(fn, args, out_dir: str | None = None) -> dict:
             # CPU-backend device events live on the host plane's client line
             if name != "/host:cpu":
                 continue
+        # TPU device planes carry several OVERLAPPING views of the same
+        # execution: "XLA Modules" (whole program), "XLA Ops" (the per-op
+        # sync timeline) and "Async XLA Ops" (DMA spans that overlap
+        # compute). Summing all of them double-counts and lets async copy
+        # WAIT time dwarf compute; only "XLA Ops" is the per-op truth.
+        lnames = [ln.name for ln in plane.lines]
+        only = "XLA Ops" if "XLA Ops" in lnames else None
         for line in plane.lines:
             lname = line.name.lower()
+            if only is not None and line.name != only:
+                continue
             if name == "/host:cpu" and not lname.startswith("tf_xlapjrt"):
                 continue
             for ev in line.events:

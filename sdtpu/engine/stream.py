@@ -88,7 +88,8 @@ class StreamScheduler:
     """
 
     def __init__(self, ctx, slots: int = 4,
-                 step_choices: Optional[tuple] = None):
+                 step_choices: Optional[tuple] = None,
+                 max_block: int = 1):
         if ctx.sampler == "plms_exact":
             raise ValueError("plms_exact's engine-driven first step is not "
                              "step-schedulable; use plms")
@@ -155,16 +156,28 @@ class StreamScheduler:
         self._free = list(range(n))
         self._live: dict[int, _Slot] = {}          # slot -> record
         self._queue: list[tuple] = []
-        self._pending: list[tuple[int, object]] = []   # (req_id, dev image)
+        # pending decodes: ([req_id, ...], device image batch) — slots that
+        # finish on the same tick share ONE batched VAE decode dispatch
+        self._pending: list[tuple[list, object]] = []
         self._done: dict[int, np.ndarray] = {}
         self._next_id = 0
-        self.ticks = 0
+        self.ticks = 0          # denoising steps executed (pool-wide)
+        self.dispatches = 0     # step programs dispatched (<= ticks)
 
-        self._step_fn = jax.jit(self._build_step())
+        # Multi-step ticks (VERDICT r4 #3): when the pool is FULL, no
+        # admission can happen until a slot completes, so dispatching
+        # k = min-remaining consecutive pooled steps as ONE program costs
+        # nothing in latency and pays the per-dispatch tunnel tax once
+        # instead of k times. k is rounded down to a power of two so the
+        # set of compiled block programs is bounded by log2(max_steps).
+        self.max_block = max(1, int(max_block))
+        self._step_prog = self._build_step()
+        self._step_fn = jax.jit(self._step_prog)
+        self._kstep_fns = {1: self._step_fn}
         self._admit_fn = jax.jit(self._admit_prog)
         self._decode_fn = jax.jit(
-            lambda params, x, slot: decode_latents(
-                params, x[slot][None], cfg, self.ctx.kernels))
+            lambda params, x, slots: decode_latents(
+                params, x[slots], cfg, self.ctx.kernels))
 
     # ------------------------------------------------------------------
     # compiled programs
@@ -363,33 +376,77 @@ class StreamScheduler:
                 jnp.int32(steps))
             self._live[slot] = _Slot(req_id=rid, steps_done=0, steps=steps)
 
+    def _kstep(self, k: int):
+        """Compiled program advancing every active slot by k consecutive
+        pooled steps (one dispatch). k=1 is the plain step program; larger
+        blocks lax.scan the same step body, so per-slot gating/semantics are
+        IDENTICAL to k single ticks — only the dispatch count changes."""
+        fn = self._kstep_fns.get(k)
+        if fn is None:
+            prog = self._step_prog
+
+            def kprog(params, x, state, cond, un, t_idx, guidance, keys,
+                      plan_idx, n_steps):
+                def body(carry, _):
+                    xx, st, ti = carry
+                    xx, st, ti = prog(params, xx, st, cond, un, ti, guidance,
+                                      keys, plan_idx, n_steps)
+                    return (xx, st, ti), None
+
+                (x, state, t_idx), _ = jax.lax.scan(
+                    body, (x, state, t_idx), None, length=k)
+                return x, state, t_idx
+
+            fn = self._kstep_fns[k] = jax.jit(kprog)
+        return fn
+
     def tick(self) -> None:
-        """One scheduling iteration: admit -> one pooled denoise step ->
+        """One scheduling iteration: admit -> one pooled denoise dispatch ->
         retire finished slots (their decode is dispatched asynchronously;
-        fetch happens in completed()/drain())."""
+        fetch happens in completed()/drain()).
+
+        With ``max_block > 1`` the dispatch advances the pool by
+        k = min(max_block, min steps remaining) consecutive steps as ONE
+        program (power-of-two k, so compiles are bounded by log2). k never
+        exceeds the earliest completion, so no finished slot idles inside a
+        block and admission is never delayed by more than it already was."""
         self._admit_from_queue()
         if not self._live:
             return
-        self._x, self._state, self._t_idx = self._step_fn(
+        k = 1
+        if self.max_block > 1:
+            min_rem = min(rec.steps - rec.steps_done
+                          for rec in self._live.values())
+            k = min(self.max_block, min_rem)
+            k = 1 << (k.bit_length() - 1)
+        fn = self._step_fn if k == 1 else self._kstep(k)
+        self._x, self._state, self._t_idx = fn(
             self.ctx.params, self._x, self._state, self._cond, self._un,
             self._t_idx, self._guidance, self._keys, self._plan_idx,
             self._n_steps)
-        self.ticks += 1
+        self.ticks += k
+        self.dispatches += 1
+        finishing: list[tuple[int, int]] = []
         for slot, rec in list(self._live.items()):
-            done = rec.steps_done + 1
+            done = rec.steps_done + k
             if done >= rec.steps:
-                dev = self._decode_fn(self.ctx.params, self._x,
-                                      jnp.int32(slot))
-                self._pending.append((rec.req_id, dev))
+                finishing.append((slot, rec.req_id))
                 del self._live[slot]
                 self._free.append(slot)
             else:
                 self._live[slot] = rec._replace(steps_done=done)
+        if finishing:
+            # slots completing on the same tick share ONE batched decode
+            slots = jnp.asarray([s for s, _ in finishing], jnp.int32)
+            dev = self._decode_fn(self.ctx.params, self._x, slots)
+            self._pending.append(([rid for _, rid in finishing], dev))
 
     def completed(self) -> dict[int, np.ndarray]:
         """Harvest finished images (blocks only on their device fetches)."""
-        for rid, dev in self._pending:
-            self._done[rid] = np.asarray(dev)[0]
+        for rids, dev in self._pending:
+            arr = np.asarray(dev)
+            for j, rid in enumerate(rids):
+                self._done[rid] = arr[j]
         self._pending.clear()
         out, self._done = self._done, {}
         return out

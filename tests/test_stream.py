@@ -161,6 +161,68 @@ def test_stream_mixed_steps_multistep_history():
     assert_pixels_match(out[r2], ref2)
 
 
+def test_stream_block_ticks_match_single_ticks(ctx):
+    """max_block > 1 dispatches k pooled steps as ONE program (lax.scan of
+    the same step body): images are IDENTICAL to k=1 scheduling, dispatch
+    count collapses toward steps/k, and per-slot completion semantics are
+    unchanged (the block never overruns the earliest completion)."""
+    base = StreamScheduler(ctx, slots=2)
+    b1 = {base.submit(PROMPT, seed=50 + i): 50 + i for i in range(3)}
+    out1 = base.drain()
+
+    blk = StreamScheduler(ctx, slots=2, max_block=4)
+    b2 = {blk.submit(PROMPT, seed=50 + i): 50 + i for i in range(3)}
+    out2 = blk.drain()
+
+    for (r1, s1), (r2, s2) in zip(sorted(b1.items(), key=lambda kv: kv[1]),
+                                  sorted(b2.items(), key=lambda kv: kv[1])):
+        assert s1 == s2
+        np.testing.assert_array_equal(out1[r1], out2[r2])
+    assert base.dispatches == base.ticks            # k=1: one program/step
+    assert blk.ticks == base.ticks                  # same total step work
+    assert blk.dispatches < base.dispatches         # fewer dispatches
+
+
+def test_stream_block_ticks_heterogeneous(ctx):
+    """Blocks are bounded by min-remaining: a 2-step request in a pool with
+    a 6-step one still completes after exactly 2 steps and its slot is
+    re-admitted; images match the single path."""
+    sched = StreamScheduler(ctx, slots=2, step_choices=(2, 6),
+                            max_block=8)
+    ra = sched.submit(PROMPT, seed=61, steps=2)
+    rb = sched.submit("a fox", seed=62, steps=6)
+    rc = sched.submit(PROMPT, seed=63, steps=2)
+    out = sched.drain()
+    assert set(out) == {ra, rb, rc}
+    for rid, (prompt, seed, steps) in {
+            ra: (PROMPT, 61, 2), rb: ("a fox", 62, 6),
+            rc: (PROMPT, 63, 2)}.items():
+        old = ctx.steps
+        ctx.set_steps(steps)
+        try:
+            ref = ctx.generate(prompt, seed=seed)
+        finally:
+            ctx.set_steps(old)
+        assert_pixels_match(out[rid], ref)
+    assert sched.dispatches < sched.ticks
+
+
+def test_stream_batched_decode(ctx):
+    """Slots completing on the same tick share ONE batched VAE decode: two
+    same-step requests admitted together finish together and both images
+    come back correct from the single pending decode."""
+    sched = StreamScheduler(ctx, slots=2)
+    r1 = sched.submit(PROMPT, seed=71)
+    r2 = sched.submit("a fox", seed=72)
+    for _ in range(ctx.steps):
+        sched.tick()
+    assert len(sched._pending) == 1          # one decode dispatch for both
+    assert len(sched._pending[0][0]) == 2
+    out = sched.completed()
+    assert_pixels_match(out[r1], ctx.generate(PROMPT, seed=71))
+    assert_pixels_match(out[r2], ctx.generate("a fox", seed=72))
+
+
 def test_stream_mixed_steps_rejects_unplanned(ctx):
     sched = StreamScheduler(ctx, slots=1, step_choices=(4, 8))
     with pytest.raises(ValueError, match="step_choices"):

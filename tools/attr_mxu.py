@@ -42,6 +42,9 @@ _DEF = re.compile(r"^\s*(?:ROOT )?%?([\w.-]+) = (\S+) (\w[\w-]*)\(")
 _COMP_HDR = re.compile(r"^(?:ENTRY )?%?([\w.-]+)\s+\(.*\)\s+->")
 _CALLS = re.compile(r"calls=%?([\w.-]+)")
 _LHS_CONTRACT = re.compile(r"lhs_contracting_dims=\{([\d,]+)\}")
+_DIM_LABELS = re.compile(r"dim_labels=\w+_(\w+)->")
+_WIN_SIZE = re.compile(r"window=\{[^}]*\bsize=([\dx]+)")
+_WIN_LHS_DILATE = re.compile(r"window=\{[^}]*\blhs_dilate=([\dx]+)")
 
 
 def _dims(type_str: str):
@@ -53,9 +56,12 @@ def _dims(type_str: str):
     return tuple(int(d) for d in m.group(1).split(","))
 
 
-def _operands(line: str):
-    """Names of the op's operands (first parenthesized list)."""
-    inner = line[line.index("(") + 1:]
+def _operands(line: str, start: int):
+    """Names of the op's operands. ``start`` is the index just past the
+    kind's opening paren (from the _DEF match) — scanning from the line's
+    FIRST "(" is wrong on TPU HLO, where the type's tiled-layout annotation
+    (``{1,0:T(8,128)(2,1)}``) contains parens before the operand list."""
+    inner = line[start:]
     depth = 1
     out = []
     buf = []
@@ -117,16 +123,39 @@ def parse_hlo(hlo: str):
         if kind not in ("convolution", "dot"):
             continue
         out = _dims(type_str) or ()
-        ops = _operands(line)
+        ops = _operands(line, m.end())
         lhs = shape_of.get(ops[0]) if ops else None
         rhs = shape_of.get(ops[1]) if len(ops) > 1 else None
         flops = 0.0
         key = None
         if kind == "convolution" and out and rhs:
-            # FLOPs = 2 * N*Ho*Wo * kh*kw*Cin*Cout, layout-agnostic:
-            # 2 * prod(out) * prod(weight) / Cout  (Cout in both)
-            cout = out[-1]
-            flops = 2.0 * math.prod(out) * math.prod(rhs) / max(cout, 1)
+            # FLOPs = 2 * prod(out) * (effective kernel taps * Cin).
+            # TPU rewrites batched dots into convolutions (often with
+            # lhs_dilate, which inserts ZEROS between real input samples:
+            # only every d-th tap inside a k-wide window is a real MAC, so
+            # the effective taps per dim are ceil(k/d), not k). Cin/Cout
+            # come from dim_labels ('i'/'o' in the rhs labels) because the
+            # rewrites are NOT hwio/oihw laid out.
+            dl = _DIM_LABELS.search(line)
+            rhs_labels = dl.group(1) if dl else ""
+            cout = out[-1] if out else 1
+            cin = None
+            if "o" in rhs_labels and rhs_labels.index("o") < len(rhs):
+                cout = rhs[rhs_labels.index("o")]
+            if "i" in rhs_labels and rhs_labels.index("i") < len(rhs):
+                cin = rhs[rhs_labels.index("i")]
+            ws = _WIN_SIZE.search(line)
+            ksizes = ([int(v) for v in ws.group(1).split("x")]
+                      if ws else [])
+            wd = _WIN_LHS_DILATE.search(line)
+            dil = ([int(v) for v in wd.group(1).split("x")]
+                   if wd else [1] * len(ksizes))
+            if cin is not None and ksizes:
+                taps = math.prod(-(-k // d) for k, d in zip(ksizes, dil))
+                flops = 2.0 * math.prod(out) * taps * cin
+            else:  # no window/labels clause: plain 1x1 / matmul form
+                flops = (2.0 * math.prod(out) * math.prod(rhs)
+                         / max(cout, 1))
             key = (f"conv {('x'.join(map(str, lhs)) if lhs else '?')}"
                    f" * {'x'.join(map(str, rhs))}")
         elif kind == "dot" and out and lhs:
@@ -183,7 +212,8 @@ def attribute(ops_us: dict, mxu: dict, comp_ops: dict, fusion_calls: dict):
     return per_key, matched_us, total_us
 
 
-def build_part(part: str, size: int, config: str = "sd15"):
+def build_part(part: str, size: int, config: str = "sd15",
+               kernels: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -192,36 +222,45 @@ def build_part(part: str, size: int, config: str = "sd15"):
 
     import dataclasses
 
+    from sdtpu.io.params import cast_params
+
     cfg = CONFIGS[config]
     if size != cfg.image_size:
         cfg = dataclasses.replace(cfg, latent_size=size // 8)
-    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    # jit the init: eager init is thousands of individual dispatches, which
+    # costs minutes over the tunneled device (~1.5 ms each)
+    params = jax.jit(lambda k: init_pipeline_params(k, cfg))(
+        jax.random.PRNGKey(0))
+    # production dtype: Context casts params to cfg.compute_dtype at load
+    # and decode_latents casts its latents the same way — attribute the
+    # program that actually serves, not an f32 variant
+    params = cast_params(params, cfg.compute_dtype)
+    dt = cfg.compute_dtype
     ls = cfg.latent_size
     if part == "unet":
         from sdtpu.models import unet
 
-        p = jax.device_put(jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, params["unet"]))
-        x = jnp.zeros((2, ls, ls, cfg.unet.in_channels), jnp.bfloat16)
-        te = jnp.zeros((2, cfg.unet.time_embed_dim), jnp.bfloat16)
+        p = jax.device_put(params["unet"])
+        x = jnp.zeros((2, ls, ls, cfg.unet.in_channels), dt)
+        te = jnp.zeros((2, cfg.unet.time_embed_dim), dt)
         rows = jnp.zeros((2, cfg.clip.context_len, cfg.unet.context_dim),
-                         jnp.bfloat16)
-        fn = jax.jit(lambda p, x, te, r: unet.apply(p, x, te, r, cfg.unet))
+                         dt)
+        fn = jax.jit(lambda p, x, te, r: unet.apply(p, x, te, r, cfg.unet,
+                                                    kernels))
         args = (p, x, te, rows)
     elif part == "vae":
         from sdtpu.models import vae
 
         p = jax.device_put(params["vae"])
-        z = jnp.zeros((1, ls, ls, cfg.latent_channels), jnp.float32)
-        fn = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae))
+        z = jnp.zeros((1, ls, ls, cfg.latent_channels), dt)
+        fn = jax.jit(lambda p, z: vae.apply(p, z, cfg.vae, kernels))
         args = (p, z)
     elif part == "clip":
         from sdtpu.models import clip
 
         p = jax.device_put(params["clip"])
         toks = jnp.zeros((2, cfg.clip.context_len), jnp.int32)
-        fn = jax.jit(lambda p, t: clip.apply(p, t, cfg.clip))
+        fn = jax.jit(lambda p, t: clip.apply(p, t, cfg.clip, dtype=dt))
         args = (p, toks)
     else:
         raise SystemExit(f"unknown part {part!r}")
@@ -235,6 +274,11 @@ def main():
     ap.add_argument("--size", type=int, default=None,
                     help="image size (default: the config's native size)")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--kernels", default="xla",
+                    help="'xla' (every MXU op visible to HLO attribution) "
+                         "or 'pallas' (the production program — flash "
+                         "attention is a custom call, so its FLOPs show "
+                         "as unattributed device time)")
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     ap.add_argument("--debug-events", action="store_true",
@@ -249,12 +293,21 @@ def main():
         # JAX_PLATFORMS; only the config API reliably overrides it
         jax.config.update("jax_platforms", args.platform)
 
+    # reuse the session's persistent compile cache (same settings as
+    # Context): the UNet-at-production-shape compile is minutes cold,
+    # seconds warm, and attribution doesn't change the program
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path("~/.cache/sdtpu/xla").expanduser()))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "")
+
     from sdtpu.bench.xprof import profile_ops
 
     from sdtpu.config import CONFIGS
 
     size = args.size or CONFIGS[args.config].image_size
-    fn, fargs = build_part(args.part, size, args.config)
+    fn, fargs = build_part(args.part, size, args.config, args.kernels)
     lowered = fn.lower(*fargs)
     compiled = lowered.compile()
     hlo = compiled.as_text()
@@ -273,7 +326,7 @@ def main():
     peak = next((p for tok, p in PEAK_TFLOPS if tok in kind), None)
     rows = sorted(per_key.items(), key=lambda kv: -kv[1]["us"])
     print(f"# part={args.part} config={args.config} size={size} "
-          f"device={kind} peak_bf16={peak} TFLOP/s")
+          f"kernels={args.kernels} device={kind} peak_bf16={peak} TFLOP/s")
     print(f"# device total {total_us/1e3:.3f} ms; attributed to MXU ops "
           f"{matched_us/1e3:.3f} ms ({100*matched_us/max(total_us,1):.1f}%)")
     print()

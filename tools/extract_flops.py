@@ -23,7 +23,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def extract(config: str, kernels: str = "auto") -> dict:
+def extract(config: str, kernels: str = "auto",
+            controlnet: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -60,11 +61,46 @@ def extract(config: str, kernels: str = "auto") -> dict:
              jnp.zeros((2, cfg.unet.time_embed_dim), dt),
              jnp.zeros((2, cfg.clip.context_len, ctx_dim), dt)),
         ),
+        # batch-1 no-CFG program (LCM / guidance-embedded serving)
+        "unet_b1": (
+            lambda p, x, t, c: unet.apply(p, x, t, c, cfg.unet, kernels),
+            (params["unet"],
+             jnp.zeros((1, s, s, cfg.unet.in_channels), dt),
+             jnp.zeros((1, cfg.unet.time_embed_dim), dt),
+             jnp.zeros((1, cfg.clip.context_len, ctx_dim), dt)),
+        ),
         "vae_dec": (
             lambda p, z: vae.apply(p, z, cfg.vae, kernels),
             (params["vae"], jnp.zeros((1, s, s, cfg.vae.z_channels), dt)),
         ),
     }
+    if cfg.clip2 is not None:  # SDXL dual tower
+        specs["clip2"] = (
+            lambda p, tok: clip.apply(p, tok, cfg.clip2, dtype=dt),
+            (params["clip2"],
+             jnp.zeros((1, cfg.clip2.context_len), jnp.int32)),
+        )
+    if controlnet:
+        from sdtpu.models import controlnet as cn_mod
+
+        cn = jax.jit(lambda k: cn_mod.init(
+            k, cfg.unet, zero_init_outs=False))(jax.random.PRNGKey(1))
+        cn = cast_params(cn, cfg.compute_dtype)
+        mc = cfg.unet.model_channels
+        specs["controlnet_cfg"] = (
+            lambda p, x, h, t, c: cn_mod.apply(p, x, h, t, c, cfg.unet,
+                                               kernels),
+            (cn,
+             jnp.zeros((2, s, s, cfg.unet.in_channels), dt),
+             jnp.zeros((2, s, s, mc), dt),
+             jnp.zeros((2, cfg.unet.time_embed_dim), dt),
+             jnp.zeros((2, cfg.clip.context_len, ctx_dim), dt)),
+        )
+        factor = cfg.image_size // cfg.latent_size
+        specs["cn_hint"] = (
+            lambda p, img: cn_mod.embed_hint(p, img, factor),
+            (cn, jnp.zeros((2, cfg.image_size, cfg.image_size, 3), dt)),
+        )
     out = {"config": config, "kernels": kernels,
            "backend": jax.default_backend(),
            "device": jax.devices()[0].device_kind}
@@ -86,10 +122,24 @@ def main() -> int:
     ap.add_argument("--config", default="sd15")
     ap.add_argument("--kernels", default="auto")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--controlnet", action="store_true",
+                    help="also capture the ControlNet eval + hint embed")
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
     args = ap.parse_args()
-    out = extract(args.config, args.kernels)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    out = extract(args.config, args.kernels, controlnet=args.controlnet)
+    # paste-ready PART_FLOPS entry for sdtpu/bench/flops.py
+    out["part_flops_entry"] = {
+        k: out[k]["flops"] for k in
+        ("unet_cfg", "unet_b1", "clip", "clip2", "vae_dec", "temb",
+         "controlnet_cfg", "cn_hint") if k in out}
     total = (out["unet_cfg"]["flops"] * args.steps
              + out["clip"]["flops"] * 2
+             + out.get("clip2", {}).get("flops", 0.0) * 2
              + out["vae_dec"]["flops"] + out["temb"]["flops"])
     out["tflop_per_image"] = {f"{args.steps}step_cfg": total / 1e12}
     print(json.dumps(out))

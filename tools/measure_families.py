@@ -39,6 +39,20 @@ def _stats(times):
             "n": len(times)}
 
 
+def _mfu(config, steps, median_s, n_controlnets=0, cfg_batch=True):
+    """tflop_per_image / tflop_per_s / mfu_pct from the shared analytic
+    constants (sdtpu/bench/flops.py, VERDICT r4 #2: the family matrix gets
+    the same MFU discipline as the sd15 headline). Empty when the config
+    has no captured constants yet."""
+    import jax
+
+    from sdtpu.bench import flops as fl
+
+    return fl.mfu_fields(config, steps, median_s,
+                         jax.devices()[0].device_kind,
+                         n_controlnets=n_controlnets, cfg_batch=cfg_batch)
+
+
 def _measure(call, warmup, iters):
     import numpy as np
 
