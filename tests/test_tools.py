@@ -270,3 +270,48 @@ def test_validate_real_packet(tmp_path):
         capture_output=True, text=True, cwd=str(REPO),
     )
     assert r3.returncode == 1, r3.stdout + r3.stderr
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family,config", [
+    ("lcm", "tiny_lcm"),
+    ("sdxl_2stage", "tiny_xl"),
+    ("controlnet", "tiny"),
+    ("x4", "tiny_x4"),
+])
+def test_validate_real_families(tmp_path, family, config):
+    """Every shipped serving family drives through the one-command
+    validation packet (VERDICT r4 #7): a checkpoint-bearing environment can
+    run `validate_real --family <x>` on day one. Demo weights exercise the
+    full path (convert gate skipped); gates must run and pass."""
+    import json
+
+    cmd = [sys.executable, str(REPO / "tools" / "validate_real.py"), "demo",
+           "--family", family, "--config", config, "--steps", "2",
+           "--work-dir", str(tmp_path / "val"), "--platform", "cpu",
+           "--json-out", str(tmp_path / "verdict.json")]
+    if family == "sdxl_2stage":
+        cmd += ["--refiner-config", "tiny_xl_ref"]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+    assert r.returncode == 0, r.stdout + r.stderr
+    v = json.loads((tmp_path / "verdict.json").read_text())
+    assert v["family"] == family and v["config"] == config
+    assert v["pass"] is True
+    assert v["gates"]["deterministic"]["pass"] is True
+    # the family image landed on disk
+    assert (tmp_path / "val" / "astronaut_seed0.bin").exists()
+
+
+def test_validate_real_unconvertible_config_errors(tmp_path):
+    """A file checkpoint with a config outside the wired conversion set is
+    a typed usage error (rc=2), not a crash."""
+    ckpt = tmp_path / "x.safetensors"
+    ckpt.write_bytes(b"\0" * 8)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "validate_real.py"),
+         str(ckpt), "--family", "lcm", "--config", "tiny_lcm",
+         "--work-dir", str(tmp_path / "val"), "--platform", "cpu"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "already-converted model dir" in r.stdout

@@ -345,6 +345,20 @@ def main():
         print(f"\n# whole-part: {mxu_fl/1e12:.2f} TFLOP / "
               f"{total_us/1e3:.2f} ms = {eff:.1f} TFLOP/s"
               + (f" = {100*eff/peak:.1f}% peak" if peak else ""))
+    # where the NON-attributed time goes: per-op-class totals (the
+    # reference analyzer's second view, analyze_results.py:135-146)
+    from collections import defaultdict as _dd
+
+    from sdtpu.bench.xprof import classify
+
+    by_class = _dd(float)
+    for ev_name, rec in ops_us.items():
+        name = ev_name.split(" = ")[0].strip().lstrip("%")
+        by_class[classify(name)] += rec["total_us"]
+    print("\n| op class | time ms | % part |")
+    print("|---|---|---|")
+    for cls, us in sorted(by_class.items(), key=lambda kv: -kv[1]):
+        print(f"| {cls} | {us/1e3:.3f} | {100*us/max(total_us,1):.1f}% |")
 
 
 if __name__ == "__main__":

@@ -42,15 +42,34 @@ def _percentiles(xs):
             "max": round(max(xs), 4)}
 
 
-def leg_stream(ctx, arrivals, prompts, slots, steps_of):
+def leg_stream(ctx, arrivals, prompts, slots, steps_of, max_block=1):
+    import jax.numpy as jnp
+    import numpy as np
+
     from sdtpu.engine.stream import StreamScheduler
 
     sched = StreamScheduler(ctx, slots=slots,
-                            step_choices=tuple(set(steps_of)))
+                            step_choices=tuple(set(steps_of)),
+                            max_block=max_block)
     # warm the compiled programs (admit + step + decode) outside the clock
     wid = sched.submit("warmup", seed=0)
     sched.drain()
     del wid
+    # ... including every power-of-two block program and decode batch
+    # width the trace can reach (block compiles mid-trace would otherwise
+    # bill multi-second compile stalls to the measured leg)
+    k = 2
+    while k <= sched.max_block:
+        out = sched._kstep(k)(
+            ctx.params, sched._x, sched._state, sched._cond, sched._un,
+            sched._t_idx, sched._guidance, sched._keys, sched._plan_idx,
+            sched._n_steps)
+        np.asarray(out[0])
+        k *= 2
+    for b in range(1, slots + 1):
+        np.asarray(sched._decode_fn(ctx.params, sched._x,
+                                    jnp.zeros(b, jnp.int32)))
+    sched.ticks = sched.dispatches = 0
 
     done_at = {}
     sub_at = {}
@@ -71,7 +90,7 @@ def leg_stream(ctx, arrivals, prompts, slots, steps_of):
             time.sleep(min(0.005, max(0.0, arrivals[i] - now)))
     total = max(done_at.values())
     lats = [done_at[r] - sub_at[r] for r in done_at]
-    return total, lats
+    return total, lats, {"ticks": sched.ticks, "dispatches": sched.dispatches}
 
 
 def leg_batch(ctx, arrivals, prompts, slots, max_wait_s, steps_of):
@@ -163,6 +182,11 @@ def main():
                          "counts inside one eval; the batcher groups by "
                          "step count (kind-keyed), its production policy")
     ap.add_argument("--legs", default="stream,batch")
+    ap.add_argument("--max-block", type=int, default=1,
+                    help="stream leg: dispatch up to k=min-remaining pooled "
+                         "steps as ONE program (power-of-two blocks) — "
+                         "pays the per-dispatch tunnel tax once per block "
+                         "instead of per step")
     args = ap.parse_args()
 
     import sdtpu
@@ -192,12 +216,15 @@ def main():
            "requests": args.requests, "arrival_ms": args.arrival_ms,
            "trace": ("poisson" if args.poisson is not None else "uniform"),
            "poisson_seed": args.poisson,
-           "steps_mix": (mix if args.steps_mix else None)}
+           "steps_mix": (mix if args.steps_mix else None),
+           "max_block": args.max_block}
     for leg in args.legs.split(","):
         t0 = time.perf_counter()
+        extra = {}
         if leg == "stream":
-            total, lats = leg_stream(ctx, arrivals, prompts, args.slots,
-                                     steps_of)
+            total, lats, extra = leg_stream(ctx, arrivals, prompts,
+                                            args.slots, steps_of,
+                                            args.max_block)
         elif leg == "batch":
             total, lats = leg_batch(ctx, arrivals, prompts, args.slots,
                                     args.max_wait_ms / 1e3, steps_of)
@@ -208,6 +235,7 @@ def main():
             "images_per_s": round(args.requests / total, 3),
             "latency": _percentiles(lats),
             "wall_incl_warmup_s": round(time.perf_counter() - t0, 1),
+            **extra,
         }
         print(json.dumps({leg: out[leg]}), flush=True)
     print(json.dumps(out))
