@@ -38,9 +38,13 @@ def extract(config: str, kernels: str = "auto",
     cfg = CONFIGS[config]
     if kernels == "auto":
         kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
-    params = jax.jit(lambda k: init_pipeline_params(k, cfg))(
+    # Abstract params only: cost_analysis needs shapes/dtypes, not values.
+    # eval_shape keeps SDXL's ~10 GB of f32 init params entirely off the
+    # device (concrete init OOMed a 16 GB v5e holding f32 + bf16 copies).
+    params = jax.eval_shape(
+        lambda k: cast_params(init_pipeline_params(k, cfg),
+                              cfg.compute_dtype),
         jax.random.PRNGKey(0))
-    params = cast_params(params, cfg.compute_dtype)
     dt = cfg.compute_dtype
     s = cfg.latent_size
     ctx_dim = cfg.unet.context_dim
@@ -83,9 +87,11 @@ def extract(config: str, kernels: str = "auto",
     if controlnet:
         from sdtpu.models import controlnet as cn_mod
 
-        cn = jax.jit(lambda k: cn_mod.init(
-            k, cfg.unet, zero_init_outs=False))(jax.random.PRNGKey(1))
-        cn = cast_params(cn, cfg.compute_dtype)
+        cn = jax.eval_shape(
+            lambda k: cast_params(cn_mod.init(k, cfg.unet,
+                                              zero_init_outs=False),
+                                  cfg.compute_dtype),
+            jax.random.PRNGKey(1))
         mc = cfg.unet.model_channels
         specs["controlnet_cfg"] = (
             lambda p, x, h, t, c: cn_mod.apply(p, x, h, t, c, cfg.unet,

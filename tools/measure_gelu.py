@@ -61,9 +61,13 @@ def main():
     from sdtpu.models import layers, unet
 
     cfg = CONFIGS[args.config]
-    params = jax.jit(lambda k: init_pipeline_params(k, cfg))(
+    # init + cast the UNet only, inside one jit, so the f32 full-pipeline
+    # params never stay resident (first run OOMed holding both copies)
+    params = jax.jit(
+        lambda k: cast_params(init_pipeline_params(k, cfg),
+                              cfg.compute_dtype)["unet"])(
         jax.random.PRNGKey(0))
-    p = jax.device_put(cast_params(params, cfg.compute_dtype)["unet"])
+    p = params
     dt = cfg.compute_dtype
     s = cfg.latent_size
     ctx_dim = cfg.unet.context_dim
@@ -80,7 +84,17 @@ def main():
     orig_geglu = layers.geglu
     out = {"config": args.config, "kernels": kern,
            "device": jax.devices()[0].device_kind, "iters": args.iters}
-    ref = None
+    xs = [jax.device_put(jnp.asarray(
+        np.random.default_rng(i).standard_normal(
+            (2, s, s, cfg.unet.in_channels), np.float32), dt))
+        for i in range(8)]
+
+    # Phase 1: compile every variant up front (persistent cache makes
+    # reruns cheap). unet.py binds geglu by name at import (`from
+    # ...layers import geglu`) — patch BOTH references or the variant
+    # never runs (the first capture of this tool reported identical times
+    # and delta 0.0 for exactly this reason).
+    fns, ref = {}, None
     for name, gate in GELUS.items():
         def patched(pp, x, dtype=None, _gate=gate):
             h = layers.dense(pp, x, dtype)
@@ -88,32 +102,39 @@ def main():
             return _gate(a, b)
 
         layers.geglu = patched
+        unet.geglu = patched
         try:
-            fn = jax.jit(lambda pr, x: unet.apply(pr, x, te, rows, cfg.unet,
-                                                  kern))
-            xs = [jax.device_put(jnp.asarray(
-                np.random.default_rng(i).standard_normal(
-                    (2, s, s, cfg.unet.in_channels), np.float32), dt))
-                for i in range(8)]
+            fn = jax.jit(lambda pr, x, t, c: unet.apply(pr, x, t, c,
+                                                        cfg.unet, kern))
+            fn = (lambda f: lambda pr, x: f(pr, x, te, rows))(fn)
             eps = np.asarray(fn(p, xs[0]), np.float32)   # compile + fetch
-            if ref is None:
-                ref = eps
-            delta = float(np.max(np.abs(eps - ref)))
-            # chained timing: pipeline dispatches, per-iter scalar sync
-            times = []
-            for it in range(args.iters):
-                t0 = time.perf_counter()
-                r = fn(p, xs[it % len(xs)])
-                np.asarray(r[0, 0, 0, 0])
-                times.append(time.perf_counter() - t0)
-            out[name] = {
-                "median_ms": round(statistics.median(times) * 1e3, 3),
-                "min_ms": round(min(times) * 1e3, 3),
-                "max_abs_delta_vs_exact": delta,
-            }
-            print(f"# {name}: {out[name]}", file=sys.stderr, flush=True)
         finally:
             layers.geglu = orig_geglu
+            unet.geglu = orig_geglu
+        if ref is None:
+            ref = eps
+        fns[name] = fn
+        out[name] = {"times": [],
+                     "max_abs_delta_vs_exact": float(np.max(np.abs(eps - ref)))}
+        print(f"# compiled {name}", file=sys.stderr, flush=True)
+
+    # Phase 2: INTERLEAVED timing rounds (leg-order drift polluted the
+    # sequential capture: the same exact leg measured 47.3 and 60.6 ms
+    # median in two back-to-back runs). Variants alternate within each
+    # round, so slow-session minutes hit all legs equally.
+    rounds = max(1, args.iters // 10)
+    for rd in range(rounds):
+        for name, fn in fns.items():
+            for it in range(10):
+                t0 = time.perf_counter()
+                r = fn(p, xs[(rd * 10 + it) % len(xs)])
+                np.asarray(r[0, 0, 0, 0])
+                out[name]["times"].append(time.perf_counter() - t0)
+    for name, rec in ((n, out[n]) for n in GELUS):
+        times = rec.pop("times")
+        rec["median_ms"] = round(statistics.median(times) * 1e3, 3)
+        rec["min_ms"] = round(min(times) * 1e3, 3)
+        print(f"# {name}: {rec}", file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 
