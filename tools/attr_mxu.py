@@ -228,13 +228,16 @@ def build_part(part: str, size: int, config: str = "sd15",
     if size != cfg.image_size:
         cfg = dataclasses.replace(cfg, latent_size=size // 8)
     # jit the init: eager init is thousands of individual dispatches, which
-    # costs minutes over the tunneled device (~1.5 ms each)
-    params = jax.jit(lambda k: init_pipeline_params(k, cfg))(
-        jax.random.PRNGKey(0))
-    # production dtype: Context casts params to cfg.compute_dtype at load
-    # and decode_latents casts its latents the same way — attribute the
-    # program that actually serves, not an f32 variant
-    params = cast_params(params, cfg.compute_dtype)
+    # costs minutes over the tunneled device (~1.5 ms each). Select the ONE
+    # part inside the jit so XLA dead-code-eliminates the others' init and
+    # the f32 full pipeline never lands on the chip (production dtype: cast
+    # to cfg.compute_dtype, the program Context actually serves — SDXL's
+    # f32+bf16 full-pipeline copies would OOM a 16 GB v5e).
+    part_key = part if part in ("unet", "vae", "clip") else "unet"
+    params = {part_key: jax.jit(
+        lambda k: cast_params(init_pipeline_params(k, cfg),
+                              cfg.compute_dtype)[part_key])(
+        jax.random.PRNGKey(0))}
     dt = cfg.compute_dtype
     ls = cfg.latent_size
     if part == "unet":
